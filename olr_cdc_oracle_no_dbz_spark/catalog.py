@@ -1,0 +1,32 @@
+"""Table catalog over the driver's parquet testdata.
+
+Plays the role the Schema Registry + ksqlDB catalog play in the reference
+(docker-compose-main.yml:179-202, 112-141): a single place that resolves a
+logical table name to a typed DataFrame. Reads are plain
+``spark.read.parquet`` so Catalyst keeps predicate pushdown, column pruning
+and partition pruning (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from olr_cdc_oracle_no_dbz_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Scale-note: at 100 TB these become
+    partitioned/bucketed external tables; the call site stays identical."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

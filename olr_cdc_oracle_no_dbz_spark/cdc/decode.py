@@ -1,0 +1,90 @@
+"""Change-event decode / filter / unwrap.
+
+Spark-first re-expression of two reference stages:
+
+1. OpenLogReplicator's JSON emission + source filter
+   (scripts/OpenLogReplicator.json:14-39): raw JSON lines → typed envelope
+   rows, keep only the allow-listed owner/table.
+2. Kafka Connect's ExtractNewRecordState SMT chain (reference
+   README.md:792-795): project the flat row image out of the envelope,
+   keep tombstones, optionally rewrite deletes with a ``__deleted`` marker.
+
+All of it is declarative DataFrame code — ``from_json`` + nested-column
+selects — so Catalyst prunes unread envelope fields at the scan
+(nestedSchemaPruning) and pushes the owner/table filter down. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
+
+#: ops that carry a row image. ``message:2`` also emits begin/commit
+#: markers (scripts/OpenLogReplicator.json:20) which unwrap() drops.
+DML_OPS = ("c", "u", "d")
+
+
+def decode_events(
+    raw: DataFrame,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse raw JSON change messages into the typed envelope.
+
+    ``raw`` is any DataFrame/stream with a string column ``value_col``
+    (a Kafka value or a line from a spooled JSON file — sources S1/S3/S4
+    in SURVEY.md §2.1). Corrupt records land in ``_corrupt`` instead of
+    failing the stream (the reference's OLR skips unparseable redo the
+    same way).
+    """
+    parsed = raw.withColumn("_event", F.from_json(F.col(value_col), schema))
+    return parsed.select(
+        F.col("_event.*"),
+        F.when(F.col("_event").isNull(), F.col(value_col)).alias("_corrupt"),
+    )
+
+
+def filter_source(df: DataFrame, owner: str, table: str) -> Column | DataFrame:
+    """Source allow-list: keep only one owner/table, drop everything else.
+
+    Mirrors the capture filter (scripts/OpenLogReplicator.json:32-39:
+    ``filter.table: [{owner: OLR_DB, table: PRODUCT}]``). Expressed as a
+    plain filter so it is pushed into the source scan by Catalyst.
+    """
+    return df.filter(
+        (F.col("schema_owner") == owner) & (F.col("schema_table") == table)
+    )
+
+
+def unwrap(
+    df: DataFrame,
+    mode: str = "rewrite",
+    meta_cols: tuple[str, ...] = ("scn", "seq", "op"),
+) -> DataFrame:
+    """ExtractNewRecordState: flatten the envelope to row columns.
+
+    - inserts/updates project ``after.*``; deletes project ``before.*``
+      (full before-images guaranteed by supplemental logging ALL columns,
+      scripts-db/set-up-orl.sql:216).
+    - ``mode='rewrite'`` adds ``__deleted`` (reference
+      ``delete.handling.mode: rewrite`` README.md:795);
+      ``mode='drop'`` removes delete rows entirely.
+    - begin/commit marker messages (message:2) carry no image and are
+      dropped here.
+    """
+    if mode not in ("rewrite", "drop"):
+        raise ValueError(f"unwrap mode must be rewrite|drop, got {mode!r}")
+    dml = df.filter(F.col("op").isin(*DML_OPS))
+    image = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    row_fields = [f.name for f in df.schema["after"].dataType.fields]
+    out = dml.select(
+        *[image.getField(c).alias(c) for c in row_fields],
+        *[F.col(m) for m in meta_cols],
+        (F.col("op") == "d").alias("__deleted"),
+    )
+    if mode == "drop":
+        out = out.filter(~F.col("__deleted")).drop("__deleted")
+    return out

@@ -1,0 +1,185 @@
+"""Group-aggregate surface — the ksqlDB 0.29 aggregate catalog re-expressed
+in Spark (SURVEY.md §2.4 A3/A4: COUNT/SUM/MIN/MAX/AVG, COUNT_DISTINCT,
+COLLECT_LIST/SET, TOPK, HISTOGRAM, LATEST/EARLIEST_BY_OFFSET).
+
+All are single-shuffle hash aggregates with map-side partial aggregation;
+collect/topk queries emit deterministic representations (sorted joined
+strings / tie-broken ranks) so the differential harness can hash them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import davg, dsum, sql_davg, sql_dsum, t
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {sql_davg('value')} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/MIN/MAX/AVG (ksqlDB core aggregates, A4)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            davg("value").alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS orders_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT_DISTINCT (A4). The approximate variant
+    (approx_count_distinct, HLL) is benched separately — it cannot be
+    differentially checked against an exact oracle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count("*").alias("orders_cnt"),
+        )
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT_SET (A4), emitted as a sorted joined string so the value
+    is order-insensitive-hash stable across engines."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM (A4): fixed-width bucketing + count. value ∈ [0.01, ~500]."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 50).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_latest_earliest_by_offset",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS latest_type,
+           arg_min(event_type, event_id) AS earliest_type,
+           arg_max(value, event_id) AS latest_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_latest_earliest_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST_BY_OFFSET / EARLIEST_BY_OFFSET (A4) via max_by/min_by with
+    event_id as the offset (unique → deterministic)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("latest_type"),
+            F.min_by("event_type", "event_id").alias("earliest_type"),
+            F.max_by("value", "event_id").alias("latest_value"),
+        )
+    )
+
+
+@register(
+    "agg_topk_per_group",
+    oracle="""
+    SELECT event_type, rk, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+    """,
+)
+def agg_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPK(value, 3) per group (A4), emitted as ranked rows with a unique
+    tie-break instead of an array — deterministic under value ties.
+    Scale note: row_number over a window is a single shuffle; at 100 TB
+    this stays bounded because the rank filter cuts each partition to k
+    rows before any further operator."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS cnt,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — beyond the reference surface (ksqlDB has no
+    CUBE/ROLLUP, SURVEY.md §2.4 A9) but free via Catalyst; exposed as
+    engine capability."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )

@@ -1,0 +1,167 @@
+"""CDC-semantics queries over the ``events`` changelog table.
+
+``events`` (event_id, ts, user_id, event_type, value, props) doubles as a
+generic changelog (FIXTURES.md §4): key = user_id, apply order =
+(ts, event_id), delete = event_type 'error' (the op mapping is arbitrary
+but fixed). These queries exercise the engine's materialization core
+(cdc/materialize.py) — the reference sink-connector semantics of
+README.md:775-798 — in batch form so DuckDB can verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.cdc import decode_events, filter_source, unwrap
+from olr_cdc_oracle_no_dbz_spark.cdc.materialize import latest_state
+from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import sql_dsum, t
+
+KEY = ("user_id",)
+ORDER = ("ts", "event_id")
+
+_STATE_SQL = """
+    SELECT * FROM (
+        SELECT e.*, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+        FROM events e
+    ) WHERE __rn = 1
+"""
+
+
+def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_state(t(spark, sf_dir, "events"), KEY, ORDER)
+
+
+@register(
+    "cdc_current_state",
+    oracle=f"""
+    WITH state AS ({_STATE_SQL})
+    SELECT user_id,
+           event_type AS last_event_type,
+           value      AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM state WHERE event_type <> 'error'
+    """,
+)
+def cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert+delete materialization (SURVEY.md §2 A1/K2/K3, delete mode
+    'drop'): latest row per key, deleted keys removed."""
+    live = _state(spark, sf_dir).filter(F.col("event_type") != "error")
+    return live.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
+    "cdc_current_state_rewrite",
+    oracle=f"""
+    WITH state AS ({_STATE_SQL})
+    SELECT user_id,
+           event_type AS last_event_type,
+           value      AS last_value,
+           (event_type = 'error') AS __deleted
+    FROM state
+    """,
+)
+def cdc_current_state_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-handling 'rewrite' mode (reference README.md:795): deleted
+    keys stay, flagged ``__deleted=true``."""
+    return _state(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        (F.col("event_type") == "error").alias("__deleted"),
+    )
+
+
+@register(
+    "cdc_envelope_unwrap",
+    oracle="""
+    SELECT event_id AS scn,
+           CASE WHEN event_type = 'signup' THEN 'c'
+                WHEN event_type = 'error'  THEN 'd'
+                ELSE 'u' END AS op,
+           user_id, event_type, value,
+           (event_type = 'error') AS __deleted
+    FROM events
+    """,
+)
+def cdc_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full envelope round-trip through the engine's decode path
+    (SURVEY.md §2 P1/P2/P4/P6): build OLR-shaped JSON change messages,
+    ``from_json``-decode, source-filter on owner/table
+    (scripts/OpenLogReplicator.json:32-39), unwrap before/after images
+    (README.md:792-795 SMT). The oracle computes the same rows directly —
+    the JSON round-trip must be lossless."""
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    image = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("scn"),
+                F.lit(1).alias("seq"),
+                (F.unix_micros(F.col("ts"))).alias("tm"),
+                F.concat(F.lit("tx-"), F.col("event_id")).alias("xid"),
+                F.lit("ORCLPDB1").alias("db"),
+                op.alias("op"),
+                F.concat(F.lit("AAA"), F.col("event_id")).alias("rid"),
+                F.lit("OLR_DB").alias("schema_owner"),
+                F.lit("PRODUCT").alias("schema_table"),
+                F.when(op != "c", image).alias("before"),
+                F.when(op != "d", image).alias("after"),
+            )
+        ).alias("value")
+    )
+    row_schema = ev.select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type", "value"
+    ).schema
+    decoded = decode_events(raw, change_event_schema(row_schema))
+    filtered = filter_source(decoded, "OLR_DB", "PRODUCT")
+    flat = unwrap(filtered, mode="rewrite", meta_cols=("scn", "op"))
+    return flat.select("scn", "op", "user_id", "event_type", "value", "__deleted")
+
+
+@register(
+    "cdc_state_enriched",
+    oracle=f"""
+    WITH state AS ({_STATE_SQL}),
+    live AS (SELECT * FROM state WHERE event_type <> 'error')
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS users,
+           {sql_dsum('l.value')} AS total_value
+    FROM live l JOIN customer c ON l.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def cdc_state_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: materialized current state joined to a dimension and
+    aggregated — the reference's whole pipeline (capture → unwrap → LWW →
+    sink join) as one declarative plan. The dimension join is broadcast
+    (stream-table join J1); the only shuffles are the LWW key shuffle and
+    the final small aggregation."""
+    from olr_cdc_oracle_no_dbz_spark.workload.util import dsum
+
+    live = _state(spark, sf_dir).filter(F.col("event_type") != "error")
+    cust = t(spark, sf_dir, "customer")
+    joined = live.join(
+        F.broadcast(cust), live["user_id"] == cust["c_custkey"], "inner"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("users"),
+        dsum("value").alias("total_value"),
+    )
