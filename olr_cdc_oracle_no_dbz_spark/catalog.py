@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.schemas import TESTDATA_TABLES
 
@@ -20,10 +21,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Scale-note: at 100 TB these become
-    partitioned/bucketed external tables; the call site stays identical."""
+    partitioned/bucketed external tables; the call site stays identical.
+
+    Nanosecond timestamps: the driver's ``events.parquet`` stores ``ts``
+    as INT64 TIMESTAMP(NANOS), which Spark's vectorized parquet reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as raw longs
+    (runtime conf, safe for every other table — it only affects NANOS
+    columns) and truncate to microsecond timestamps with exact integer
+    division, matching DuckDB's own ns→µs truncation bit-for-bit.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -34,6 +34,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
+    # and convert in catalog.load_table (exact ns→µs truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     # Streaming state: RocksDB scales to per-key state far beyond heap
     # (the ksqlDB state-store role, docker-compose-main.yml:112-131).

@@ -95,10 +95,15 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Distributed top-N: orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 10-row tops), so no partition
+    # ever holds more than its own rows — survives 100× scale, unlike a
+    # global unpartitioned row_number window. The rank is then recomputed
+    # over the surviving 10 rows only (trivially single-partition).
+    top = agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             "o_orderkey",
             "revenue",
