@@ -1,0 +1,179 @@
+"""Join surface (SURVEY.md §2.5 J2/J3 + free Spark variants J4) — the
+ksqlDB join catalog (stream-stream WITHIN, table-table outer;
+docker-compose-main.yml:112-131) in batch form, plus the semi/anti and
+as-of joins a Spark engine gets for free.
+
+Every join here keeps an equi component so Catalyst picks hash/sort-merge
+strategies (range predicates become post-join filters on the matched
+key-pairs) — no nested-loop cartesian anywhere. Dimension-sized sides are
+left to AQE to broadcast at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import t
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT a.event_id AS signup_id,
+           b.event_id AS next_id,
+           a.user_id,
+           b.event_type AS next_type,
+           b.value AS next_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '30 minutes'
+    WHERE a.event_type = 'signup'
+      AND b.event_type IN ('purchase', 'click')
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (J2, ksqlDB ``WITHIN 30 MINUTES``)
+    batch analog: signup followed by purchase/click of the same user
+    within 30 minutes. Equi key (user_id) drives the shuffle; the time
+    bound is a post-join range filter — under streaming the identical
+    predicate plus watermarks bounds both state stores
+    (streaming/jobs.py wires that form)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").alias("a")
+    b = ev.filter(F.col("event_type").isin("purchase", "click")).alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("signup_id"),
+        F.col("b.event_id").alias("next_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("b.event_type").alias("next_type"),
+        F.col("b.value").alias("next_value"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH big_buyers AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+    )
+    SELECT COALESCE(c.c_custkey, b.o_custkey) AS custkey,
+           c.c_mktsegment AS segment,
+           COALESCE(b.n_orders, 0) AS n_orders,
+           (c.c_custkey IS NOT NULL) AS has_customer,
+           (b.o_custkey IS NOT NULL) AS is_big_buyer
+    FROM customer c
+    FULL OUTER JOIN big_buyers b ON c.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-table FULL OUTER equi-join (J3): all customers vs the
+    heavy-buyer aggregate, null-extended on both sides."""
+    c = t(spark, sf_dir, "customer")
+    b = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 5)
+    )
+    j = c.join(b, c["c_custkey"] == b["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.col("o_custkey").isNotNull().alias("is_big_buyer"),
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J4, free in Spark): customers with ≥1 order in
+    1995 — semi form never duplicates or widens the left side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J4): customers with no order in 1995 (the
+    complement of join_left_semi, so both sides are non-empty)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           last(e.value ORDER BY e.ts, e.event_id)  AS last_event_value,
+           strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS last_event_ts,
+           (count(e.event_id) > 0)                  AS matched
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J4 / SURVEY.md §2.5): each order picks the most recent
+    event of its customer at-or-before the order date. Composed from
+    existing operators — equi+range join then max_by — so it stays a
+    shuffled hash join plus one aggregation. Ties on ts break by
+    event_id (unique) for determinism."""
+    o = t(spark, sf_dir, "orders")
+    ev = t(spark, sf_dir, "events")
+    j = o.join(
+        ev,
+        (ev["user_id"] == o["o_custkey"]) & (ev["ts"] <= o["o_orderdate"]),
+        "left",
+    )
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_event_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"),
+        (F.count("event_id") > 0).alias("matched"),
+    )

@@ -1,0 +1,223 @@
+"""Windowed aggregation + analytic-window surface (SURVEY.md §2 A5-A8,
+W2) — the ksqlDB `WINDOW TUMBLING/HOPPING/SESSION` differentiator
+(docker-compose-main.yml:112-131) expressed batch-first so DuckDB can
+verify the exact same semantics the streaming layer reuses
+(streaming/ wires the identical expressions behind readStream +
+withWatermark).
+
+Scale notes: every windowed agg here is a single hash-shuffle on
+(window, key) with map-side partial aggregation; the session window is
+Spark's native `session_window` (state-store backed under streaming);
+the global top-N compiles to TakeOrderedAndProject (no global sort, no
+single-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import dsum, sql_dsum, t
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DFMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_DFMT}') AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg (A5): ``window(ts, '1 hour')``. Spark's
+    windows are epoch-aligned, identical to date_trunc('hour')."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_hopping",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                    - TO_MINUTES(o * 30), '{_DFMT}') AS window_start,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(o)
+    GROUP BY 1
+    """,
+)
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window agg (A6): size 1h, advance 30m — every event lands
+    in exactly two windows. The oracle replays the same assignment with
+    an explicit 2-row offset join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_session",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_DFMT}') AS session_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window agg (A7): native ``session_window(ts, '30 minutes')``
+    — events merge while the gap is < 30 min. The oracle rebuilds the
+    same sessions with the lag-based islands technique (new session at
+    gap >= 30 min, matching Spark's strict-overlap merge rule)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _FMT).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_rank_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w2 AS rn,
+           rank()       OVER w1 AS rk,
+           dense_rank() OVER w1 AS drk,
+           lag(o_totalprice)  OVER w2 AS prev_price,
+           lead(o_totalprice) OVER w2 AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (W2): row_number/rank/dense_rank/lag/
+    lead + an explicit ROWS frame running sum, per-customer. Bounded
+    per-key partitions → single shuffle, no scale hazard."""
+    o = t(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w2).alias("rn"),
+        F.rank().over(w1).alias("rk"),
+        F.dense_rank().over(w1).alias("drk"),
+        F.lag("o_totalprice").over(w2).alias("prev_price"),
+        F.lead("o_totalprice").over(w2).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "window_set_ops",
+    oracle="""
+    WITH b95 AS (SELECT DISTINCT o_custkey AS ck FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+         b96 AS (SELECT DISTINCT o_custkey AS ck FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'only_95' AS tag, ck FROM (SELECT ck FROM b95 EXCEPT SELECT ck FROM b96)
+    UNION ALL
+    SELECT 'both' AS tag, ck FROM (SELECT ck FROM b95 INTERSECT SELECT ck FROM b96)
+    UNION ALL
+    SELECT 'any' AS tag, ck FROM (SELECT ck FROM b95 UNION SELECT ck FROM b96)
+    """,
+)
+def window_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (W2): EXCEPT / INTERSECT / UNION (distinct
+    semantics) over yearly buyer sets, each branch tagged."""
+    o = t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+
+    b95, b96 = buyers(1995), buyers(1996)
+    return (
+        b95.subtract(b96).select(F.lit("only_95").alias("tag"), "ck")
+        .unionAll(b95.intersect(b96).select(F.lit("both").alias("tag"), "ck"))
+        .unionAll(b95.union(b96).distinct().select(F.lit("any").alias("tag"), "ck"))
+    )
+
+
+@register(
+    "window_global_topn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def window_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT top-N (W2) via TakeOrderedAndProject:
+    per-partition heaps + a 20-row driver merge — the scale-safe global
+    top-N (contrast: an unpartitioned row_number window is a
+    single-task funnel). Unique o_orderkey tie-break keeps the cut
+    deterministic under price ties."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
