@@ -1,0 +1,781 @@
+"""[ext] LLM-data-pipeline operators (SURVEY.md §2.10; BASELINE.json
+north star) over the ``documents`` / ``embeddings`` tables: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + LSH-bucketed top-k), and text analysis.
+
+Scale design (the whole point — none of these may go all-pairs):
+- MinHash-LSH: shingle → 16 md5-minhashes → 4 bands; candidate pairs
+  come from a ``groupBy(band_hash)`` self-join, so cost is driven by
+  band-bucket sizes, not N². Verification jaccard runs only on
+  candidates.
+- SimHash: banded on the two signature halves — a pair is a candidate
+  only if one 8-bit half collides (guarantees hamming ≤ 8 screening).
+- Embedding near-dup / LSH top-k: candidates share a sign-bucket
+  (8 hyperplane signs) — a degenerate but deterministic LSH family;
+  only in-bucket pairs get a cosine.
+- Brute-force top-k: the *query set* is broadcast (k×N, never N²).
+
+Cross-engine determinism: every hash is md5 (identical everywhere);
+cosine/jaccard use exact-decimal dot products (order-independent) with
+IEEE sqrt/division, so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import t
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")  # hex digits with MSB set
+
+
+def _shingle_expr(k: int) -> str:
+    """SQL expr: distinct k-word shingles of pre-split array column w."""
+    parts = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(k))
+    return (
+        f"array_distinct(transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> concat({parts})))"
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, s): distinct k-shingles per document. Guard against
+    short docs — Spark's sequence(1, n) runs DESCENDING for n < 1."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    sh = F.when(F.size("w") >= k, F.expr(_shingle_expr(k))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select("doc_id", F.explode(sh).alias("s"))
+
+
+def _sql_shingles(k: int) -> str:
+    """DuckDB CTE body mirroring _shingles (generate_series is empty for
+    n < 1, so no guard needed)."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+    return f"""
+    SELECT DISTINCT doc_id, {parts} AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         LATERAL unnest(generate_series(1, len(ws) - {k - 1})) AS u(i)
+    """
+
+
+_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))), "
+    "CAST(0 AS DECIMAL(30,15)), (acc, v) -> CAST(acc + v AS DECIMAL(30,15))"
+    ") AS DOUBLE)"
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Order-independent (exact-decimal) dot product of two float arrays,
+    returned as double — bit-identical across engines because decimal
+    addition is associative/commutative (unlike float)."""
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_aggregate(list_transform(generate_series(1, len({a})), i -> "
+        f"CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(30,15))"
+        f"), 'sum') AS DOUBLE)"
+    )
+
+
+_SIGN_BUCKET = "concat_ws('', transform(slice({v}, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+_SQL_SIGN_BUCKET = (
+    "array_to_string(list_transform({v}[1:8], "
+    "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep the lowest doc_id per
+    hash. One shuffle on the hash; at 100 TB the md5 keys distribute
+    uniformly so no skew by construction."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = 4  # 16 permutations total
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5(s || ':{i}')) AS mh{i}" for i in range(16))}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band_hash "
+            f"FROM mh"
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard,
+           (CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)) >= 0.8
+               AS is_dup
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a_id
+    JOIN sizes zb ON zb.doc_id = i.b_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup (SURVEY.md §2.10): 3-word shingles
+    → 16 md5-minhash permutations → 4 bands of 4 → candidate pairs from
+    a band-hash self-join (never all-pairs) → exact jaccard verify on
+    candidates only. For the planted j≈0.98 dups, band recall is
+    1-(1-j⁴)⁴ ≈ 0.9996."""
+    sh = _shingles(spark, sf_dir, 3)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")).cast("binary"))).alias(
+                f"mh{i}"
+            )
+            for i in range(16)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
+        for b in range(_MINHASH_BANDS)
+    )
+    bands = mh.selectExpr(
+        "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("b_id")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("a_id"))
+        .join(zb, F.col("zb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            jac.alias("jaccard"),
+            (jac >= 0.8).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(5)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a_id
+    JOIN sizes zb ON zb.doc_id = i.b_id
+    WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup via inverted shingle index: 5-word
+    shingles are selective enough (measured: 37 candidate pairs over
+    500 docs vs 11.5k for 3-grams) that the shingle-equality self-join
+    IS the blocking step — the jaccard only materializes for pairs that
+    share a rare shingle."""
+    sh = _shingles(spark, sf_dir, 5)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("a_id"))
+        .join(zb, F.col("zb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _simhash_sql() -> str:
+    """DuckDB half of the 16-bit simhash signature: bit j is the sign of
+    the count-weighted sum of the j-th md5-nibble MSB over tokens.
+    Pure string — safe to evaluate at import time (no SparkContext)."""
+    in_list = ", ".join(f"'{c}'" for c in _HEX_HI)
+    return ", ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({in_list}) "
+        f"THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(16)
+    )
+
+
+def _simhash_cols() -> list[F.Column]:
+    """Spark half of the simhash signature — built lazily inside the
+    query fn (Column construction needs an active SparkContext)."""
+    cols = []
+    for j in range(16):
+        hexdig = F.substring(F.col("h"), j + 1, 1)
+        contrib = F.when(hexdig.isin(*_HEX_HI), F.col("cnt")).otherwise(-F.col("cnt"))
+        cols.append(F.sum(contrib).alias(f"s{j}"))
+    return cols
+
+
+_SIG_CONCAT = "concat(" + ", ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+) + ")"
+_SQL_SIG_CONCAT = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+_HAMMING = (
+    "aggregate(transform(sequence(1, 16), i -> CASE WHEN "
+    "substring(x.sig, i, 1) = substring(y.sig, i, 1) THEN 0 ELSE 1 END), "
+    "0, (acc, v) -> acc + v)"
+)
+_SQL_HAMMING = (
+    "list_aggregate(list_transform(generate_series(1, 16), i -> CASE WHEN "
+    "substr(x.sig, i, 1) = substr(y.sig, i, 1) THEN 0 ELSE 1 END), 'sum')"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, md5(tk) AS h, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents)
+        GROUP BY doc_id, md5(tk)
+    ),
+    sums AS (SELECT doc_id, {_simhash_sql()} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SQL_SIG_CONCAT} AS sig FROM sums),
+    halves AS (
+        SELECT doc_id, sig, 0 AS half_idx, substr(sig, 1, 8) AS half FROM sig
+        UNION ALL
+        SELECT doc_id, sig, 1 AS half_idx, substr(sig, 9, 8) AS half FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, x.sig AS xsig,
+                        y.doc_id AS b_id, y.sig AS ysig
+        FROM halves x JOIN halves y
+          ON x.half_idx = y.half_idx AND x.half = y.half
+         AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id, {_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} AS hamming
+    FROM cand
+    WHERE {_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit count-weighted signature from token md5
+    bits; candidates must collide on one of the two 8-bit halves
+    (pigeonhole ⇒ every hamming ≤ 1 pair is caught, most hamming ≤ 3
+    are); report candidate pairs with hamming ≤ 3. Banding keeps the
+    self-join keyed — no all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("doc_id", F.md5(F.col("tk").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    sums = tok.groupBy("doc_id").agg(*_simhash_cols())
+    sig = sums.selectExpr("doc_id", f"{_SIG_CONCAT} AS sig")
+    halves = sig.selectExpr(
+        "doc_id",
+        "sig",
+        "stack(2, 0, substring(sig, 1, 8), 1, substring(sig, 9, 8)) "
+        "AS (half_idx, half)",
+    )
+    x, y = halves.alias("x"), halves.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.half_idx") == F.col("y.half_idx"))
+            & (F.col("x.half") == F.col("y.half"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("x.sig").alias("xsig"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("y.sig").alias("ysig"),
+        )
+        .distinct()
+    )
+    ham = F.expr(_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig"))
+    return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                AS DECIMAL(16,12)) AS cos_sim,
+           CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                AS DECIMAL(16,12)) >= CAST(0.4 AS DECIMAL(16,12)) AS is_near
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with sign-bucket LSH blocking: vectors only
+    compare within their 8-hyperplane-sign bucket (256 buckets ⇒ the
+    join touches ~N²/256 pairs, and in general N·bucket_size). Emits
+    every in-bucket pair with its exact-decimal cosine + near flag
+    (threshold 0.4 — the synthetic table has no cos > 0.52 pair, so a
+    high threshold would make the check vacuous)."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
+            _dot("embedding", "embedding").alias("nsq"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    # cos is emitted as DECIMAL(16,12): the exact-decimal dot product is
+    # engine-identical, but DuckDB's DECIMAL→DOUBLE cast is not correctly
+    # rounded, so raw doubles can differ in the last ulp — rounding to 12
+    # decimal places absorbs that deterministically.
+    cos = (
+        _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
+    ).cast("decimal(16,12)")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        cos.alias("cos_sim"),
+        (cos >= F.lit("0.4").cast("decimal(16,12)")).alias("is_near"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,12)) AS cos_sim
+        FROM q JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the small query set is broadcast
+    against the full vector table (k×N work, never N×N), then a
+    per-query window keeps the top 10. The 100 TB shape: broadcast
+    queries, partition candidates — embarrassingly parallel."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+    )
+    # DECIMAL(16,12) cosine: absorbs DuckDB's non-correctly-rounded
+    # DECIMAL→DOUBLE cast so ranks + hashes match bit-for-bit.
+    cos = (
+        _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
+    ).cast("decimal(16,12)")
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 50),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,12)) AS cos_sim
+        FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path): candidates are
+    only the query's own sign-bucket — an equi-join on bucket hash, so
+    cost scales with bucket size, not table size. (An IVF variant would
+    swap the bucket fn for nearest-centroid; the join shape is
+    identical.)"""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+        F.col("nsq").alias("qnsq"),
+    )
+    cos = (
+        _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
+    ).cast("decimal(16,12)")
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS n_stop,
+               list_contains(string_split(text, ' '), 'dup') AS has_dup_marker
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_words, has_dup_marker,
+           CAST(n_chars - n_words + 1 AS DOUBLE) / n_words AS avg_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           (n_words >= 30 AND CAST(n_stop AS DOUBLE) / n_words < 0.2)
+               AS passes_quality,
+           CASE WHEN n_stop >= 3 THEN 'en' ELSE 'other' END AS lang_guess
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language ID (SURVEY.md §2.10 text
+    analysis): length/stopword ratios, a min-length gate, and a
+    stopword-count language guess — all single-pass map-side
+    expressions, no shuffle at all."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size("w")
+    n_stop = F.size(F.array_intersect("w", stop_arr).cast("array<string>"))
+    # array_intersect dedups — count multiplicity with filter instead
+    n_stop = F.size(F.filter("w", lambda x: x.isin(*_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_words
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.array_contains("w", "dup").alias("has_dup_marker"),
+        ((F.col("n_chars") - n_words + 1).cast("double") / n_words).alias(
+            "avg_word_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_words >= 30) & (stop_ratio < 0.2)).alias("passes_quality"),
+        F.when(n_stop >= 3, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           MIN(md5(tk)) AS min_token_hash
+    FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(tk)
+    GROUP BY doc_id, text
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + regex tokenizer) and document
+    fingerprinting: md5 of the sorted distinct token set (the
+    'key-collision' fingerprint used for canopy clustering) plus the
+    1-permutation minhash."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size("w").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
+            "n_re_tokens"
+        ),
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct("w"))).cast("binary")
+        ).alias("fingerprint"),
+        F.expr(
+            "array_min(transform(w, x -> md5(cast(x AS binary))))"
+        ).alias("min_token_hash"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, tk AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+              FROM documents)
+        GROUP BY doc_id, tk
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT * FROM (
+        SELECT tok.doc_id, tok.term,
+               CAST(tok.tf * n.n_docs AS DOUBLE) / df.df AS tfidf_score,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY CAST(tok.tf * n.n_docs AS DOUBLE) / df.df DESC,
+                                           tok.term) AS rk
+        FROM tok JOIN df ON df.term = tok.term CROSS JOIN n
+    ) WHERE rk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-5 terms per document. The idf uses the raw N/df ratio
+    (not ln) so both engines compute exact IEEE arithmetic on integers —
+    the ranking is identical to log-idf since log is monotone. df is a
+    broadcast-sized dimension (vocabulary), so the join never shuffles
+    the token table."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale this is a cheap metadata count
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tok.groupBy("term").agg(F.count("*").alias("df"))
+    score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_score").desc(), "term"
+    )
+    return (
+        tok.join(F.broadcast(df), "term")
+        .select("doc_id", "term", score.alias("tfidf_score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tfidf_score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(CAST(substring(text, 1, 4) AS BLOB)) AS head_hex,
+           source AS media_source
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, metadata path: treat content as an opaque
+    binary column (here: utf-8 of text standing in for image/audio
+    bytes, since the testdata ships no binary table) with typed
+    metadata alongside — byte length, content hash, magic-byte prefix.
+    All JVM-side; the decode path is multimodal_features."""
+    d = t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.hex(F.substring("text", 1, 4).cast("binary")).alias("head_hex"),
+        F.col("source").alias("media_source"),
+    )
+
+
+def _fake_decode_batches(batches):
+    """Deterministic stand-in for an image/audio decoder (the real codec
+    libraries are not in this container — SURVEY.md §2.10 mandates the
+    Spark-side plumbing be real and the decode stubbed). Derives fake
+    width/height/duration from the first bytes, like a header parse."""
+    for pdf in batches:
+        raw = pdf["content"]
+        out = pdf[["doc_id"]].copy()
+        out["n_bytes"] = raw.str.len()
+        out["fake_width"] = raw.str[0:1].apply(
+            lambda b: (b[0] % 64) + 1 if len(b) else 0
+        )
+        out["fake_height"] = raw.str[1:2].apply(
+            lambda b: (b[0] % 48) + 1 if len(b) else 0
+        )
+        out["checksum"] = raw.apply(lambda b: int(sum(b[:16])))
+        yield out
+
+
+@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: binary column → Arrow batches →
+    ``mapInPandas`` feature extraction (fake decoder, real plumbing:
+    schema contract, batch iteration, partition preservation). The
+    100 TB shape: decode is per-row CPU work with no shuffle — scales
+    linearly with executors; batch size governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.col("text").cast("binary").alias("content"))
+    return binary_df.mapInPandas(
+        _fake_decode_batches,
+        schema="doc_id long, n_bytes long, fake_width long, fake_height long, "
+        "checksum long",
+    )
