@@ -1,0 +1,82 @@
+"""Checkpointed foreachBatch materializer — the whole reference pipeline
+as one streaming query (SURVEY.md §3.2's Spark equivalent).
+
+readStream(change feed) → decode → owner/table filter → unwrap →
+foreachBatch{ merge into bucketed state } with a checkpoint directory
+(ST1 continuous processing, ST2 checkpointed resume, ST3 idempotent
+redelivery via the merge's SCN guard, ST4 maxFilesPerTrigger
+backpressure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from olr_cdc_oracle_no_dbz_spark.cdc.decode import filter_source, unwrap
+from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
+from olr_cdc_oracle_no_dbz_spark.streaming.source import read_change_stream
+from olr_cdc_oracle_no_dbz_spark.streaming.state import ParquetStateTable
+
+
+def materialize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state: ParquetStateTable,
+    checkpoint_dir: str,
+    owner: str = "OLR_DB",
+    table: str = "PRODUCT",
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """Start the CDC materialization stream; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``source_dir``
+    then stops (the test/replay mode); ``False`` runs continuously like
+    the reference pipeline. Restarting with the same ``checkpoint_dir``
+    resumes from the last committed batch (OLR checkpoint analog,
+    docker-compose-olr.yml:56).
+    """
+
+    def _apply(batch_df, batch_id: int) -> None:
+        ev = filter_source(
+            batch_df.filter(F.col("_corrupt").isNull()), owner, table
+        )
+        delta = unwrap(ev, mode="rewrite")
+        if delta.isEmpty():
+            return
+        state.merge_batch(delta)
+
+    writer = (
+        read_change_stream(spark, source_dir, schema, max_files_per_trigger)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """Monitoring surface (ST7) — the Kafka-UI/Connect-REST-status analog
+    (docker-compose-main.yml:204-235, README.md:863-868): one flat dict
+    of the metrics an operator watches."""
+    p = query.lastProgress or {}
+    return {
+        "id": str(query.id),
+        "is_active": query.isActive,
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+        "state_rows": sum(
+            (op.get("numRowsTotal") or 0) for op in p.get("stateOperators") or []
+        ),
+        "status": query.status.get("message"),
+    }

@@ -1,0 +1,111 @@
+"""Streaming change-feed sources and sinks (SURVEY.md §2.1 S1/S3/S4, §2.2 K1).
+
+The file source simulates OpenLogReplicator's continuous emission (one
+JSON-lines file per transaction dropped into a watched directory —
+BASELINE "Structured Streaming CDC ingestion"; OLR checkpoint analog
+docker-compose-olr.yml:56). The Kafka wrappers mirror the reference's
+producer/consumer endpoints (scripts/OpenLogReplicator.json:46-52,
+docker-compose-main.yml:119) behind the same decode path; they are
+config-gated so nothing here requires a broker at test time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olr_cdc_oracle_no_dbz_spark.cdc.decode import decode_events
+from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
+
+
+def read_change_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream change-feed source (S1/S4): watch ``path`` for
+    JSON-lines files, decode each line into the typed envelope.
+
+    ``max_files_per_trigger`` is the backpressure bound (ST4) — the
+    Spark analog of OLR's transaction-buffer cap
+    (scripts/OpenLogReplicator.json:28-31: memory min/max-mb).
+    Corrupt lines survive in ``_corrupt`` instead of failing the stream.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return decode_events(reader.load(path), schema)
+
+
+def read_kafka_change_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka consumer source (S3): subscribe to the change topic
+    (reference topic ``oracle.olr.OLR_DB.PRODUCT``,
+    scripts/OpenLogReplicator.json:48) and decode values.
+
+    Requires the spark-sql-kafka connector on the classpath; the decode
+    path is identical to the file source, so every downstream operator
+    is source-agnostic.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load().select(
+        F.col("key").cast("string").alias("_key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return decode_events(raw, schema)
+
+
+def encode_events(df: DataFrame, key_col: str = "id") -> DataFrame:
+    """Kafka producer framing (K1 + P3): key = string PK (``pk.mode:
+    record_key, pk.fields: ID``, reference README.md:789-790), value =
+    the full envelope as one JSON document.
+
+    ``from_json(encode_events(df).value) == df`` round-trips (tested),
+    which is the engine's serde contract (P6).
+    """
+    value_cols = [c for c in df.columns if not c.startswith("_")]
+    key = (
+        F.col(key_col)
+        if key_col in df.columns
+        else F.coalesce(F.col(f"after.{key_col}"), F.col(f"before.{key_col}"))
+    )
+    return df.select(
+        key.cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
+    )
+
+
+def write_kafka_changelog(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "id",
+):
+    """Kafka producer sink (K1): stream the encoded changelog to a topic
+    (reference: OLR's writer target, scripts/OpenLogReplicator.json:42-53).
+    Returns the started StreamingQuery.
+    """
+    return (
+        encode_events(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,128 @@
+"""Bucketed parquet current-state store with partition-pruned merge.
+
+The reference sink materializes "latest row per PK" into Postgres via
+batched upserts (README.md:780-798). At 100 TB of state, the naive Spark
+analog — union the whole state with each delta and re-window — rewrites
+the world per batch. This store fixes that:
+
+- State lives as parquet hash-partitioned by ``bucket_id =
+  pmod(xxhash64(key), n_buckets)`` (NOT underscore-prefixed: Hadoop's
+  hidden-path filter would skip ``_*`` partition directories on read).
+- A merge reads ONLY the buckets the delta touches (partition pruning on
+  the directory layout) and dynamically overwrites only those buckets.
+- Per-batch cost is O(|delta| + touched_buckets * bucket_size), not
+  O(|state|). With n_buckets sized so a bucket fits an executor
+  (e.g. 100 TB / 65536 buckets ≈ 1.6 GB), a small delta touches a small
+  fraction of state.
+
+On Delta/Iceberg this class collapses to ``MERGE INTO`` with the same
+key clustering; the interface is storage-agnostic on purpose.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.cdc.materialize import (
+    DEFAULT_ORDER,
+    latest_state,
+    merge_into_state,
+    publish,
+)
+
+_BUCKET = "bucket_id"
+
+
+class ParquetStateTable:
+    """Keyed current-state table backed by bucketed parquet.
+
+    Plays the reference sink-table role (``products`` in Postgres,
+    README.md:791) including auto-creation on first write (``auto.create:
+    true``, README.md:786) and column-superset schema evolution
+    (``auto.evolve: true``, README.md:787 — via parquet mergeSchema).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] = ("id",),
+        order_cols: tuple[str, ...] = DEFAULT_ORDER,
+        n_buckets: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.key_cols = tuple(key_cols)
+        self.order_cols = tuple(order_cols)
+        self.n_buckets = n_buckets
+
+    # -- storage ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.data_dir) and any(
+            e.startswith(f"{_BUCKET}=") for e in os.listdir(self.data_dir)
+        )
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def read_internal(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Internal state (tombstones + (scn, seq) watermark retained).
+        ``buckets`` prunes the scan to those partitions only."""
+        if not self.exists():
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.data_dir)
+        if buckets is not None:
+            df = df.filter(F.col(_BUCKET).isin(buckets))
+        return df
+
+    # -- merge ------------------------------------------------------------
+
+    def merge_batch(self, delta: DataFrame) -> None:
+        """Apply one changelog batch: LWW-compact the delta, merge into
+        the touched buckets only, dynamically overwrite those buckets.
+
+        Safe under redelivery: ``merge_into_state``'s (scn, seq) guard
+        makes re-applying a batch a no-op, so ``foreachBatch`` retries
+        after a crash are idempotent (ST3; reference relies on upsert
+        idempotence the same way, README.md:788-790).
+        """
+        compacted = latest_state(delta, self.key_cols, self.order_cols).withColumn(
+            _BUCKET, self._bucket_col()
+        )
+        if not self.exists():
+            merged = compacted
+        else:
+            # touched-bucket list is ≤ n_buckets ints — a bounded collect
+            touched = [
+                r[0] for r in compacted.select(_BUCKET).distinct().collect()
+            ]
+            state = self.read_internal(buckets=touched)
+            merged = merge_into_state(
+                state, compacted, self.key_cols, self.order_cols
+            ).withColumn(_BUCKET, self._bucket_col())
+        # Materialize before overwriting the partitions we just read
+        # (lazy plans must not scan files the write is replacing).
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self.data_dir)
+        )
+
+    # -- queries ----------------------------------------------------------
+
+    def current(self, delete_mode: str = "drop") -> DataFrame:
+        """User-visible sink table (K3 delete modes: 'drop' removes
+        deleted keys, 'rewrite' keeps ``__deleted=true`` rows)."""
+        state = self.read_internal()
+        if state is None:
+            raise FileNotFoundError(f"state table {self.path} not created yet")
+        return publish(state.drop(_BUCKET), delete_mode, self.order_cols)

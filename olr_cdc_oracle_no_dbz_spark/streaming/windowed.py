@@ -1,0 +1,80 @@
+"""Watermarked windowed aggregation (SURVEY.md §2 A5-A8, ST5).
+
+The ksqlDB windowing surface — ``WINDOW TUMBLING/HOPPING/SESSION`` with
+``GRACE PERIOD`` (docker-compose-main.yml:112-131) — as thin helpers
+over Spark's native ``window``/``session_window``/``withWatermark``.
+They accept batch OR streaming DataFrames: the same plan is the batch
+analog the DuckDB harness checks (workload/windows.py) and the streaming
+query the golden-fixture tests run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    ts_col: str,
+    watermark: str | None,
+    keys: tuple[str, ...],
+    aggs: tuple[Column, ...],
+) -> DataFrame:
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    out_aggs = aggs or (F.count("*").alias("n_events"),)
+    grouped = df.groupBy(window_col.alias("win"), *keys).agg(*out_aggs)
+    agg_names = [c for c in grouped.columns if c != "win" and c not in keys]
+    return grouped.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        *agg_names,
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    watermark: str | None = None,
+    keys: tuple[str, ...] = (),
+    aggs: tuple[Column, ...] = (),
+) -> DataFrame:
+    """``WINDOW TUMBLING (SIZE size)`` (A5): non-overlapping fixed windows.
+    ``watermark`` is the GRACE PERIOD analog (A8) — events later than it
+    are dropped in streaming mode."""
+    return _windowed(df, F.window(ts_col, size), ts_col, watermark, keys, aggs)
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    watermark: str | None = None,
+    keys: tuple[str, ...] = (),
+    aggs: tuple[Column, ...] = (),
+) -> DataFrame:
+    """``WINDOW HOPPING (SIZE size, ADVANCE BY slide)`` (A6): overlapping
+    windows — each event lands in size/slide windows."""
+    return _windowed(
+        df, F.window(ts_col, size, slide), ts_col, watermark, keys, aggs
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark: str | None = None,
+    keys: tuple[str, ...] = (),
+    aggs: tuple[Column, ...] = (),
+) -> DataFrame:
+    """``WINDOW SESSION (gap)`` (A7): dynamic windows that extend while
+    events arrive within ``gap`` of each other."""
+    return _windowed(
+        df, F.session_window(ts_col, gap), ts_col, watermark, keys, aggs
+    )

@@ -1,0 +1,260 @@
+"""Golden-fixture tests for the Structured Streaming CDC pipeline
+(SURVEY.md §5 / §7 M4; reference protocol README.md:806-822).
+
+Each test drops JSON-lines transaction files into a watched directory,
+drains the stream with availableNow, and asserts the materialized state
+— including checkpointed restart, duplicate + out-of-order redelivery,
+and watermark-dropped late data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.streaming import (
+    ParquetStateTable,
+    materialize_stream,
+    progress_summary,
+    tumbling_agg,
+)
+from tests.conftest import event, product_row, write_tx_file
+
+
+def _run(spark, src, state, ckpt, **kw):
+    q = materialize_stream(spark, src, state, ckpt, **kw)
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def test_insert_update_delete_final_state(spark, tmp_path):
+    """The reference's own verification protocol: after insert → update
+    → delete of id=1 (plus a surviving id=2), drop-mode state has only
+    id=2 and rewrite-mode keeps id=1 as a tombstone."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    r1 = product_row(1, "Test Product", "99.99", 10)
+    r2 = product_row(2, "Other", "5.00", 3)
+    write_tx_file(src, "tx1.json", [event(100, "c", after=r1)])
+    write_tx_file(src, "tx2.json", [event(101, "c", after=r2)])
+    r1b = dict(r1, price=149.99)
+    write_tx_file(src, "tx3.json", [event(200, "u", before=r1, after=r1b)])
+    write_tx_file(src, "tx4.json", [event(300, "d", before=r1b)])
+    _run(spark, src, state, ckpt)
+
+    dropped = _rows(state.current("drop"))
+    assert set(dropped) == {2}
+    assert str(dropped[2]["price"]) == "5.00"
+
+    rewrite = _rows(state.current("rewrite"))
+    assert set(rewrite) == {1, 2}
+    assert rewrite[1]["__deleted"] is True
+    assert str(rewrite[1]["price"]) == "149.99"  # final before-image
+    assert rewrite[2]["__deleted"] is False
+
+
+def test_checkpoint_restart_resumes_not_reapplies(spark, tmp_path):
+    """ST2: a restart with the same checkpoint picks up only new files;
+    a restart with no new files changes nothing."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    write_tx_file(src, "tx1.json", [event(100, "c", after=product_row(1, "A"))])
+    _run(spark, src, state, ckpt)
+    assert set(_rows(state.current())) == {1}
+
+    write_tx_file(
+        src,
+        "tx2.json",
+        [
+            event(
+                200,
+                "u",
+                before=product_row(1, "A"),
+                after=product_row(1, "A", "10.00", 7),
+            )
+        ],
+    )
+    write_tx_file(src, "tx3.json", [event(300, "c", after=product_row(2, "B"))])
+    _run(spark, src, state, ckpt)
+    cur = _rows(state.current())
+    assert set(cur) == {1, 2}
+    assert cur[1]["stock"] == 7
+
+    _run(spark, src, state, ckpt)  # third run, nothing new
+    assert _rows(state.current()) == cur
+
+
+def test_duplicate_and_out_of_order_redelivery(spark, tmp_path):
+    """ST3/A1: redelivering an old update after the delete must NOT
+    resurrect the key (tombstone + SCN guard); duplicate redelivery of
+    the insert is idempotent."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    r1 = product_row(1, "P1")
+    r2 = product_row(2, "P2")
+    upd = event(200, "u", before=r1, after=dict(r1, stock=9))
+    write_tx_file(src, "tx1.json", [event(100, "c", after=r1)])
+    write_tx_file(src, "tx2.json", [event(110, "c", after=r2)])
+    write_tx_file(src, "tx3.json", [upd])
+    write_tx_file(src, "tx4.json", [event(300, "d", before=dict(r1, stock=9))])
+    _run(spark, src, state, ckpt)
+    assert set(_rows(state.current())) == {2}
+
+    # out-of-order redelivery of the update, then a duplicate insert
+    write_tx_file(src, "tx5_redeliver.json", [upd])
+    write_tx_file(src, "tx6_dup.json", [event(110, "c", after=r2)])
+    _run(spark, src, state, ckpt)
+    cur = _rows(state.current())
+    assert set(cur) == {2}  # id=1 stays deleted
+    assert cur[2]["stock"] == 0
+    rewrite = _rows(state.current("rewrite"))
+    assert rewrite[1]["__deleted"] is True
+
+
+def test_corrupt_lines_and_foreign_tables_skipped(spark, tmp_path):
+    """Corrupt JSON lands in _corrupt (stream survives); events for
+    non-allowlisted owner/table are filtered out (P1)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    write_tx_file(
+        src,
+        "tx1.json",
+        [
+            event(100, "c", after=product_row(1, "Keep")),
+            "{this is not json",
+            event(101, "c", after=product_row(9, "Drop"), owner="OTHER"),
+            event(102, "c", after=product_row(8, "Drop"), table="T2"),
+        ],
+    )
+    _run(spark, src, state, ckpt)
+    assert set(_rows(state.current())) == {1}
+
+
+def test_begin_commit_markers_dropped(spark, tmp_path):
+    """message:2 begin/commit markers carry no row image and must not
+    reach the state table (A2 surface)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    write_tx_file(
+        src,
+        "tx1.json",
+        [
+            event(100, "begin", xid="x1"),
+            event(100, "c", after=product_row(1, "A"), seq=2, xid="x1"),
+            event(100, "commit", seq=3, xid="x1"),
+        ],
+    )
+    _run(spark, src, state, ckpt)
+    assert set(_rows(state.current())) == {1}
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """ST4: maxFilesPerTrigger=1 forces one micro-batch per transaction
+    file; the final state is identical to the single-batch run."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    r1 = product_row(1, "A")
+    write_tx_file(src, "tx1.json", [event(100, "c", after=r1)])
+    write_tx_file(
+        src, "tx2.json", [event(200, "u", before=r1, after=dict(r1, stock=5))]
+    )
+    write_tx_file(src, "tx3.json", [event(300, "d", before=dict(r1, stock=5))])
+    q = _run(spark, src, state, ckpt, max_files_per_trigger=1)
+    assert state.current("rewrite").count() == 1
+    assert state.current("drop").count() == 0
+    summary = progress_summary(q)
+    assert summary["batch_id"] is not None and summary["batch_id"] >= 2
+
+
+def test_schema_evolution_new_column(spark, tmp_path):
+    """K5 auto.evolve: a new source column appears mid-stream; old rows
+    read as NULL, new rows carry it."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    write_tx_file(src, "tx1.json", [event(100, "c", after=product_row(1, "A"))])
+    _run(spark, src, state, ckpt)
+
+    from pyspark.sql import types as T
+
+    from olr_cdc_oracle_no_dbz_spark.schemas import (
+        PRODUCT_SCHEMA,
+        change_event_schema,
+    )
+
+    evolved_row = T.StructType(
+        [*PRODUCT_SCHEMA.fields, T.StructField("category", T.StringType(), True)]
+    )
+    evolved = change_event_schema(evolved_row)
+    r2 = dict(product_row(2, "B"), category="tools")
+    write_tx_file(src, "tx2.json", [event(200, "c", after=r2)])
+    q = materialize_stream(
+        spark, src, state, ckpt, schema=evolved
+    )
+    q.awaitTermination(120)
+    cur = _rows(state.current())
+    assert cur[2]["category"] == "tools"
+    assert cur[1]["category"] is None
+
+
+def test_streaming_tumbling_watermark_drops_late_events(spark, tmp_path):
+    """A5+A8/ST5: a 5-minute tumbling window with a 10-minute watermark;
+    an event arriving after the watermark passed its window is dropped."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def emit(name, rows):
+        write_tx_file(src, name, rows)
+
+    def run():
+        stream = (
+            spark.readStream.format("text")
+            .load(src)
+            .select(F.from_json("value", "k string, ts timestamp").alias("e"))
+            .select("e.*")
+        )
+        agg = tumbling_agg(stream, "ts", "5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit(
+        "b1.json",
+        [
+            '{"k": "a", "ts": "2026-01-01 00:01:00"}',
+            '{"k": "b", "ts": "2026-01-01 00:02:00"}',
+            '{"k": "c", "ts": "2026-01-01 00:30:00"}',
+        ],
+    )
+    run()  # watermark after b1: 00:30 - 10min = 00:20 → window[00:00,00:05) closed
+    emit(
+        "b2.json",
+        [
+            '{"k": "late", "ts": "2026-01-01 00:03:00"}',
+            '{"k": "d", "ts": "2026-01-01 01:00:00"}',
+        ],
+    )
+    run()  # late event predates the watermark → dropped
+
+    res = {
+        r["window_start"].strftime("%H:%M"): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert res.get("00:00") == 2  # late event NOT counted
+    assert res.get("00:30") == 1
+
+
+def test_current_before_any_batch_raises(spark, tmp_path):
+    state = ParquetStateTable(spark, str(tmp_path / "state"))
+    with pytest.raises(FileNotFoundError):
+        state.current()
