@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
+from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA, OLR_WIRE_SCHEMA
 
 #: ops that carry a row image. ``message:2`` also emits begin/commit
 #: markers (scripts/OpenLogReplicator.json:20) which unwrap() drops.
@@ -41,9 +41,47 @@ def decode_events(
     same way).
     """
     parsed = raw.withColumn("_event", F.from_json(F.col(value_col), schema))
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for
+    # malformed input — detect corruption via the required `op` field.
     return parsed.select(
         F.col("_event.*"),
-        F.when(F.col("_event").isNull(), F.col(value_col)).alias("_corrupt"),
+        F.when(F.col("_event.op").isNull(), F.col(value_col)).alias("_corrupt"),
+    )
+
+
+def decode_olr_events(
+    raw: DataFrame,
+    schema: T.StructType = OLR_WIRE_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse REAL OLR 1.8.7 wire messages (nested ``payload[]`` array,
+    per-op ``schema: {owner, table}`` object) and transpose to the flat
+    per-operation envelope — so everything downstream (filter_source,
+    unwrap, materialize) is wire-format-agnostic.
+
+    ``seq`` is the operation's position within its transaction message
+    (OLR ``num``, falling back to the array index), preserving intra-
+    transaction apply order under equal SCN.
+    """
+    parsed = raw.withColumn("_msg", F.from_json(F.col(value_col), schema))
+    exploded = parsed.select(
+        "_msg",
+        F.when(F.col("_msg.scn").isNull(), F.col(value_col)).alias("_corrupt"),
+        F.posexplode_outer("_msg.payload").alias("_pos", "_op"),
+    )
+    return exploded.select(
+        F.col("_msg.scn").alias("scn"),
+        F.coalesce(F.col("_op.num"), F.col("_pos") + 1).alias("seq"),
+        F.col("_msg.tm").alias("tm"),
+        F.col("_msg.xid").alias("xid"),
+        F.col("_msg.db").alias("db"),
+        F.col("_op.op").alias("op"),
+        F.col("_op.rid").alias("rid"),
+        F.col("_op.schema.owner").alias("schema_owner"),
+        F.col("_op.schema.table").alias("schema_table"),
+        F.col("_op.before").alias("before"),
+        F.col("_op.after").alias("after"),
+        F.col("_corrupt"),
     )
 
 

@@ -64,23 +64,74 @@ def materialize_state(
     raise ValueError(f"delete_mode must be drop|rewrite, got {delete_mode!r}")
 
 
+#: numeric widening lattice for type evolution (source type widening is
+#: part of auto.evolve; reference README.md:787)
+_NUMERIC_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+                 "float": 4, "double": 5}
+
+
+def _parse_decimal(t: str) -> tuple[int, int] | None:
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[8:-1].split(",")
+        return int(p), int(s)
+    return None
+
+
+def _wider_type(t1: str, t2: str, col: str) -> str:
+    """The narrowest type both ``t1`` and ``t2`` widen to losslessly.
+
+    int family by rank; decimal pairs take max integer digits + max
+    scale; int↔decimal widens the decimal's integer part to 20 digits
+    (covers bigint). Incompatible pairs (e.g. struct vs int) raise — a
+    silent coercion would corrupt sink data.
+    """
+    if t1 == t2:
+        return t1
+    if t1 in _NUMERIC_RANK and t2 in _NUMERIC_RANK:
+        return t1 if _NUMERIC_RANK[t1] >= _NUMERIC_RANK[t2] else t2
+    d1, d2 = _parse_decimal(t1), _parse_decimal(t2)
+    if d1 and d2:
+        scale = max(d1[1], d2[1])
+        intp = max(d1[0] - d1[1], d2[0] - d2[1])
+        return f"decimal({min(intp + scale, 38)},{scale})"
+    for dec, other in ((d1, t2), (d2, t1)):
+        if dec and other in ("tinyint", "smallint", "int", "bigint"):
+            scale = dec[1]
+            return f"decimal({min(max(dec[0] - scale, 20) + scale, 38)},{scale})"
+        if dec and other in ("float", "double"):
+            return "double"
+    raise TypeError(
+        f"schema evolution cannot widen column {col!r}: {t1} vs {t2}"
+    )
+
+
 def _align_schemas(state: DataFrame, delta: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Schema evolution (``auto.evolve: true``, README.md:787): widen both
-    sides to the column superset, new columns null-filled on the old side."""
+    sides to the column superset; columns missing on one side are
+    null-filled, columns present on both with different types are cast
+    to the wider type (_wider_type)."""
     all_cols = list(dict.fromkeys([*state.columns, *delta.columns]))
     delta_types = dict(delta.dtypes)
     state_types = dict(state.dtypes)
+    target = {}
+    for c in all_cols:
+        if c in state_types and c in delta_types:
+            target[c] = _wider_type(state_types[c], delta_types[c], c)
+        else:
+            target[c] = state_types.get(c, delta_types.get(c))
 
-    def widen(df: DataFrame, have: dict[str, str], other: dict[str, str]) -> DataFrame:
+    def widen(df: DataFrame, have: dict[str, str]) -> DataFrame:
         cols = []
         for c in all_cols:
-            if c in have:
-                cols.append(F.col(c))
+            if c not in have:
+                cols.append(F.lit(None).cast(target[c]).alias(c))
+            elif have[c] != target[c]:
+                cols.append(F.col(c).cast(target[c]).alias(c))
             else:
-                cols.append(F.lit(None).cast(other[c]).alias(c))
+                cols.append(F.col(c))
         return df.select(*cols)
 
-    return widen(state, state_types, delta_types), widen(delta, delta_types, state_types)
+    return widen(state, state_types), widen(delta, delta_types)
 
 
 def merge_into_state(

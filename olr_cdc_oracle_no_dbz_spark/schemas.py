@@ -64,6 +64,52 @@ def change_event_schema(row_schema: T.StructType = _IMAGE_SCHEMA) -> T.StructTyp
 
 CHANGE_EVENT_SCHEMA = change_event_schema()
 
+
+def olr_wire_schema(row_schema: T.StructType = _IMAGE_SCHEMA) -> T.StructType:
+    """OLR 1.8.7 on-wire JSON envelope: one message per transaction chunk
+    with operations nested in a ``payload`` array.
+
+    Shape per the shipped format flags (scripts/OpenLogReplicator.json:
+    15-26): transaction header (scn scn-type:1, tm timestamp-all:1, xid
+    xid:1, db db:3) + ``payload: [{op, schema: {owner, table}, rid, num,
+    before, after}]`` where ``schema`` carries table identity (schema:7)
+    and ``num`` is the operation's position in the transaction.
+    ``decode_olr_events`` transposes this to the flat per-operation
+    envelope (CHANGE_EVENT_SCHEMA) the rest of the engine consumes.
+    """
+    img = T.StructType([T.StructField(f.name, f.dataType, True) for f in row_schema])
+    op_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType(), False),
+            T.StructField(
+                "schema",
+                T.StructType(
+                    [
+                        T.StructField("owner", T.StringType(), True),
+                        T.StructField("table", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("rid", T.StringType(), True),
+            T.StructField("num", T.IntegerType(), True),
+            T.StructField("before", img, True),
+            T.StructField("after", img, True),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("scn", T.LongType(), False),
+            T.StructField("tm", T.LongType(), True),
+            T.StructField("xid", T.StringType(), True),
+            T.StructField("db", T.StringType(), True),
+            T.StructField("payload", T.ArrayType(op_schema), True),
+        ]
+    )
+
+
+OLR_WIRE_SCHEMA = olr_wire_schema()
+
 # Driver-provided star schema + extension tables (TESTDATA.md).
 TESTDATA_TABLES = (
     "region",

@@ -1,0 +1,89 @@
+"""Physical-plan assertions (SURVEY.md §4 / VERDICT scale audit):
+filters push to the parquet scan, projections prune the read schema,
+dimension joins broadcast, global top-N is distributed, and the LSH
+candidate joins never degrade to cartesian products.
+
+These are the 100 TB design invariants — a plan regression here is a
+scale bug even while sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.catalog import load_table
+from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_quantity") < 5)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    start = plan.index("ReadSchema: ")
+    read_schema = plan[start : plan.index("\n", start)]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # untouched wide column not read
+
+
+def test_dimension_joins_broadcast_in_tpch_q5(spark, q):
+    plan = _plan(q["tpch_q5_local_supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topn_is_distributed(spark, q):
+    """VERDICT scale-killer #1: global top-N must compile to
+    TakeOrderedAndProject, never a single-partition global window."""
+    plan = _plan(q["window_global_topn"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    plan_q3 = _plan(q["tpch_q3_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan_q3
+
+
+def test_lsh_candidate_joins_never_cartesian(spark, q):
+    for name in ("dedup_minhash_lsh", "dedup_embedding_cosine", "ann_topk_lsh",
+                 "dedup_simhash"):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_events_nanos_decoded_as_timestamp(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_cdc_lww_single_shuffle(spark):
+    """latest_state is ONE hash-partition exchange on the key — no
+    second shuffle for the row_number filter."""
+    from olr_cdc_oracle_no_dbz_spark.cdc.materialize import latest_state
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("id"),
+        F.col("id").alias("scn"),
+        F.lit(1).alias("seq"),
+    )
+    plan = _plan(latest_state(df))
+    assert plan.count("Exchange hashpartitioning") == 1
