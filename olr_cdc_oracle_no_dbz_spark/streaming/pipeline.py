@@ -63,6 +63,14 @@ def materialize_stream(
     return writer.start()
 
 
+def sink_table_name(topic: str, table_name_format: str = "${topic}") -> str:
+    """Topic → sink-table naming map (K6): the reference's
+    ``table.name.format: products`` renames the change topic to the sink
+    table (README.md:791). ``${topic}`` interpolates the topic name;
+    a literal format (no placeholder) is a fixed rename."""
+    return table_name_format.replace("${topic}", topic)
+
+
 def progress_summary(query: StreamingQuery) -> dict:
     """Monitoring surface (ST7) — the Kafka-UI/Connect-REST-status analog
     (docker-compose-main.yml:204-235, README.md:863-868): one flat dict

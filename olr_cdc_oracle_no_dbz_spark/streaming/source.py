@@ -39,6 +39,66 @@ def read_change_stream(
     return decode_events(reader.load(path), schema)
 
 
+def read_spooldir_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Spooldir file source (S4): watch a directory of CSV/JSON files and
+    parse them into typed records — the Connect spooldir-connector role
+    (reference Dockerfile:65-66). A schema is mandatory (streaming reads
+    never infer), exactly like the connector's required schema config.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"spooldir format must be csv|json, got {fmt!r}")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", str(header).lower())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (S5): partitioned batch read of an RDBMS table — the
+    Connect JDBC-source-connector role (reference Dockerfile:68-69).
+
+    Always pass the partition quadruple for any non-tiny table: without
+    it the whole read is ONE task on one executor. Filters and column
+    pruning push down into the generated SQL (Catalyst JDBC pushdown).
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_kafka_change_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -91,6 +91,37 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_list",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_id) AS type_sequence,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT_LIST (A4): multiplicities kept, ordered by the unique
+    event_id offset (ksqlDB collects in offset order) so the joined
+    string is deterministic across engines and partitionings."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+            ).alias("type_sequence"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
     "agg_histogram",
     oracle="""
     SELECT CAST(FLOOR(value / 50) AS INTEGER) AS bucket, COUNT(*) AS cnt
