@@ -24,8 +24,12 @@ from olr_cdc_oracle_no_dbz_spark.streaming.source import (  # noqa: F401
 from olr_cdc_oracle_no_dbz_spark.streaming.state import (  # noqa: F401
     ParquetStateTable,
 )
+from olr_cdc_oracle_no_dbz_spark.streaming.stateful import (  # noqa: F401
+    running_profile,
+)
 from olr_cdc_oracle_no_dbz_spark.streaming.windowed import (  # noqa: F401
     hopping_agg,
+    interval_join_streams,
     session_agg,
     tumbling_agg,
 )

@@ -65,6 +65,48 @@ def hopping_agg(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream interval join (SURVEY.md §2 J2): ksqlDB's
+    ``JOIN ... WITHIN n`` — equi-key plus a ± ``within`` time bound.
+
+    Both sides are watermarked (required for Spark to bound the join
+    state: a buffered left row can be dropped once the right watermark
+    passes its ``within`` horizon). Column names from the right side are
+    suffixed ``_r`` so the result is unambiguous. Works on batch frames
+    too (watermark is a no-op there) — that batch plan is what
+    workload/joins.py registers for the DuckDB differential check.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = (
+        right.select(
+            [F.col(c).alias(f"{c}_r" if c != on else c) for c in right.columns]
+        )
+        .withWatermark(f"{right_ts}_r", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (
+            F.col(f"r.{right_ts}_r")
+            >= F.expr(f"l.{left_ts} - interval {within}")
+        )
+        & (
+            F.col(f"r.{right_ts}_r")
+            <= F.expr(f"l.{left_ts} + interval {within}")
+        )
+    )
+    return lw.join(rw, cond, how).drop(F.col(f"r.{on}"))
+
+
 def session_agg(
     df: DataFrame,
     ts_col: str,

@@ -1,0 +1,127 @@
+"""Streaming join tests: J2 stream–stream interval join (watermarked,
+real two-stream run), J1 stream–static enrich through foreachBatch, and
+direct double-apply idempotence of the bucketed state merge (ST3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.streaming import (
+    ParquetStateTable,
+    interval_join_streams,
+)
+from tests.conftest import write_tx_file
+
+
+def _json_stream(spark, path, schema):
+    return (
+        spark.readStream.format("text")
+        .load(path)
+        .select(F.from_json("value", schema).alias("e"))
+        .select("e.*")
+    )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on key within ±5 minutes: the in-window
+    pair matches, the out-of-window event on the same key does not."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_tx_file(
+        clicks_dir,
+        "c1.json",
+        [
+            '{"uid": "u1", "ts": "2026-01-01 10:00:00", "page": "home"}',
+            '{"uid": "u2", "ts": "2026-01-01 10:00:00", "page": "search"}',
+        ],
+    )
+    write_tx_file(
+        buys_dir,
+        "b1.json",
+        [
+            '{"uid": "u1", "ts": "2026-01-01 10:03:00", "amount": 5.0}',
+            '{"uid": "u2", "ts": "2026-01-01 11:00:00", "amount": 9.0}',
+        ],
+    )
+    clicks = _json_stream(spark, clicks_dir, "uid string, ts timestamp, page string")
+    buys = _json_stream(spark, buys_dir, "uid string, ts timestamp, amount double")
+    joined = interval_join_streams(clicks, buys, on="uid", within="5 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # u2's buy is 60min after the click → no match
+    assert rows[0]["uid"] == "u1" and rows[0]["amount_r"] == 5.0
+
+
+def test_interval_join_batch_analog_matches(spark):
+    """The same helper runs on batch frames (watermark no-op) — J2's
+    batch analog used for differential checking."""
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00"), ("k", "2026-01-01 02:00:00")],
+        "uid string, ts_s string",
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2026-01-01 00:30:00")], "uid string, ts_s string"
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+    out = interval_join_streams(left, right, on="uid", within="1 hour")
+    assert out.count() == 1  # only the 00:00 left row is within ±1h
+
+
+def test_stream_static_enrich_join(spark, tmp_path):
+    """J1: per-micro-batch join of the change stream against a static
+    dimension — the foreachBatch enrich pattern."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "uid string, tier string"
+    )
+    write_tx_file(
+        src,
+        "e1.json",
+        [
+            '{"uid": "u1", "ts": "2026-01-01 00:00:00", "v": 1.0}',
+            '{"uid": "u3", "ts": "2026-01-01 00:00:01", "v": 2.0}',
+        ],
+    )
+    stream = _json_stream(spark, src, "uid string, ts timestamp, v double")
+
+    def enrich(batch_df, _bid):
+        batch_df.join(F.broadcast(dim), "uid", "left").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["uid"]: r["tier"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"u1": "gold", "u3": None}
+
+
+def test_state_merge_double_apply_idempotent(spark, tmp_path):
+    """ST3 at the state-table level: re-applying the exact same delta (a
+    foreachBatch crash-retry) leaves the state byte-identical."""
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    delta = spark.createDataFrame(
+        [(1, 10, 1, False, 5), (2, 11, 1, False, 7)],
+        "id int, scn long, seq int, __deleted boolean, stock int",
+    )
+    state.merge_batch(delta)
+    first = sorted(tuple(r) for r in state.current().collect())
+    state.merge_batch(delta)  # redelivery
+    second = sorted(tuple(r) for r in state.current().collect())
+    assert first == second
+    assert state.read_internal().count() == 2  # no duplicate rows
