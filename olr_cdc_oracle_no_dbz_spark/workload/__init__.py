@@ -58,6 +58,7 @@ def _load_all() -> None:
         joins,
         scalars,
         tpch,
+        udf_queries,
         windows,
     )
 
