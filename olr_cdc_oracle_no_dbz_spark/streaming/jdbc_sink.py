@@ -1,0 +1,105 @@
+"""JDBC upsert sink statements (SURVEY.md §2.2 K2/K3 — the literal
+Kafka-Connect-JDBC-sink flavor: ``insert.mode: upsert``,
+``delete.enabled: true``, reference README.md:780-797).
+
+The engine's default materializer is ParquetStateTable; this module
+provides the SQL the JDBC path needs when the sink is an RDBMS. The
+statement generators are dialect-aware and unit-tested; ``write_batch``
+wires them into a ``foreachBatch`` via executemany over a DBAPI
+connection factory (kept driver-side exactly like the reference's
+single-task sink, README.md:785 ``tasks.max: 1``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_statement(
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    dialect: str = "postgresql",
+) -> str:
+    """INSERT ... upsert for one row (parameter placeholders).
+
+    postgresql → ``ON CONFLICT (pk) DO UPDATE``; mysql → ``ON DUPLICATE
+    KEY UPDATE``; ansi → MERGE.
+    """
+    collist = ", ".join(columns)
+    params = ", ".join("?" for _ in columns)
+    non_key = [c for c in columns if c not in key_cols]
+    if dialect == "postgresql":
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {sets}"
+        )
+    if dialect == "mysql":
+        sets = ", ".join(f"{c} = VALUES({c})" for c in non_key)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        sets = ", ".join(f"{c} = s.{c}" for c in non_key)
+        src_cols = ", ".join(f"? AS {c}" for c in columns)
+        ins_vals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING (SELECT {src_cols}) s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
+        )
+    raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
+
+
+def delete_statement(table: str, key_cols: list[str]) -> str:
+    """DELETE for one key (``delete.enabled: true``, README.md:793)."""
+    cond = " AND ".join(f"{c} = ?" for c in key_cols)
+    return f"DELETE FROM {table} WHERE {cond}"
+
+
+def write_batch(
+    batch_df: DataFrame,
+    connection_factory: Callable[[], object],
+    table: str,
+    key_cols: list[str],
+    dialect: str = "postgresql",
+    batch_size: int = 1000,
+) -> tuple[int, int]:
+    """Apply one LWW-compacted micro-batch to an RDBMS: upserts for live
+    rows, deletes for tombstones. Returns (n_upserts, n_deletes).
+
+    The batch must already be one-row-per-key (run latest_state first).
+    collect() here is bounded by the micro-batch size — the same
+    driver-side funnel as the reference's single-task JDBC sink.
+    """
+    data_cols = [c for c in batch_df.columns if c != "__deleted"]
+    live = [
+        tuple(r[c] for c in data_cols)
+        for r in batch_df.filter(~F.col("__deleted")).collect()
+    ]
+    dead = [
+        tuple(r[c] for c in key_cols)
+        for r in batch_df.filter(F.col("__deleted")).collect()
+    ]
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        for i in range(0, len(live), batch_size):
+            cur.executemany(
+                upsert_statement(table, data_cols, key_cols, dialect),
+                live[i : i + batch_size],
+            )
+        for i in range(0, len(dead), batch_size):
+            cur.executemany(
+                delete_statement(table, key_cols), dead[i : i + batch_size]
+            )
+        conn.commit()
+    finally:
+        conn.close()
+    return len(live), len(dead)
