@@ -1,0 +1,70 @@
+"""Scale techniques: salted joins for skew, bucketed tables for
+shuffle-free co-located joins (SURVEY.md §4 partitioned-parallelism row;
+the Kafka-partition ≙ shuffle-partition analogy).
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime; ``salted_join`` is the explicit fallback for pathological hot
+keys (a single key larger than an executor). ``write_bucketed`` /
+``bucketed_table`` pre-shuffle once at write time so every later join
+or aggregation on the bucket key runs with ZERO exchanges — the
+pattern for a 100 TB fact table joined repeatedly on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact table against a dimension without any single
+    reducer receiving a whole hot key.
+
+    The fact side gets a deterministic salt in [0, n_salts) derived from
+    the whole row (xxhash64 of all columns — no RNG, so retries and
+    speculative tasks agree); the dim side is exploded n_salts× so every
+    (key, salt) pair finds its match. Join key becomes (key, salt) —
+    a hot key now spreads over n_salts reducers. Dim grows n_salts×,
+    which is the standard price (dims are the small side).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    salted_facts = facts.withColumn(_SALT, salt.cast("int"))
+    exploded_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_facts.join(exploded_dim, [on, _SALT], how).drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by key.
+
+    One shuffle now; every later equi-join/groupBy on ``bucket_col``
+    between tables with the same bucketing runs with no Exchange at all
+    (verified in tests/test_plans.py-style assertions). This is the
+    batch analog of co-partitioned Kafka topics in the reference.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table (bucket metadata comes from the
+    catalog, which is what makes the exchange-free plan possible)."""
+    return spark.table(table)

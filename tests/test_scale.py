@@ -1,0 +1,84 @@
+"""Scale-technique tests: salted join correctness + spread, bucketed
+join shuffle-freeness (plan-level proof)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.scale import (
+    bucketed_table,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — only the key distribution."""
+    facts = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"cold{i % 5}")],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold1", "C1")], "k string, label string"
+    )
+    plain = facts.join(dim, "k").groupBy("k", "label").count()
+    salted = salted_join(facts, dim, "k").groupBy("k", "label").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in multiple (key, salt) groups."""
+    facts = spark.createDataFrame(
+        [("hot", i) for i in range(500)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    n_salts = 8
+    salt = F.pmod(F.xxhash64("k", "v"), F.lit(n_salts)).cast("int")
+    distinct_salts = facts.withColumn("s", salt).select("s").distinct().count()
+    assert distinct_salts == n_salts  # deterministic hash uses all salts
+    out = salted_join(facts, dim, "k", n_salts=n_salts)
+    assert out.count() == 500
+    assert "__salt" not in out.columns
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key join with ZERO
+    Exchange operators — the pre-shuffled co-located join that makes
+    repeated joins on a 100 TB fact table affordable."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bt LOCATION '{tmp_path}/wh'")
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 7).alias("flag")
+    )
+    items = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("o_id"), F.col("id").alias("item")
+    )
+    write_bucketed(orders, "bt.orders_b", "o_id", n_buckets=8)
+    write_bucketed(items, "bt.items_b", "o_id", n_buckets=8)
+    # test tables are tiny → the planner would broadcast and skip the
+    # bucketed path entirely; disable broadcast to expose the plan shape
+    # a 100 TB (non-broadcastable) join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_table(spark, "bt.orders_b").join(
+            bucketed_table(spark, "bt.items_b"), "o_id"
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 3000
+        # groupBy on the bucket key is exchange-free too
+        agg_plan = _plan(
+            bucketed_table(spark, "bt.orders_b").groupBy("o_id").count()
+        )
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bt CASCADE")
