@@ -39,6 +39,58 @@ def read_change_stream(
     return decode_events(reader.load(path), schema)
 
 
+def infer_evolved_schema(
+    spark: SparkSession,
+    path: str,
+    base: T.StructType = CHANGE_EVENT_SCHEMA,
+) -> T.StructType:
+    """K5 auto-evolve support: derive the current envelope schema from
+    the files on disk, widening ``base`` with any new image columns.
+
+    The reference's events carry their own schema (``schema: 7``,
+    scripts/OpenLogReplicator.json:22) and the sink auto-ALTERs
+    (``auto.evolve: true``, README.md:787). Spark's ``from_json`` needs
+    the schema up front, so the flow is: batch-infer over the source
+    directory (driver-side, one pass, done at (re)start — not per
+    micro-batch), merge new before/after fields into the base envelope,
+    restart the stream with the widened schema. Existing columns keep
+    their declared types (inference only ADDS columns, so a numeric
+    column never silently degrades to the inferred string form).
+    """
+    inferred = spark.read.json(path)
+
+    def merge_image(field: str) -> T.StructType | None:
+        base_img = base[field].dataType
+        if field not in inferred.columns:
+            return None
+        found = inferred.schema[field].dataType
+        if not isinstance(found, T.StructType) or not isinstance(
+            base_img, T.StructType
+        ):
+            return None
+        known = {f.name for f in base_img.fields}
+        extra = [f for f in found.fields if f.name not in known]
+        if not extra:
+            return None
+        return T.StructType(
+            [*base_img.fields, *[T.StructField(f.name, f.dataType, True) for f in extra]]
+        )
+
+    evolved_before = merge_image("before")
+    evolved_after = merge_image("after")
+    if evolved_before is None and evolved_after is None:
+        return base
+    fields = []
+    for f in base.fields:
+        if f.name == "before" and evolved_before is not None:
+            fields.append(T.StructField("before", evolved_before, True))
+        elif f.name == "after" and evolved_after is not None:
+            fields.append(T.StructField("after", evolved_after, True))
+        else:
+            fields.append(f)
+    return T.StructType(fields)
+
+
 def read_spooldir_stream(
     spark: SparkSession,
     path: str,

@@ -199,6 +199,17 @@ def test_schema_evolution_new_column(spark, tmp_path):
     assert cur[2]["category"] == "tools"
     assert cur[1]["category"] is None
 
+    # auto-evolve path: the evolved schema is derivable from the files
+    # themselves (schema:7 analog) — no hand-written schema needed
+    from olr_cdc_oracle_no_dbz_spark.streaming.source import (
+        infer_evolved_schema,
+    )
+
+    auto = infer_evolved_schema(spark, src)
+    after_fields = {f.name: f.dataType for f in auto["after"].dataType.fields}
+    assert "category" in after_fields
+    assert after_fields["price"] == T.DecimalType(10, 2)  # base type kept
+
 
 def test_streaming_tumbling_watermark_drops_late_events(spark, tmp_path):
     """A5+A8/ST5: a 5-minute tumbling window with a 10-minute watermark;
