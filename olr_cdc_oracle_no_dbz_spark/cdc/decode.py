@@ -97,6 +97,60 @@ def filter_source(df: DataFrame, owner: str, table: str) -> Column | DataFrame:
     )
 
 
+def project_envelope(
+    df: DataFrame,
+    db: bool = True,
+    rid: bool = True,
+    xid: bool = True,
+    timestamps: bool = True,
+    schema_block: bool = True,
+    images: str = "full",
+) -> DataFrame:
+    """Format/verbosity projection (SURVEY.md §2.3 P4): the engine-side
+    equivalent of OLR's output-format flags
+    (scripts/OpenLogReplicator.json:15-26) — ``db:3`` ↔ ``db=True``,
+    ``rid:1`` ↔ ``rid``, ``xid:1`` ↔ ``xid``, ``timestamp-all:1`` ↔
+    ``timestamps``, ``schema:7`` ↔ ``schema_block``, ``column:2/0`` ↔
+    ``images='full'|'changed'``.
+
+    ``images='changed'`` mirrors ``column:0``: for updates, the after
+    image keeps ONLY columns whose value differs from the before image
+    (null-safe compare); other ops keep their full image. Everything is
+    a plain select, so Catalyst prunes the dropped envelope fields from
+    the scan.
+    """
+    if images not in ("full", "changed"):
+        raise ValueError(f"images must be full|changed, got {images!r}")
+    drop = []
+    if not db:
+        drop.append("db")
+    if not rid:
+        drop.append("rid")
+    if not xid:
+        drop.append("xid")
+    if not timestamps:
+        drop.append("tm")
+    if not schema_block:
+        drop += ["schema_owner", "schema_table"]
+    out = df.drop(*drop)
+    if images == "changed":
+        fields = [f.name for f in df.schema["after"].dataType.fields]
+        changed_after = F.struct(
+            *[
+                F.when(
+                    ~F.col(f"after.{c}").eqNullSafe(F.col(f"before.{c}")),
+                    F.col(f"after.{c}"),
+                ).alias(c)
+                for c in fields
+            ]
+        )
+        out = out.withColumn(
+            "after",
+            F.when(F.col("op") == "u", changed_after).otherwise(F.col("after")),
+        )
+    return out
+
+
 def unwrap(
     df: DataFrame,
     mode: str = "rewrite",

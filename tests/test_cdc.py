@@ -130,6 +130,43 @@ def test_unwrap_delete_uses_before_image_and_modes(spark):
         unwrap(dec, mode="bogus")
 
 
+def test_project_envelope_flags_and_changed_images(spark):
+    """P4: format flags drop envelope fields; column:0 mode keeps only
+    changed columns in update after-images."""
+    from olr_cdc_oracle_no_dbz_spark.cdc.decode import project_envelope
+
+    r1 = product_row(1, "A", "9.99", 5)
+    r1b = dict(r1, price=19.99)  # only price changes
+    dec = decode_events(
+        _raw(
+            spark,
+            [
+                event(1, "c", after=r1),
+                event(2, "u", before=r1, after=r1b),
+            ],
+        )
+    )
+    slim = project_envelope(
+        dec, db=False, rid=False, xid=False, timestamps=False,
+        schema_block=False,
+    )
+    assert {"db", "rid", "xid", "tm", "schema_owner", "schema_table"}.isdisjoint(
+        slim.columns
+    )
+
+    changed = project_envelope(dec, images="changed")
+    rows = {r["op"]: r for r in changed.collect()}
+    # insert keeps full image
+    assert rows["c"]["after"]["name"] == "A"
+    # update keeps only the changed column
+    upd = rows["u"]["after"]
+    assert str(upd["price"]) == "19.99"
+    assert upd["name"] is None and upd["stock"] is None
+
+    with pytest.raises(ValueError):
+        project_envelope(dec, images="sparse")
+
+
 # -- LWW / merge ------------------------------------------------------------
 
 
