@@ -515,6 +515,106 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 8  # centroid count; deterministic "training": first K vectors
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM e
+             WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, v, nsq, cent_id FROM (
+            SELECT e.vec_id, e.v, e.nsq, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST({_sql_dot("e.v", "cent.cv")}
+                                / (sqrt(e.nsq) * sqrt(cent.cnsq))
+                                AS DECIMAL(16,12)) DESC, cent.cent_id) AS rk
+            FROM e CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    q AS (SELECT * FROM assign WHERE vec_id >= 100 AND vec_id < 120),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,12)) AS cos_sim
+        FROM q JOIN assign c
+          ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
+    )
+    SELECT * FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other §2.10 scale path next to LSH): vectors
+    are assigned to their nearest of K=8 deterministic centroids (the
+    'coarse quantizer'; here the first K vectors stand in for k-means
+    output so both engines agree), and each query searches only its own
+    cell. Assignment is a broadcast K×N pass; search cost scales with
+    cell size. Swapping real trained centroids in changes nothing about
+    the plan shape."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nsq").alias("cnsq"),
+    )
+    sim_to_cent = (
+        _dot("v", "cv") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("cnsq")))
+    ).cast("decimal(16,12)")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        sim_to_cent.desc(), "cent_id"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nsq", "cent_id")
+    )
+    q = assign.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+        F.col("cent_id").alias("qcent"),
+    )
+    cos = (
+        _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
+    ).cast("decimal(16,12)")
+    scored = (
+        F.broadcast(q)
+        .join(
+            assign,
+            (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 @register(
     "ann_topk_lsh",
     oracle=f"""
@@ -819,6 +919,10 @@ def _fake_decode_batches(batches):
             lambda b: (b[0] % 48) + 1 if len(b) else 0
         )
         out["checksum"] = raw.apply(lambda b: int(sum(b[:16])))
+        # resize step (stub): clamp to a 32x24 thumbnail box preserving
+        # the byte-derived aspect, like a real thumbnailer would
+        out["resized_width"] = out["fake_width"].clip(upper=32)
+        out["resized_height"] = out["fake_height"].clip(upper=24)
         yield out
 
 
@@ -872,5 +976,5 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_df.mapInPandas(
         _fake_decode_batches,
         schema="doc_id long, n_bytes long, fake_width long, fake_height long, "
-        "checksum long",
+        "checksum long, resized_width long, resized_height long",
     )
