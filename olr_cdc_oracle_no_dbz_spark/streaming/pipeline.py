@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from olr_cdc_oracle_no_dbz_spark.cdc.decode import filter_source, unwrap
+from olr_cdc_oracle_no_dbz_spark.cdc.transactions import committed_only
 from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
 from olr_cdc_oracle_no_dbz_spark.streaming.source import read_change_stream
 from olr_cdc_oracle_no_dbz_spark.streaming.state import ParquetStateTable
@@ -32,6 +33,7 @@ def materialize_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_time: str = "1 second",
+    require_commit: bool = False,
 ) -> StreamingQuery:
     """Start the CDC materialization stream; returns the StreamingQuery.
 
@@ -40,12 +42,23 @@ def materialize_stream(
     the reference pipeline. Restarting with the same ``checkpoint_dir``
     resumes from the last committed batch (OLR checkpoint analog,
     docker-compose-olr.yml:56).
+
+    ``require_commit=True`` applies A2 semantics per micro-batch: DML is
+    held back until its transaction's commit marker arrives in the same
+    batch (for feeds where, unlike OLR, uncommitted work can appear —
+    OLR itself only emits on COMMIT, so the default is off).
     """
 
     def _apply(batch_df, batch_id: int) -> None:
         ev = filter_source(
             batch_df.filter(F.col("_corrupt").isNull()), owner, table
         )
+        if require_commit:
+            # markers are NOT table-filtered (they carry no schema block)
+            committed = committed_only(
+                batch_df.filter(F.col("_corrupt").isNull())
+            ).drop("commit_scn")
+            ev = filter_source(committed, owner, table)
         delta = unwrap(ev, mode="rewrite")
         if delta.isEmpty():
             return

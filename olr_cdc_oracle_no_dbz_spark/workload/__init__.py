@@ -57,6 +57,7 @@ def _load_all() -> None:
         ext_queries,
         joins,
         scalars,
+        sql_api,
         tpch,
         udf_queries,
         windows,

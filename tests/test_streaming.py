@@ -265,6 +265,29 @@ def test_streaming_tumbling_watermark_drops_late_events(spark, tmp_path):
     assert res.get("00:30") == 1
 
 
+def test_require_commit_holds_back_uncommitted(spark, tmp_path):
+    """A2 in streaming mode: with require_commit=True, DML whose
+    transaction has no commit marker in the batch is held back."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    write_tx_file(
+        src,
+        "tx1.json",
+        [
+            event(100, "begin", xid="ok"),
+            event(100, "c", after=product_row(1, "Committed"), seq=2, xid="ok"),
+            event(100, "commit", seq=3, xid="ok"),
+            event(200, "begin", xid="inflight"),
+            event(200, "c", after=product_row(2, "Uncommitted"), seq=2,
+                  xid="inflight"),
+            # no commit for xid=inflight
+        ],
+    )
+    q = materialize_stream(spark, src, state, ckpt, require_commit=True)
+    q.awaitTermination(120)
+    assert set(_rows(state.current())) == {1}
+
+
 def test_current_before_any_batch_raises(spark, tmp_path):
     state = ParquetStateTable(spark, str(tmp_path / "state"))
     with pytest.raises(FileNotFoundError):
