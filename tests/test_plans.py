@@ -70,6 +70,29 @@ def test_lsh_candidate_joins_never_cartesian(spark, q):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+#: queries whose plan intentionally contains a broadcast nested-loop
+#: join: a tiny broadcast side against a partitioned table (k×N working
+#: set by design, never N×N)
+_BNLJ_ALLOWED = {
+    "ann_topk_bruteforce",  # 10-row query set × N candidates
+    "ann_topk_ivf",  # K=8 centroids × N vectors: the coarse-assignment pass
+}
+
+
+def test_no_cartesian_products_anywhere(spark, q):
+    """Blanket 100 TB invariant over the ENTIRE registry: no query may
+    compile to a CartesianProduct, and broadcast nested-loop joins are
+    allowed only where the broadcast side is a bounded query set."""
+    offenders = []
+    for name, fn in q.items():
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []
+
+
 def test_events_nanos_decoded_as_timestamp(spark):
     df = load_table(spark, SF_DIR, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
