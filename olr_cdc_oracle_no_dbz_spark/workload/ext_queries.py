@@ -136,7 +136,10 @@ _MINHASH_ROWS = 4  # 16 permutations total
     WITH sh AS ({_sql_shingles(3)}),
     mh AS (
         SELECT doc_id,
-               {", ".join(f"MIN(md5(s || ':{i}')) AS mh{i}" for i in range(16))}
+               {", ".join(
+                   f"MIN(substr(md5(s || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+                   for i in range(16)
+               )}
         FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -184,11 +187,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same holds as long as scans stay columnar; if shingling
     ever dominates, write the shingle table once and read it back."""
     sh = _shingles(spark, sf_dir, 3)
+    # 16 permutations from 4 md5 calls: each 128-bit md5 contributes four
+    # independent 32-bit slices (8 hex chars) — 4x less hashing, same
+    # LSH quality. Engine-identical slicing on the hex form.
     mh = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")).cast("binary"))).alias(
-                f"mh{i}"
-            )
+            F.min(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
+                    ),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"mh{i}")
             for i in range(16)
         ]
     )
