@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: sentinel ordering columns: commit SCN, then intra-txn seq
@@ -32,15 +32,25 @@ def latest_state(
 ) -> DataFrame:
     """Last-writer-wins: keep the newest row per key (SURVEY.md §2 A1).
 
-    Single shuffle on ``key_cols``; ordering is total because the
+    Implemented as ``max_by(struct(*), struct(order_cols))`` rather than
+    a window ``row_number``: a hash aggregate is partial-aggregatable,
+    so each map task pre-compacts to one row per key before the shuffle
+    — at 100 TB the exchange moves |keys| rows instead of |events|, and
+    no per-partition sort happens at all. Results are identical
+    (verified vs the window form) because the ordering is total: the
     reference guarantees SCN monotonicity per key (scn-type:1,
-    scripts/OpenLogReplicator.json:24) and ``seq`` breaks intra-txn ties.
+    scripts/OpenLogReplicator.json:24) and ``seq`` breaks intra-txn
+    ties. Struct comparison is lexicographic over ``order_cols``.
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    out_cols = df.columns
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*out_cols), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("__winner")
+        )
+        .select("__winner.*")
     )
 
 
