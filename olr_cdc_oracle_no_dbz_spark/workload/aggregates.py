@@ -91,6 +91,33 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS etype,
+           COALESCE(CAST(user_id AS VARCHAR), '<all>') AS uid,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY CUBE(event_type, user_id)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (A9): all 4 grouping sets in one pass —
+    Spark expands to a single shuffle with grouping-id, same as rollup."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("etype"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("<all>")).alias(
+                "uid"
+            ),
+            "cnt",
+        )
+    )
+
+
+@register(
     "agg_collect_list",
     oracle="""
     SELECT user_id,
