@@ -117,6 +117,28 @@ class ParquetStateTable:
             .parquet(self.data_dir)
         )
 
+    def bootstrap(self, snapshot: DataFrame, scn: int = 0) -> None:
+        """Initialize state from a source snapshot (S2→K2 bootstrap: the
+        reference's initial table load before the changelog stream
+        attaches). Snapshot rows enter as live upserts at ``scn`` — any
+        change event with a higher SCN then wins normally, so starting
+        the stream after the snapshot is race-free as long as capture
+        began at or before the snapshot SCN (the standard CDC
+        bootstrap contract).
+        """
+        if self.exists():
+            raise RuntimeError(
+                f"state table {self.path} already exists; bootstrap must "
+                "precede the first merge"
+            )
+        delta = (
+            snapshot.withColumn(self.order_cols[0], F.lit(scn).cast("long"))
+            .withColumn("__deleted", F.lit(False))
+        )
+        for extra in self.order_cols[1:]:
+            delta = delta.withColumn(extra, F.lit(0))
+        self.merge_batch(delta)
+
     # -- queries ----------------------------------------------------------
 
     def current(self, delete_mode: str = "drop") -> DataFrame:

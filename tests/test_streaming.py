@@ -288,6 +288,86 @@ def test_require_commit_holds_back_uncommitted(spark, tmp_path):
     assert set(_rows(state.current())) == {1}
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """A7 in streaming mode: session_window with a 10-minute gap —
+    events 5 minutes apart merge into one session, a 30-minute silence
+    starts a new one."""
+    from olr_cdc_oracle_no_dbz_spark.streaming import session_agg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_tx_file(
+        src,
+        "b1.json",
+        [
+            '{"k": "u1", "ts": "2026-01-01 00:00:00"}',
+            '{"k": "u1", "ts": "2026-01-01 00:05:00"}',
+            '{"k": "u1", "ts": "2026-01-01 00:40:00"}',
+            '{"k": "u1", "ts": "2026-01-01 03:00:00"}',  # closes both via watermark
+        ],
+    )
+    stream = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.from_json("value", "k string, ts timestamp").alias("e"))
+        .select("e.*")
+    )
+    agg = session_agg(stream, "ts", "10 minutes", watermark="30 minutes", keys=("k",))
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"].strftime("%H:%M"): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows.get("00:00") == 2  # merged session (00:00 + 00:05)
+    assert rows.get("00:40") == 1  # separate session after the gap
+
+
+def test_snapshot_bootstrap_then_stream(spark, tmp_path):
+    """S2→K2 bootstrap: load an initial snapshot, then attach the
+    changelog stream — later events win over snapshot rows, and a
+    pre-snapshot redelivered event does not."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    snapshot = spark.createDataFrame(
+        [(1, 100), (2, 200)], "id int, stock int"
+    )
+    state.bootstrap(snapshot, scn=50)
+    assert {r["id"]: r["stock"] for r in state.current().collect()} == {
+        1: 100,
+        2: 200,
+    }
+    # changelog after the snapshot SCN updates id=1; a stale pre-snapshot
+    # event for id=2 must lose to the bootstrap row
+    r1 = product_row(1, "A")
+    write_tx_file(
+        src,
+        "tx1.json",
+        [event(60, "u", before=r1, after=dict(r1, stock=111))],
+    )
+    write_tx_file(
+        src,
+        "tx2.json",
+        [event(40, "u", before=product_row(2, "B"),
+               after=dict(product_row(2, "B"), stock=999))],
+    )
+    _run(spark, src, state, ckpt)
+    cur = {r["id"]: r["stock"] for r in state.current().collect()}
+    assert cur[1] == 111  # post-snapshot event applied
+    assert cur[2] == 200  # stale event lost to snapshot
+
+    with pytest.raises(RuntimeError):
+        state.bootstrap(snapshot)  # bootstrap after first write refused
+
+
 def test_current_before_any_batch_raises(spark, tmp_path):
     state = ParquetStateTable(spark, str(tmp_path / "state"))
     with pytest.raises(FileNotFoundError):
