@@ -41,8 +41,11 @@ HEADLINE = [
 
 
 def main() -> int:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
     from olr_cdc_oracle_no_dbz_spark.session import get_spark
     from olr_cdc_oracle_no_dbz_spark.workload import queries
 

@@ -31,6 +31,7 @@ def decode_events(
     raw: DataFrame,
     schema: T.StructType = CHANGE_EVENT_SCHEMA,
     value_col: str = "value",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parse raw JSON change messages into the typed envelope.
 
@@ -38,7 +39,8 @@ def decode_events(
     (a Kafka value or a line from a spooled JSON file — sources S1/S3/S4
     in SURVEY.md §2.1). Corrupt records land in ``_corrupt`` instead of
     failing the stream (the reference's OLR skips unparseable redo the
-    same way).
+    same way). ``passthrough_cols`` survive alongside the envelope
+    (e.g. the Kafka record key).
     """
     parsed = raw.withColumn("_event", F.from_json(F.col(value_col), schema))
     # PERMISSIVE from_json yields an all-null struct (not NULL) for
@@ -46,6 +48,7 @@ def decode_events(
     return parsed.select(
         F.col("_event.*"),
         F.when(F.col("_event.op").isNull(), F.col(value_col)).alias("_corrupt"),
+        *[F.col(c) for c in passthrough_cols],
     )
 
 

@@ -98,6 +98,11 @@ def _wider_type(t1: str, t2: str, col: str) -> str:
     if t1 == t2:
         return t1
     if t1 in _NUMERIC_RANK and t2 in _NUMERIC_RANK:
+        ints = {"tinyint", "smallint", "int", "bigint"}
+        # float's 24-bit mantissa cannot hold int/bigint losslessly —
+        # int-family + float widens to double, not float
+        if "float" in (t1, t2) and (t1 in ints or t2 in ints):
+            return "double"
         return t1 if _NUMERIC_RANK[t1] >= _NUMERIC_RANK[t2] else t2
     d1, d2 = _parse_decimal(t1), _parse_decimal(t2)
     if d1 and d2:

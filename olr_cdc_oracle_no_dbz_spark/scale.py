@@ -34,7 +34,16 @@ def salted_join(
     (key, salt) pair finds its match. Join key becomes (key, salt) —
     a hot key now spreads over n_salts reducers. Dim grows n_salts×,
     which is the standard price (dims are the small side).
+
+    Only fact-preserving join types are allowed: under right/full outer,
+    an unmatched dim key would surface once PER SALT REPLICA (n_salts
+    null-extended rows instead of one) — silently wrong, so rejected.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/left_semi/left_anti), got {how!r}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
     salted_facts = facts.withColumn(_SALT, salt.cast("int"))
     exploded_dim = dim.withColumn(

@@ -38,11 +38,17 @@ def avro_schema_for(struct: T.StructType, name: str = "ChangeEvent") -> str:
     """Derive the Avro record schema (as JSON) for a Spark StructType —
     the engine's stand-in for a Schema Registry subject version."""
 
+    import hashlib
+
     def field_type(dt: T.DataType) -> object:
         if isinstance(dt, T.StructType):
+            # deterministic nested-record name: Python's hash() is salted
+            # per process, which would change the schema on every run and
+            # break Avro name-based resolution against stored .avsc files
+            digest = hashlib.md5(dt.simpleString().encode()).hexdigest()[:8]
             return {
                 "type": "record",
-                "name": f"{name}_{abs(hash(dt.simpleString())) % 10**8}",
+                "name": f"{name}_{digest}",
                 "fields": [
                     {"name": f.name, "type": ["null", field_type(f.dataType)]}
                     for f in dt.fields

@@ -18,19 +18,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _placeholder(paramstyle: str) -> str:
+    """DBAPI paramstyle → placeholder token. psycopg2 and pymysql use
+    ``format`` (%s); duckdb/sqlite use ``qmark`` (?). Passing the wrong
+    style leaves literal tokens in the SQL, so it is an explicit arg."""
+    if paramstyle == "qmark":
+        return "?"
+    if paramstyle == "format":
+        return "%s"
+    raise ValueError(f"paramstyle must be qmark|format, got {paramstyle!r}")
+
+
 def upsert_statement(
     table: str,
     columns: list[str],
     key_cols: list[str],
     dialect: str = "postgresql",
+    paramstyle: str = "qmark",
 ) -> str:
     """INSERT ... upsert for one row (parameter placeholders).
 
     postgresql → ``ON CONFLICT (pk) DO UPDATE``; mysql → ``ON DUPLICATE
-    KEY UPDATE``; ansi → MERGE.
+    KEY UPDATE``; ansi → MERGE. Set ``paramstyle='format'`` for
+    psycopg2/pymysql (%s placeholders).
     """
     collist = ", ".join(columns)
-    params = ", ".join("?" for _ in columns)
+    ph = _placeholder(paramstyle)
+    params = ", ".join(ph for _ in columns)
     non_key = [c for c in columns if c not in key_cols]
     if dialect == "postgresql":
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
@@ -47,7 +61,7 @@ def upsert_statement(
     if dialect == "ansi":
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
         sets = ", ".join(f"{c} = s.{c}" for c in non_key)
-        src_cols = ", ".join(f"? AS {c}" for c in columns)
+        src_cols = ", ".join(f"{ph} AS {c}" for c in columns)
         ins_vals = ", ".join(f"s.{c}" for c in columns)
         return (
             f"MERGE INTO {table} t USING (SELECT {src_cols}) s ON {on} "
@@ -57,9 +71,12 @@ def upsert_statement(
     raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
 
 
-def delete_statement(table: str, key_cols: list[str]) -> str:
+def delete_statement(
+    table: str, key_cols: list[str], paramstyle: str = "qmark"
+) -> str:
     """DELETE for one key (``delete.enabled: true``, README.md:793)."""
-    cond = " AND ".join(f"{c} = ?" for c in key_cols)
+    ph = _placeholder(paramstyle)
+    cond = " AND ".join(f"{c} = {ph}" for c in key_cols)
     return f"DELETE FROM {table} WHERE {cond}"
 
 
@@ -70,6 +87,7 @@ def write_batch(
     key_cols: list[str],
     dialect: str = "postgresql",
     batch_size: int = 1000,
+    paramstyle: str = "qmark",
 ) -> tuple[int, int]:
     """Apply one LWW-compacted micro-batch to an RDBMS: upserts for live
     rows, deletes for tombstones. Returns (n_upserts, n_deletes).
@@ -92,12 +110,13 @@ def write_batch(
         cur = conn.cursor()
         for i in range(0, len(live), batch_size):
             cur.executemany(
-                upsert_statement(table, data_cols, key_cols, dialect),
+                upsert_statement(table, data_cols, key_cols, dialect, paramstyle),
                 live[i : i + batch_size],
             )
         for i in range(0, len(dead), batch_size):
             cur.executemany(
-                delete_statement(table, key_cols), dead[i : i + batch_size]
+                delete_statement(table, key_cols, paramstyle),
+                dead[i : i + batch_size],
             )
         conn.commit()
     finally:

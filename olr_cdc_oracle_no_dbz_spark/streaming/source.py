@@ -179,7 +179,9 @@ def read_kafka_change_stream(
         F.col("key").cast("string").alias("_key"),
         F.col("value").cast("string").alias("value"),
     )
-    return decode_events(raw, schema)
+    # the Kafka record key (the PK per pk.mode: record_key) survives
+    # next to the envelope as `_key`
+    return decode_events(raw, schema, passthrough_cols=("_key",))
 
 
 def encode_events(df: DataFrame, key_col: str = "id") -> DataFrame:

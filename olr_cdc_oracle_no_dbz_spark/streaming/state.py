@@ -68,8 +68,14 @@ class ParquetStateTable:
         )
 
     def _bucket_col(self) -> F.Column:
+        # keys are string-normalized before hashing: xxhash64(int 5) !=
+        # xxhash64(bigint 5), so a K5 type widening of a key column would
+        # otherwise hash existing keys into different buckets and bypass
+        # the SCN/tombstone guard. cast-to-string is stable across the
+        # int-family widenings schema evolution performs.
         return F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+            F.xxhash64(*[F.col(c).cast("string") for c in self.key_cols]),
+            F.lit(self.n_buckets),
         ).cast("int")
 
     def read_internal(self, buckets: list[int] | None = None) -> DataFrame | None:
@@ -99,9 +105,15 @@ class ParquetStateTable:
         if not self.exists():
             merged = compacted
         else:
-            # touched-bucket list is ≤ n_buckets ints — a bounded collect
+            # touched buckets come from the RAW delta keys (cheap partial-
+            # agg distinct), not from `compacted` — evaluating compacted
+            # here would run the LWW compaction twice per batch (once for
+            # this collect, again inside the merge plan)
             touched = [
-                r[0] for r in compacted.select(_BUCKET).distinct().collect()
+                r[0]
+                for r in delta.select(self._bucket_col().alias(_BUCKET))
+                .distinct()
+                .collect()
             ]
             state = self.read_internal(buckets=touched)
             merged = merge_into_state(

@@ -39,12 +39,16 @@ def _update_profile(
     for pdf in pdfs:
         if pdf.empty:
             continue
-        pdf = pdf.sort_values("ts")
         n += len(pdf)
         total += float(pdf["value"].sum())
-        last_v = float(pdf["value"].iloc[-1])
-        ts = pdf["ts"].iloc[-1]
-        last_ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        # "last" is by EVENT TIME, not arrival order: a late event (or an
+        # earlier Arrow chunk holding the max ts) must not regress state
+        idx = pdf["ts"].idxmax()
+        ts = pdf["ts"].loc[idx]
+        ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        if last_ts is None or ts >= last_ts:
+            last_ts = ts
+            last_v = float(pdf["value"].loc[idx])
     state.update((n, total, last_v, last_ts))
     yield pd.DataFrame(
         {

@@ -732,10 +732,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-count language guess — all single-pass map-side
     expressions, no shuffle at all."""
     d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size("w")
-    n_stop = F.size(F.array_intersect("w", stop_arr).cast("array<string>"))
-    # array_intersect dedups — count multiplicity with filter instead
+    # F.filter keeps multiplicity (array_intersect would dedup)
     n_stop = F.size(F.filter("w", lambda x: x.isin(*_STOPWORDS)))
     stop_ratio = n_stop.cast("double") / n_words
     return d.select(

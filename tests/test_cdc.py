@@ -241,6 +241,9 @@ def test_wider_type_lattice():
     assert _wider_type("decimal(10,2)", "decimal(12,4)", "c") == "decimal(12,4)"
     assert _wider_type("decimal(10,2)", "int", "c") == "decimal(22,2)"
     assert _wider_type("decimal(10,2)", "double", "c") == "double"
+    # float's 24-bit mantissa cannot hold int/bigint: must widen to double
+    assert _wider_type("bigint", "float", "c") == "double"
+    assert _wider_type("int", "float", "c") == "double"
     with pytest.raises(TypeError):
         _wider_type("int", "array<int>", "c")
 

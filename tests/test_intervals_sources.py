@@ -168,3 +168,15 @@ def test_running_profile_accumulates_across_restarts(spark, tmp_path):
     assert second["a"]["total_value"] == 13.0
     assert second["a"]["last_value"] == 10.0
     assert second["a"]["last_ts"] == datetime.datetime(2026, 1, 1, 0, 0, 9)
+
+    # a LATE event (older ts) must count but NOT regress last_value/ts
+    write_tx_file(
+        src,
+        "b3.json",
+        ['{"key": "a", "ts": "2026-01-01 00:00:04", "value": 99.0}'],
+    )
+    third = run()
+    assert third["a"]["n_events"] == 4
+    assert third["a"]["total_value"] == 112.0
+    assert third["a"]["last_value"] == 10.0  # event-time last, not arrival
+    assert third["a"]["last_ts"] == datetime.datetime(2026, 1, 1, 0, 0, 9)

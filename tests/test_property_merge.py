@@ -102,8 +102,16 @@ def test_upsert_statement_dialects():
     assert delete_statement("products", ["id"]) == (
         "DELETE FROM products WHERE id = ?"
     )
+    # psycopg2/pymysql use the `format` paramstyle — %s placeholders
+    pg_fmt = upsert_statement("p", ["id", "name"], ["id"], "postgresql", "format")
+    assert "VALUES (%s, %s)" in pg_fmt and "?" not in pg_fmt
+    assert delete_statement("p", ["id"], "format") == (
+        "DELETE FROM p WHERE id = %s"
+    )
     with pytest.raises(ValueError):
         upsert_statement("t", ["id"], ["id"], "oracle9i")
+    with pytest.raises(ValueError):
+        upsert_statement("t", ["id"], ["id"], "postgresql", "pyformat")
 
 
 def test_write_batch_upsert_delete_idempotent_on_duckdb(spark):

@@ -47,6 +47,19 @@ def test_salted_join_spreads_hot_key(spark):
     assert "__salt" not in out.columns
 
 
+def test_salted_join_rejects_dim_preserving_joins(spark):
+    """Right/full outer would emit one null-extended row PER SALT for an
+    unmatched dim key — rejected rather than silently wrong."""
+    import pytest
+
+    facts = spark.createDataFrame([("a", 1)], "k string, v int")
+    dim = spark.createDataFrame([("b", "B")], "k string, label string")
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "k", how="right")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed identically on the join key join with ZERO
     Exchange operators — the pre-shuffled co-located join that makes
