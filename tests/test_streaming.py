@@ -368,6 +368,94 @@ def test_snapshot_bootstrap_then_stream(spark, tmp_path):
         state.bootstrap(snapshot)  # bootstrap after first write refused
 
 
+def test_stream_equals_batch_materialization_end_to_end(spark, tmp_path):
+    """The full streaming pipeline (file source → decode → unwrap →
+    bucketed state, drained in 4 separate checkpointed runs) must land
+    on exactly the state the one-shot batch materializer computes from
+    the same 24 events — the merge-algebra property, proven through the
+    real streaming surfaces."""
+    import json
+    import random
+
+    from olr_cdc_oracle_no_dbz_spark.cdc.decode import (
+        decode_events,
+        unwrap,
+    )
+    from olr_cdc_oracle_no_dbz_spark.cdc.materialize import materialize_state
+
+    rng = random.Random(20260813)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+
+    events = []
+    for scn in range(1, 25):
+        key = rng.randint(1, 5)
+        op = rng.choice(["c", "u", "u", "d"])
+        img = product_row(key, f"P{key}", stock=scn)
+        events.append(
+            event(scn, op, after=None if op == "d" else img,
+                  before=img if op != "c" else None)
+        )
+    # 4 files of 6 events, drained in 4 separate runs (restart each time)
+    for i in range(4):
+        write_tx_file(src, f"b{i}.json", events[i * 6 : (i + 1) * 6])
+        _run(spark, src, state, ckpt)
+
+    streamed = {
+        r["id"]: (r["stock"], r["__deleted"])
+        for r in state.current("rewrite").collect()
+    }
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events], "value string")
+    oneshot = {
+        r["id"]: (r["stock"], r["__deleted"])
+        for r in materialize_state(
+            unwrap(decode_events(raw)), delete_mode="rewrite"
+        ).collect()
+    }
+    assert streamed == oneshot
+
+
+def test_streaming_hopping_window(spark, tmp_path):
+    """A6 in streaming mode: 10-minute windows advancing by 5 — each
+    event lands in exactly two windows."""
+    from olr_cdc_oracle_no_dbz_spark.streaming import hopping_agg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_tx_file(
+        src,
+        "b1.json",
+        [
+            '{"k": "a", "ts": "2026-01-01 00:07:00"}',
+            '{"k": "a", "ts": "2026-01-01 02:00:00"}',  # advances watermark
+        ],
+    )
+    stream = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.from_json("value", "k string, ts timestamp").alias("e"))
+        .select("e.*")
+    )
+    agg = hopping_agg(stream, "ts", "10 minutes", "5 minutes",
+                      watermark="30 minutes")
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    starts = sorted(
+        r["window_start"].strftime("%H:%M")
+        for r in spark.read.parquet(out).collect()
+        if r["window_start"].hour == 0
+    )
+    assert starts == ["00:00", "00:05"]  # the 00:07 event in both hops
+
+
 def test_current_before_any_batch_raises(spark, tmp_path):
     state = ParquetStateTable(spark, str(tmp_path / "state"))
     with pytest.raises(FileNotFoundError):
