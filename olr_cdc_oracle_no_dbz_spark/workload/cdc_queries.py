@@ -165,3 +165,70 @@ def cdc_state_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("users"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "cdc_txn_summary",
+    oracle="""
+    WITH dml AS (
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS xid,
+               CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error'  THEN 'd'
+                    ELSE 'u' END AS op,
+               event_id AS scn
+        FROM events
+    ),
+    cm AS (
+        SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS xid,
+               'commit' AS op, 2000000 + user_id AS scn
+        FROM events WHERE user_id % 2 = 0
+    ),
+    env AS (SELECT * FROM dml UNION ALL SELECT * FROM cm)
+    SELECT xid,
+           SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS n_inserts,
+           SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS n_updates,
+           SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS n_deletes,
+           MIN(scn) AS first_scn,
+           MAX(scn) AS last_scn,
+           MAX(CASE WHEN op = 'commit' THEN 1 ELSE 0 END) = 1 AS committed
+    FROM env GROUP BY xid
+    """,
+)
+def cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction grouping audit (SURVEY.md §2 A2 through the driver
+    gate): events synthesized into per-user transactions (commit markers
+    present for even user_ids only), summarized by the engine's
+    ``transaction_summary`` — op counts, scn span, committed flag."""
+    from olr_cdc_oracle_no_dbz_spark.cdc.transactions import (
+        transaction_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    xid = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    dml = ev.select(xid.alias("xid"), op.alias("op"),
+                    F.col("event_id").cast("long").alias("scn"))
+    commits = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .select(
+            xid.alias("xid"),
+            F.lit("commit").alias("op"),
+            (F.col("user_id").cast("long") + 2_000_000).alias("scn"),
+        )
+        .distinct()
+    )
+    # cast count sums to long-compatible ints on both engines
+    out = transaction_summary(dml.unionByName(commits))
+    return out.select(
+        "xid",
+        F.col("n_inserts").cast("long").alias("n_inserts"),
+        F.col("n_updates").cast("long").alias("n_updates"),
+        F.col("n_deletes").cast("long").alias("n_deletes"),
+        "first_scn",
+        "last_scn",
+        "committed",
+    )

@@ -8,7 +8,7 @@ Catalyst provides pushdown/pruning; dimension joins are broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.workload import register
@@ -143,6 +143,48 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "rk",
         )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               row_number() OVER (
+                   ORDER BY {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+                            DESC, c.c_custkey) AS rk
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) WHERE rk <= 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): selective fact
+    filter → star join (both dims broadcast) → group-agg → distributed
+    top-20 (orderBy+limit compiles to TakeOrderedAndProject; the
+    custkey tie-break keeps the cut deterministic)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.alias("revenue"))
+    )
+    top = agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "c_custkey", "c_name", "n_name", "revenue", "rk"
     )
 
 
