@@ -27,6 +27,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary", # scan+agg throughput
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",  # multi-way broadcast star join
+    "tpch_q4_order_priority",  # EXISTS → left-semi join
+    "tpch_q13_customer_distribution",  # outer join + double aggregation
+    "tpch_q18_large_orders",   # HAVING group-filter + join-back
     "agg_basic",               # groupBy agg catalog
     "window_tumbling",         # A5 windowed agg
     "window_session",          # A7 session windows
