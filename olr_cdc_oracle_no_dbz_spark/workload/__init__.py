@@ -54,6 +54,7 @@ def _load_all() -> None:
     from olr_cdc_oracle_no_dbz_spark.workload import (  # noqa: F401
         aggregates,
         cdc_queries,
+        events_analytics,
         ext_queries,
         joins,
         scalars,

@@ -241,3 +241,44 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+           sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_value,
+           (CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (VARIANCE/STDDEV family of the A4 catalog)
+    computed from exact decimal power sums: built-in stddev_samp streams
+    doubles in partition order (order-dependent result, would fail the
+    differential hash), so variance is assembled as
+    (S2 - S1^2/n)/(n-1) from two exact decimal sums — bit-deterministic
+    on both engines, still one shuffle with map-side partials."""
+    ev = t(spark, sf_dir, "events")
+    s1 = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast("double")
+    n = F.count("*")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (s1 / F.count("value")).alias("mean_value"),
+        F.sqrt(var).alias("stddev_value"),
+        var.alias("var_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1,0 +1,111 @@
+"""Event-stream analytics queries over the ``events`` table.
+
+The reference's ksqlDB role is continuous queries over an event stream
+(SURVEY.md §2.4/§2.8); these are the batch-expressible product-analytics
+shapes a user of that surface runs daily — funnel conversion and cohort
+retention — built from conditional aggregation and month-bucketed
+self-derived dimensions (no self-joins over the raw fact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import t
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+               MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+           SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_click_after,
+           SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS n_purchase_after
+    FROM stages
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion (signup → first click → first purchase, in
+    order): one pass of conditional MIN per user, then a global count —
+    two shuffles total, never a per-stage self-join of the fact. Strict
+    timestamp comparisons are safe cross-engine because the testdata
+    carries no sub-microsecond precision (verified) and the ns→µs decode
+    is lossless."""
+    ev = t(spark, sf_dir, "events")
+
+    def stage_min(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        stage_min("signup").alias("t_signup"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(as_int(F.col("t_signup").isNotNull())).alias("n_signup"),
+        F.sum(as_int(F.col("t_click") > F.col("t_signup"))).alias("n_click_after"),
+        F.sum(
+            as_int(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup"))
+            )
+        ).alias("n_purchase_after"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first_ev AS (
+        SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month
+        FROM events
+    )
+    SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+           (EXTRACT(year FROM a.act_month) * 12 + EXTRACT(month FROM a.act_month))
+           - (EXTRACT(year FROM f.cohort_month) * 12 + EXTRACT(month FROM f.cohort_month))
+             AS month_offset,
+           COUNT(*) AS active_users
+    FROM first_ev f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: cohort = month of a user's first
+    event; one (user, month) distinct pass; both sides shuffle on
+    user_id once and the final agg is tiny. Month arithmetic is integer
+    (year*12+month), identical on both engines — no months_between
+    floats."""
+    ev = t(spark, sf_dir, "events")
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("act_month")
+    ).distinct()
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        first_ev.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            (mnum(F.col("act_month")) - mnum(F.col("cohort_month"))).alias(
+                "month_offset"
+            ),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

@@ -221,3 +221,33 @@ def window_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           row_number()   OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (W2: NTILE/PERCENT_RANK/CUME_DIST)
+    partitioned by event_type with a unique (value, event_id) total
+    order — the ranks are integer-ratio doubles, deterministic
+    cross-engine. Per-key partitions keep the window bounded (no global
+    single-task sort)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
