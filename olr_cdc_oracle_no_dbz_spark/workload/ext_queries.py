@@ -992,3 +992,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes long, fake_width long, fake_height long, "
         "checksum long, resized_width long, resized_height long",
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT CASE
+             WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars)
+             AS avg_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+    ) GROUP BY 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) for a training-data
+    pipeline: the split is a pure function of doc_id via an md5 bucket,
+    so it is stable across runs, engines, and cluster sizes — never a
+    random() sample (unreproducible) and never an ORDER BY row_number
+    (global sort). md5 is the cross-engine hash (Spark xxhash64 and
+    DuckDB hash() disagree); first 8 hex chars → 32-bit int → mod 100."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+                / F.count("n_chars")
+            ).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
