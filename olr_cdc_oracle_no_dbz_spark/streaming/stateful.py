@@ -89,4 +89,72 @@ def running_profile(
     )
 
 
-__all__: list[Any] = ["running_profile", "RUNNING_PROFILE_SCHEMA"]
+try:  # Spark 4 transformWithState API (requires the RocksDB state store)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SCNDedupe(StatefulProcessor):
+        """Per-key at-least-once → exactly-once filter (ST3 as a stream
+        operator): keeps the max applied SCN per key in a ValueState and
+        passes through only events with a strictly higher SCN, so
+        redelivered or out-of-order duplicates never reach the sink.
+        The same guard the batch merge applies (cdc/materialize.py),
+        lifted into the state store for pipelines whose sink is not a
+        keyed table (e.g. a Kafka changelog relay, K1)."""
+
+        def __init__(self, columns: list[str]) -> None:
+            self._columns = columns
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max_scn = handle.getValueState("max_scn", "max_scn long")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            prev = self._max_scn.get()[0] if self._max_scn.exists() else -1
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            if not chunks:
+                return
+            batch = pd.concat(chunks, ignore_index=True)
+            fresh = (
+                batch[batch["scn"] > prev]
+                .sort_values("scn")
+                .drop_duplicates(subset=["scn"], keep="first")
+            )
+            if fresh.empty:
+                return
+            self._max_scn.update((int(fresh["scn"].max()),))
+            yield fresh[self._columns]
+
+        def close(self) -> None:
+            pass
+
+    def dedupe_redelivery(
+        stream: DataFrame, key_col: str = "key", scn_col: str = "scn"
+    ) -> DataFrame:
+        """Exactly-once idempotent apply over an at-least-once feed.
+
+        Built on ``transformWithStateInPandas`` (Spark 4): per-key
+        ValueState holds the high-water SCN; duplicates and stale
+        redeliveries are dropped inside the state store, surviving
+        restarts via the checkpoint. Output schema == input schema.
+        """
+        from pyspark.sql import functions as F
+
+        normalized = stream.withColumn("key", F.col(key_col).cast("string"))
+        if scn_col != "scn":
+            normalized = normalized.withColumn("scn", F.col(scn_col).cast("long"))
+        cols = [f.name for f in normalized.schema.fields]
+        out_schema = normalized.schema
+        return normalized.groupBy("key").transformWithStateInPandas(
+            statefulProcessor=_SCNDedupe(cols),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    _TWS = ["dedupe_redelivery"]
+except ImportError:  # pragma: no cover - older Spark without the API
+    _TWS = []
+
+__all__: list[Any] = ["running_profile", "RUNNING_PROFILE_SCHEMA", *_TWS]

@@ -460,3 +460,113 @@ def test_current_before_any_batch_raises(spark, tmp_path):
     state = ParquetStateTable(spark, str(tmp_path / "state"))
     with pytest.raises(FileNotFoundError):
         state.current()
+
+
+def _has_protobuf() -> bool:
+    try:  # the transformWithState Python runner requires protobuf
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in this env)",
+)
+def test_scn_dedupe_exactly_once_across_restart(spark, tmp_path):
+    """ST3 via the Spark 4 transformWithState API: per-key high-water
+    SCN state drops redelivered and stale events, including across a
+    stop/restart on the same checkpoint (state store continuity)."""
+    from olr_cdc_oracle_no_dbz_spark.streaming.stateful import dedupe_redelivery
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    schema = "key string, scn long, payload string"
+    collected: list[tuple] = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(src)
+        out = dedupe_redelivery(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _: collected.extend(
+                    (r["key"], r["scn"], r["payload"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_tx_file(
+        src,
+        "b1.json",
+        [
+            {"key": "a", "scn": 100, "payload": "a100"},
+            {"key": "a", "scn": 101, "payload": "a101"},
+            {"key": "b", "scn": 50, "payload": "b50"},
+        ],
+    )
+    drain()
+    assert sorted(collected) == [("a", 100, "a100"), ("a", 101, "a101"), ("b", 50, "b50")]
+
+    collected.clear()
+    write_tx_file(
+        src,
+        "b2.json",
+        [
+            {"key": "a", "scn": 100, "payload": "dup"},       # redelivery
+            {"key": "a", "scn": 95, "payload": "stale"},      # out-of-order
+            {"key": "a", "scn": 102, "payload": "a102"},      # fresh
+            {"key": "a", "scn": 102, "payload": "dup-in-batch"},
+            {"key": "b", "scn": 50, "payload": "dup"},
+        ],
+    )
+    drain()
+    assert collected == [("a", 102, "a102")]
+
+
+def test_scn_dedupe_processor_logic():
+    """The _SCNDedupe processor logic itself (no streaming runtime):
+    stale, duplicate, and in-batch-duplicate rows are dropped; the
+    high-water mark advances and persists in the ValueState."""
+    import pandas as pd
+
+    from olr_cdc_oracle_no_dbz_spark.streaming.stateful import _SCNDedupe
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = _SCNDedupe(["key", "scn", "payload"])
+    proc._max_scn = FakeState()
+
+    b1 = pd.DataFrame(
+        {"key": ["a"] * 3, "scn": [100, 101, 100], "payload": ["x", "y", "dup"]}
+    )
+    out1 = pd.concat(list(proc.handleInputRows(("a",), iter([b1]), None)))
+    assert list(out1["scn"]) == [100, 101]
+    assert proc._max_scn.get() == (101,)
+
+    b2 = pd.DataFrame(
+        {"key": ["a"] * 3, "scn": [95, 101, 102], "payload": ["stale", "dup", "z"]}
+    )
+    out2 = pd.concat(list(proc.handleInputRows(("a",), iter([b2]), None)))
+    assert list(out2["scn"]) == [102]
+    assert proc._max_scn.get() == (102,)
+
+    # all-duplicate batch emits nothing and leaves state untouched
+    out3 = list(proc.handleInputRows(("a",), iter([b2]), None))
+    assert out3 == []
+    assert proc._max_scn.get() == (102,)
