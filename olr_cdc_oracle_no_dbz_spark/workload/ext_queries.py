@@ -1043,3 +1043,126 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_sql_shingles(3)}),
+    mh AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(substr(md5(s || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+                   for i in range(16)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band_hash "
+            f"FROM mh"
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+        GROUP BY c.a_id, c.b_id
+    ),
+    pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a_id
+        JOIN sizes zb ON zb.doc_id = i.b_id
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM verts
+        UNION
+        SELECT e.d AS doc, r.root FROM reach r JOIN edges e ON e.s = r.doc
+    )
+    SELECT doc AS doc_id, MIN(root) AS cluster_id, COUNT(*) OVER () AS n_clustered
+    FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the verified
+    MinHash-LSH duplicate pairs, so each duplicate group gets one
+    canonical id (the component's min doc_id) — the step that turns
+    pair detection into an actual keep-one-per-group dedup policy.
+
+    Distributed min-label propagation: labels start as own doc_id; each
+    round every vertex takes the min of its own and its neighbors'
+    labels. Rounds are whole-graph shuffles on the PAIR graph only (a
+    tiny fraction of the corpus — only docs with a verified dup), and
+    the loop converges in O(component diameter) rounds (near-dup
+    clusters are shallow; capped at 20). ``localCheckpoint`` truncates
+    the growing lineage each round so the plan stays bounded; the only
+    driver-side data is the per-round convergence count. For graphs
+    with adversarially long chains, switch to the large-star/small-star
+    contraction (same join primitives, O(log n) rounds).
+
+    DuckDB oracle: recursive CTE transitive closure with MIN(root) —
+    identical fixpoint by construction."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+    edges = pairs.selectExpr("a_id AS s", "b_id AS d").unionAll(
+        pairs.selectExpr("b_id AS s", "a_id AS d")
+    )
+    edges = edges.localCheckpoint(eager=True)  # pair pipeline runs once
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges["s"] == labels["doc_id"])
+            .groupBy(F.col("d").alias("nd"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["nd"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(Window.partitionBy()).alias("n_clustered"),
+    )
