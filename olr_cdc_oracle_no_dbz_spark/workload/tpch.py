@@ -484,32 +484,39 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity",
     oracle=f"""
-    WITH part_avg AS (
+    WITH brand_li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+    ),
+    part_avg AS (
         SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS avg_qty
-        FROM lineitem GROUP BY l_partkey
+        FROM brand_li GROUP BY l_partkey
     )
     SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
            COUNT(*) AS n_rows
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
+    FROM brand_li l
     JOIN part_avg a ON a.pk = l.l_partkey
-    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.3 * a.avg_qty
+    WHERE l.l_quantity < 0.3 * a.avg_qty
     """,
 )
 def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 shape): the classic
     correlated AVG subquery, decorrelated into a per-part aggregate
-    joined back to the fact — two passes over lineitem, no per-row
-    subquery execution. The brand filter broadcasts; the avg side
-    shuffles once on partkey."""
+    joined back to the fact. The broadcast brand filter is applied
+    BEFORE the avg pass, so the partkey shuffle carries only the
+    filtered brand's lineitems (~1/25 of the fact at 100 TB), not the
+    whole table — per-part averages are identical either way."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    brand_li = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
         davg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        brand_li.join(part_avg, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.3 * F.col("avg_qty"))
         .agg(
             (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),

@@ -239,8 +239,11 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (W2: NTILE/PERCENT_RANK/CUME_DIST)
     partitioned by event_type with a unique (value, event_id) total
     order — the ranks are integer-ratio doubles, deterministic
-    cross-engine. Per-key partitions keep the window bounded (no global
-    single-task sort)."""
+    cross-engine. Parallelism is bounded by the partition-key
+    cardinality; that is inherent to exact per-type ranks (the whole
+    type must sort together). At 100 TB the right tool for this
+    question is an approximate per-type quantile sketch — a different,
+    deliberately-not-this operator."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select(
