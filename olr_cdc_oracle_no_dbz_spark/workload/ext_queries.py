@@ -1166,3 +1166,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count("*").over(Window.partitionBy()).alias("n_clustered"),
     )
+
+
+@register(
+    "corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_words >= 20
+          AND CAST(n_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 12.0
+    ),
+    deduped AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS doc_id,
+               MIN(lang) AS lang, MIN(n_words) AS n_words,
+               MIN(n_chars) AS n_chars
+        FROM kept GROUP BY md5(text)
+    )
+    SELECT CASE
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars)
+             AS avg_chars
+    FROM deduped GROUP BY 1, 2
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus preparation — the end-to-end shape a training-data
+    pipeline actually runs: quality gate (length + chars-per-word band)
+    → exact dedup (md5 groupBy, keep lowest doc_id) → deterministic
+    train/val/test split → per-(split, lang) token accounting. Single
+    linear flow, two shuffles (dedup hash, final rollup); every stage is
+    the registered standalone operator's logic inlined, so the composed
+    plan stays whole-stage-codegen end to end."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    cpw = F.col("n_chars").cast("double") / F.col("n_words")
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & (cpw >= 3.0) & (cpw <= 12.0)
+    )
+    deduped = kept.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_words").alias("n_words"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return deduped.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+    )
