@@ -77,3 +77,31 @@ def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
     """Read back a bucketed table (bucket metadata comes from the
     catalog, which is what makes the exchange-free plan possible)."""
     return spark.table(table)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table range-partitioned and sorted by ``sort_cols`` —
+    the clustered data layout (z-order-lite) for consumers that filter
+    or merge on those columns.
+
+    ``repartitionByRange`` samples the key distribution so output files
+    hold disjoint, balanced key ranges; ``sortWithinPartitions`` makes
+    each file internally ordered. Parquet then stores tight min/max
+    stats per file and row group, so a later range filter on the sort
+    key prunes whole files before reading a byte — the layout-level
+    complement of predicate pushdown, and the batch analog of the
+    reference's SCN-ordered topic segments. At 100 TB, re-clustering by
+    the dominant query key is routinely a 10-100x scan saver."""
+    (
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )

@@ -95,3 +95,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE bt CASCADE")
+
+
+def test_write_range_sorted_layout(spark, tmp_path):
+    """Range-sorted layout: files hold disjoint key ranges (parquet
+    min/max footers prove it) and rows are sorted within each file, so
+    range filters prune whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from olr_cdc_oracle_no_dbz_spark.scale import write_range_sorted
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    write_range_sorted(df, out, ["k"], n_partitions=8)
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        stats = [md.row_group(g).column(ki).statistics for g in range(md.num_row_groups)]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    assert len(spans) >= 4  # actually range-partitioned
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint file key ranges
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    one = back.filter((F.col("k") >= 100) & (F.col("k") < 200))
+    assert one.count() == df.filter((F.col("k") >= 100) & (F.col("k") < 200)).count()
