@@ -282,3 +282,56 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {", ".join(
+               "CAST(SUM(CASE WHEN event_type = '" + et + "' "
+               "THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS DOUBLE) AS " + et
+               for et in ("click", "error", "purchase", "signup", "view")
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-day value sums spread across event-type columns.
+    The pivot values are declared explicitly — Spark otherwise runs a
+    blocking distinct scan over the fact to discover them, which at
+    100 TB is a full extra pass; with the list supplied the pivot is a
+    single conditional aggregation, identical to the CASE form."""
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"))
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS median_value,
+           quantile_cont(value, 0.95) AS p95_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_CONT (median + p95) per group: both engines sort
+    the group and linearly interpolate at pos = q*(n-1) with the same
+    IEEE arithmetic, so exact percentiles hash-match (unlike streaming
+    float sums). Exact percentiles need the group's values together —
+    per-key parallelism, the inherent cost of exactness; the approximate
+    path at 100 TB is percentile_approx/t-digest, a different
+    operator."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value"),
+        F.percentile("value", 0.95).alias("p95_value"),
+        F.count("*").alias("n"),
+    )
