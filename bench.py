@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",       # ext: banded LSH near-dup
     "ann_topk_bruteforce",     # ext: broadcast k-NN
     "text_tfidf_top_terms",    # ext: text analysis
+    "corpus_pipeline",         # ext: composed quality→dedup→split flow
 ]
 
 
