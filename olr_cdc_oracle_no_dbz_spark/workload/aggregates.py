@@ -335,3 +335,36 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.95).alias("p95_value"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT event_type, day, COUNT(*) AS cnt, {sql_dsum('value')} AS sum_value,
+           GROUPING(event_type, day) AS gid
+    FROM (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (A9 beyond rollup/cube) with
+    ``grouping_id`` disambiguating aggregation levels — one Expand +
+    one shuffle for all three levels, not three scans. gid bit order
+    matches DuckDB's GROUPING(event_type, day)."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return base.groupingSets(
+        [["event_type", "day"], ["event_type"], []], "event_type", "day"
+    ).agg(
+        F.count("*").alias("cnt"),
+        dsum("value").alias("sum_value"),
+        F.grouping_id().alias("gid"),
+    )

@@ -570,3 +570,60 @@ def test_scn_dedupe_processor_logic():
     out3 = list(proc.handleInputRows(("a",), iter([b2]), None))
     assert out3 == []
     assert proc._max_scn.get() == (102,)
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup (the zero-custom-code complement of
+    dedupe_redelivery): dropDuplicatesWithinWatermark on the event key
+    drops exact redeliveries that arrive within the watermark window,
+    including across micro-batches (state retained per key)."""
+    import json
+    import os
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    collected: list[tuple] = []
+
+    def write(name, rows):
+        os.makedirs(src, exist_ok=True)
+        tmp = os.path.join(src, name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(src, name))
+
+    write(
+        "b1.json",
+        [
+            {"k": "a-100", "ts": "2026-01-01 00:00:00", "payload": "first"},
+            {"k": "a-100", "ts": "2026-01-01 00:00:01", "payload": "dup-in-batch"},
+            {"k": "b-50", "ts": "2026-01-01 00:00:02", "payload": "b"},
+        ],
+    )
+    write(
+        "b2.json",
+        [
+            {"k": "a-100", "ts": "2026-01-01 00:00:03", "payload": "dup-next-batch"},
+            {"k": "c-7", "ts": "2026-01-01 00:00:04", "payload": "c"},
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _: collected.extend((r["k"], r["payload"]) for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = dict(collected)
+    assert sorted(got) == ["a-100", "b-50", "c-7"]
+    assert got["a-100"] == "first"  # both later redeliveries dropped
