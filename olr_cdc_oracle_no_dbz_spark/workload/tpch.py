@@ -732,3 +732,51 @@ def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH assoc AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size >= 40 AND p.p_type = 'STANDARD'
+    ),
+    ranked AS (
+        SELECT a.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+               row_number() OVER (PARTITION BY a.l_partkey
+                                  ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        FROM assoc a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM ranked WHERE rn = 1
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-supplier-per-part (TPC-H Q2 essence; the testdata has no
+    partsupp, so the part↔supplier association is derived from shipped
+    lineitems): per-group argmin via a bounded per-part window with a
+    suppkey tie-break. The window partitions on partkey (millions of
+    small partitions at scale, never a global sort); the part filter
+    broadcasts before the fact is touched."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "STANDARD")
+    )
+    s = t(spark, sf_dir, "supplier")
+    assoc = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        assoc.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+        )
+    )
