@@ -917,62 +917,40 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode_batches(batches):
-    """Deterministic stand-in for an image/audio decoder (the real codec
-    libraries are not in this container — SURVEY.md §2.10 mandates the
-    Spark-side plumbing be real and the decode stubbed). Derives fake
-    width/height/duration from the first bytes, like a header parse."""
-    for pdf in batches:
-        raw = pdf["content"]
-        out = pdf[["doc_id"]].copy()
-        out["n_bytes"] = raw.str.len()
-        out["fake_width"] = raw.str[0:1].apply(
-            lambda b: (b[0] % 64) + 1 if len(b) else 0
-        )
-        out["fake_height"] = raw.str[1:2].apply(
-            lambda b: (b[0] % 48) + 1 if len(b) else 0
-        )
-        out["checksum"] = raw.apply(lambda b: int(sum(b[:16])))
-        # resize step (stub): clamp to a 32x24 thumbnail box preserving
-        # the byte-derived aspect, like a real thumbnailer would
-        out["resized_width"] = out["fake_width"].clip(upper=32)
-        out["resized_height"] = out["fake_height"].clip(upper=24)
-        yield out
-
-
-def _frame_sample_batches(batches):
-    """Frame sampling stub: chunk the binary payload into fixed 32-byte
-    'frames' and keep every 4th — the video-frame-sampling shape (the
-    real codec is NotImplemented in this container; SURVEY.md §2.10
-    mandates real Spark plumbing + stubbed decode)."""
-    frame_len, stride = 32, 4
-    for pdf in batches:
-        out_doc, out_idx, out_ck = [], [], []
-        for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
-            frames = [
-                raw[o : o + frame_len] for o in range(0, len(raw), frame_len)
-            ]
-            for i in range(0, len(frames), stride):
-                out_doc.append(doc_id)
-                out_idx.append(i)
-                out_ck.append(int(sum(frames[i])))
-        import pandas as pd
-
-        yield pd.DataFrame(
-            {"doc_id": out_doc, "frame_idx": out_idx, "frame_checksum": out_ck}
-        )
-
-
 @register("multimodal_frame_sample")  # rows-only: mapInPandas
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sample path: one input row fans out to N sampled
     frames (a mapInPandas 'table function'). Partition-local, no
     shuffle; output size is input/stride — the decimation a video
-    pipeline does before feature extraction."""
+    pipeline does before feature extraction. The sampler is a closure so
+    it pickles by value and workers never import this repo."""
+
+    def frame_sample_batches(batches):
+        # Frame sampling stub: chunk the binary payload into fixed
+        # 32-byte 'frames' and keep every 4th (the real codec is
+        # NotImplemented in this container; SURVEY.md §2.10 mandates
+        # real Spark plumbing + stubbed decode).
+        frame_len, stride = 32, 4
+        for pdf in batches:
+            out_doc, out_idx, out_ck = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+                frames = [
+                    raw[o : o + frame_len] for o in range(0, len(raw), frame_len)
+                ]
+                for i in range(0, len(frames), stride):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_ck.append(int(sum(frames[i])))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_checksum": out_ck}
+            )
+
     d = t(spark, sf_dir, "documents")
     binary_df = d.select("doc_id", F.col("text").cast("binary").alias("content"))
     return binary_df.mapInPandas(
-        _frame_sample_batches,
+        frame_sample_batches,
         schema="doc_id long, frame_idx long, frame_checksum long",
     )
 
@@ -984,11 +962,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema contract, batch iteration, partition preservation). The
     100 TB shape: decode is per-row CPU work with no shuffle — scales
     linearly with executors; batch size governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch."""
+    spark.sql.execution.arrow.maxRecordsPerBatch. The decoder is a
+    closure so it pickles by value (workers never import this repo)."""
+
+    def fake_decode_batches(batches):
+        # Deterministic stand-in for an image/audio decoder (codec libs
+        # are not in this container — SURVEY.md §2.10 mandates real
+        # plumbing, stubbed decode): header-parse-like fake dims, then a
+        # thumbnail clamp as the resize step.
+        for pdf in batches:
+            raw = pdf["content"]
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = raw.str.len()
+            out["fake_width"] = raw.str[0:1].apply(
+                lambda b: (b[0] % 64) + 1 if len(b) else 0
+            )
+            out["fake_height"] = raw.str[1:2].apply(
+                lambda b: (b[0] % 48) + 1 if len(b) else 0
+            )
+            out["checksum"] = raw.apply(lambda b: int(sum(b[:16])))
+            out["resized_width"] = out["fake_width"].clip(upper=32)
+            out["resized_height"] = out["fake_height"].clip(upper=24)
+            yield out
+
     d = t(spark, sf_dir, "documents")
     binary_df = d.select("doc_id", F.col("text").cast("binary").alias("content"))
     return binary_df.mapInPandas(
-        _fake_decode_batches,
+        fake_decode_batches,
         schema="doc_id long, n_bytes long, fake_width long, fake_height long, "
         "checksum long, resized_width long, resized_height long",
     )

@@ -21,17 +21,6 @@ from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.util import t
 
 
-def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group min-max normalization (the grouped-UDAF shape).
-    min/max are order-independent, so the result is deterministic under
-    any partitioning."""
-    lo, hi = pdf["value"].min(), pdf["value"].max()
-    span = hi - lo
-    out = pdf[["event_id", "event_type", "value"]].copy()
-    out["value_norm"] = 0.0 if span == 0 else (pdf["value"] - lo) / span
-    return out
-
-
 @register(
     "udaf_minmax_normalize",
     oracle="""
@@ -50,10 +39,24 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped Pandas UDAF via ``applyInPandas``: per-event-type min-max
     normalization. 100 TB shape: one shuffle on the group key, then
     Arrow-batched per-group compute on executors — same cost model as a
-    built-in window agg, but with arbitrary Python inside."""
+    built-in window agg, but with arbitrary Python inside.
+
+    The worker function is a closure (pickled BY VALUE): a module-level
+    def would pickle by reference and require every Python worker to
+    import this repo — which fails under a driver whose workers don't
+    share our sys.path."""
+
+    def minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # min/max are order-independent → deterministic under any partitioning
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        span = hi - lo
+        out = pdf[["event_id", "event_type", "value"]].copy()
+        out["value_norm"] = 0.0 if span == 0 else (pdf["value"] - lo) / span
+        return out
+
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(
-        _minmax_normalize,
+        minmax_normalize,
         schema="event_id long, event_type string, value double, value_norm double",
     )
 
