@@ -131,3 +131,42 @@ def test_write_range_sorted_layout(spark, tmp_path):
     assert back.count() == 10_000
     one = back.filter((F.col("k") >= 100) & (F.col("k") < 200))
     assert one.count() == df.filter((F.col("k") >= 100) & (F.col("k") < 200)).count()
+
+
+def test_salted_join_property(spark):
+    """Property: for ANY fact multiset (with duplicates and unmatched
+    keys), ANY dim assignment, and ANY salt count, salted_join ==
+    plain join for every fact-preserving join type."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from olr_cdc_oracle_no_dbz_spark.scale import salted_join
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        facts=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 99)),
+            min_size=1,
+            max_size=30,
+        ),
+        dim_keys=st.sets(st.integers(0, 4), max_size=5),
+        n_salts=st.integers(1, 6),
+        how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    )
+    def check(facts, dim_keys, n_salts, how):
+        fdf = spark.createDataFrame(
+            [(f"k{k}", v) for k, v in facts], "k string, v int"
+        )
+        ddf = spark.createDataFrame(
+            [(f"k{k}", f"L{k}") for k in sorted(dim_keys)] or [("__none__", "x")],
+            "k string, label string",
+        )
+        got = sorted(map(tuple, salted_join(fdf, ddf, "k", n_salts, how).collect()))
+        want = sorted(map(tuple, fdf.join(ddf, "k", how).collect()))
+        assert got == want
+
+    check()
