@@ -422,9 +422,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
-                AS DECIMAL(16,12)) AS cos_sim,
+                AS DECIMAL(16,8)) AS cos_sim,
            CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
-                AS DECIMAL(16,12)) >= CAST(0.4 AS DECIMAL(16,12)) AS is_near
+                AS DECIMAL(16,8)) >= CAST(0.4 AS DECIMAL(16,8)) AS is_near
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """,
 )
@@ -445,13 +445,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = e.alias("a"), e.alias("b")
-    # cos is emitted as DECIMAL(16,12): the exact-decimal dot product is
+    # cos is emitted as DECIMAL(16,8): the exact-decimal dot product is
     # engine-identical, but DuckDB's DECIMAL→DOUBLE cast is not correctly
-    # rounded, so raw doubles can differ in the last ulp — rounding to 12
-    # decimal places absorbs that deterministically.
+    # rounded, so raw doubles can differ in the last ulp. Rounding absorbs
+    # that — at 8 decimal places the chance of an ulp landing on a
+    # rounding boundary is ~1e-9 per value (12 places measurably hit one
+    # at sf0.1: 0.12768789025[5|6] flipped the final digit).
     cos = (
         _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
-    ).cast("decimal(16,12)")
+    ).cast("decimal(16,8)")
     return a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
@@ -460,7 +462,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("a_id"),
         F.col("b.vec_id").alias("b_id"),
         cos.alias("cos_sim"),
-        (cos >= F.lit("0.4").cast("decimal(16,12)")).alias("is_near"),
+        (cos >= F.lit("0.4").cast("decimal(16,8)")).alias("is_near"),
     )
 
 
@@ -481,7 +483,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
-                    AS DECIMAL(16,12)) AS cos_sim
+                    AS DECIMAL(16,8)) AS cos_sim
         FROM q JOIN e c ON c.vec_id <> q.vec_id
     )
     SELECT * FROM (
@@ -507,11 +509,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nsq").alias("qnsq"),
     )
-    # DECIMAL(16,12) cosine: absorbs DuckDB's non-correctly-rounded
+    # DECIMAL(16,8) cosine: absorbs DuckDB's non-correctly-rounded
     # DECIMAL→DOUBLE cast so ranks + hashes match bit-for-bit.
     cos = (
         _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
-    ).cast("decimal(16,12)")
+    ).cast("decimal(16,8)")
     scored = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
@@ -551,7 +553,7 @@ _IVF_K = 8  # centroid count; deterministic "training": first K vectors
                        PARTITION BY e.vec_id
                        ORDER BY CAST({_sql_dot("e.v", "cent.cv")}
                                 / (sqrt(e.nsq) * sqrt(cent.cnsq))
-                                AS DECIMAL(16,12)) DESC, cent.cent_id) AS rk
+                                AS DECIMAL(16,8)) DESC, cent.cent_id) AS rk
             FROM e CROSS JOIN cent
         ) WHERE rk = 1
     ),
@@ -559,7 +561,7 @@ _IVF_K = 8  # centroid count; deterministic "training": first K vectors
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
-                    AS DECIMAL(16,12)) AS cos_sim
+                    AS DECIMAL(16,8)) AS cos_sim
         FROM q JOIN assign c
           ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
     )
@@ -591,7 +593,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim_to_cent = (
         _dot("v", "cv") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("cnsq")))
-    ).cast("decimal(16,12)")
+    ).cast("decimal(16,8)")
     w_assign = Window.partitionBy("vec_id").orderBy(
         sim_to_cent.desc(), "cent_id"
     )
@@ -611,7 +613,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
-    ).cast("decimal(16,12)")
+    ).cast("decimal(16,8)")
     scored = (
         F.broadcast(q)
         .join(
@@ -644,7 +646,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
-                    AS DECIMAL(16,12)) AS cos_sim
+                    AS DECIMAL(16,8)) AS cos_sim
         FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
     )
     SELECT * FROM (
@@ -675,7 +677,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
-    ).cast("decimal(16,12)")
+    ).cast("decimal(16,8)")
     scored = (
         F.broadcast(q)
         .join(

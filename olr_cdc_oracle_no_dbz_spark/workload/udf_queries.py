@@ -8,7 +8,7 @@ harness can hash-check the Python path itself: if the Arrow transfer,
 batch iteration, or pandas math diverged from the declarative plan, the
 check would catch it. Determinism rules: group statistics use exact
 min/max (order-independent), per-row division is IEEE on identical
-inputs, and float norms are rounded to DECIMAL(16,10) before compare.
+inputs, and float norms are rounded to DECIMAL(16,8) before compare.
 """
 
 from __future__ import annotations
@@ -69,15 +69,15 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 generate_series(1, len(embedding)),
                 i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
                      AS DECIMAL(30,15))), 'sum') AS DOUBLE))
-                AS DECIMAL(16,10)) AS l2_norm
+                AS DECIMAL(16,8)) AS l2_norm
     FROM embeddings
     """,
 )
 def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar Pandas UDF: L2 norm of the embedding column via
     numpy over Arrow batches (the 10-100x-over-row-UDF path). Emitted as
-    DECIMAL(16,10): numpy's pairwise summation and DuckDB's sequential
-    exact-decimal sum agree to ~1e-15, so 10 decimal places compare
+    DECIMAL(16,8): numpy's pairwise summation and DuckDB's sequential
+    exact-decimal sum agree to ~1e-15, so 8 decimal places compare
     bit-identically."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
@@ -91,7 +91,7 @@ def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             l2(F.col("embedding").cast("array<double>"))
-            .cast("decimal(16,10)")
+            .cast("decimal(16,8)")
             .alias("l2_norm"),
         )
     )
