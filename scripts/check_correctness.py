@@ -5,6 +5,14 @@ Runs every ``queries()`` entry at sf0.01 on Spark and its
 ``oracle_sql()`` on DuckDB over the same parquet tables, then compares
 row count, sorted-by-name schema, and an order-insensitive value hash.
 
+CRITICAL (round-2 diagnosis): the driver materializes BOTH sides
+through pandas — DuckDB via ``fetchdf()`` and Spark via ``toPandas()``
+— before hashing. That coerces dtypes (DuckDB SUM(int)→HUGEIT→float64,
+DECIMAL→float64) so a gate that compares ``fetchall()``/``collect()``
+values can be green while the driver's is red. This replica therefore
+canonicalizes strictly post-pandas values; never switch it back to
+``fetchall()``.
+
 Usage: python scripts/check_correctness.py [name_filter ...]
 """
 
@@ -27,20 +35,42 @@ TABLES = (
 
 def _canon(v) -> str:
     import datetime
+    import decimal
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
+    try:
+        if v is pd.NA:
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_canon(k)}:{_canon(val)}" for k, val in sorted(v.items(), key=lambda kv: str(kv[0]))
+        ) + "}"
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
@@ -52,6 +82,11 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
         h.update(ln.encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def _pandas_rows(pdf) -> list[tuple]:
+    """Post-pandas row tuples — the dtype-coerced values the driver hashes."""
+    return list(pdf.itertuples(index=False, name=None))
 
 
 def main() -> int:
@@ -76,7 +111,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = _pandas_rows(sdf.toPandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -89,7 +124,7 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            orows = _pandas_rows(res.fetchdf())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
