@@ -185,9 +185,11 @@ def cdc_state_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     env AS (SELECT * FROM dml UNION ALL SELECT * FROM cm)
     SELECT xid,
-           SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS n_inserts,
-           SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS n_updates,
-           SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS n_deletes,
+           -- CAST: DuckDB SUM(int) is HUGEINT -> float64 under fetchdf();
+           -- BIGINT survives pandas as int64, matching Spark's long.
+           CAST(SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+           CAST(SUM(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+           CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
            MIN(scn) AS first_scn,
            MAX(scn) AS last_scn,
            MAX(CASE WHEN op = 'commit' THEN 1 ELSE 0 END) = 1 AS committed

@@ -26,11 +26,13 @@ from olr_cdc_oracle_no_dbz_spark.workload.util import t
                MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
         FROM events GROUP BY user_id
     )
+    -- CAST: DuckDB SUM(int) is HUGEINT -> float64 under fetchdf();
+    -- BIGINT survives pandas as int64, matching Spark's long.
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_click_after,
-           SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
-                    THEN 1 ELSE 0 END) AS n_purchase_after
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after
     FROM stages
     """,
 )

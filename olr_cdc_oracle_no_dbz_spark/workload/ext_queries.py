@@ -364,7 +364,10 @@ _SQL_HAMMING = (
           ON x.half_idx = y.half_idx AND x.half = y.half
          AND x.doc_id < y.doc_id
     )
-    SELECT a_id, b_id, {_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} AS hamming
+    -- CAST: DuckDB's list_aggregate sum goes float64 under fetchdf();
+    -- BIGINT stays int64, matching Spark's long.
+    SELECT a_id, b_id,
+           CAST({_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} AS BIGINT) AS hamming
     FROM cand
     WHERE {_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} <= 3
     """,
@@ -406,9 +409,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ham = F.expr(_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig"))
-    return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
-        F.col("hamming") <= 3
-    )
+    return cand.select(
+        "a_id", "b_id", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
 
 
 @register(
@@ -420,9 +423,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_sql_dot("embedding", "embedding")} AS nsq
         FROM embeddings
     )
+    -- cos_sim is rendered VARCHAR: the driver hashes through fetchdf(),
+    -- which coerces DECIMAL to float64; an 8-decimal string is identical
+    -- on both engines and immune to pandas.
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
-                AS DECIMAL(16,8)) AS cos_sim,
+           CAST(CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                AS DECIMAL(16,8)) AS VARCHAR) AS cos_sim,
            CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
                 AS DECIMAL(16,8)) >= CAST(0.4 AS DECIMAL(16,8)) AS is_near
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -461,7 +467,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("a_id"),
         F.col("b.vec_id").alias("b_id"),
-        cos.alias("cos_sim"),
+        # string render: Decimal.toPlainString == DuckDB's DECIMAL→VARCHAR
+        # (fixed 8 digits, verified incl. 0 and <1e-6), and strings
+        # survive the driver's pandas hashing intact.
+        cos.cast("string").alias("cos_sim"),
         (cos >= F.lit("0.4").cast("decimal(16,8)")).alias("is_near"),
     )
 
@@ -486,7 +495,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(16,8)) AS cos_sim
         FROM q JOIN e c ON c.vec_id <> q.vec_id
     )
-    SELECT * FROM (
+    -- rank on the DECIMAL, render VARCHAR (fetchdf would coerce DECIMAL
+    -- to float64 and break the driver's hash)
+    SELECT query_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
         SELECT query_id, neighbor_id, cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
@@ -529,7 +541,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
     )
 
 
@@ -565,7 +582,10 @@ _IVF_K = 8  # centroid count; deterministic "training": first K vectors
         FROM q JOIN assign c
           ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
     )
-    SELECT * FROM (
+    -- rank on the DECIMAL, render VARCHAR (fetchdf would coerce DECIMAL
+    -- to float64 and break the driver's hash)
+    SELECT query_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
         SELECT query_id, neighbor_id, cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
@@ -629,7 +649,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
     )
 
 
@@ -649,7 +674,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(16,8)) AS cos_sim
         FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
     )
-    SELECT * FROM (
+    -- rank on the DECIMAL, render VARCHAR (fetchdf would coerce DECIMAL
+    -- to float64 and break the driver's hash)
+    SELECT query_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
         SELECT query_id, neighbor_id, cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
@@ -697,7 +725,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
     )
 
 
@@ -1163,10 +1196,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(Window.partitionBy()).alias("n_clustered"),
+    # the clustered-vertex count is a 1-row aggregate broadcast back onto
+    # every row — NOT count(*) over an unpartitioned window, which would
+    # funnel all labels through a single partition at scale
+    cnt = labels.agg(F.count("*").alias("n_clustered"))
+    return labels.crossJoin(F.broadcast(cnt)).select(
+        "doc_id", "cluster_id", "n_clustered"
     )
 
 
@@ -1198,7 +1233,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_words) AS total_tokens,
+           -- CAST: DuckDB SUM(int) is HUGEINT -> float64 under fetchdf()
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n_chars)
              AS avg_chars
     FROM deduped GROUP BY 1, 2

@@ -213,7 +213,10 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_casts",
     oracle="""
     SELECT c_custkey,
-           CAST(c_acctbal AS DECIMAL(12,2))                 AS bal_dec,
+           -- VARCHAR render: the driver hashes through fetchdf(), which
+           -- coerces DECIMAL to float64 ('-107.3' vs Spark's '-107.30');
+           -- the fixed-2-digit string is identical on both engines
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_dec,
            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_str,
            CAST(c_custkey AS VARCHAR)                       AS key_str,
            CAST(CAST(c_custkey AS VARCHAR) AS BIGINT)       AS key_roundtrip,
@@ -234,7 +237,7 @@ def scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_dec = F.col("c_acctbal").cast("decimal(12,2)")
     return c.select(
         "c_custkey",
-        bal_dec.alias("bal_dec"),
+        bal_dec.cast("string").alias("bal_dec"),
         bal_dec.cast("string").alias("bal_str"),
         F.col("c_custkey").cast("string").alias("key_str"),
         F.col("c_custkey").cast("string").cast("long").alias("key_roundtrip"),
