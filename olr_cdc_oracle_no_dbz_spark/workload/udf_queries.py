@@ -64,12 +64,15 @@ def udaf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_vector_norm",
     oracle="""
+    -- VARCHAR render: the driver hashes through fetchdf(), which
+    -- coerces DECIMAL to float64; the 8-decimal string is identical
+    -- on both engines and immune to pandas.
     SELECT vec_id,
-           CAST(sqrt(CAST(list_aggregate(list_transform(
+           CAST(CAST(sqrt(CAST(list_aggregate(list_transform(
                 generate_series(1, len(embedding)),
                 i -> CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
                      AS DECIMAL(30,15))), 'sum') AS DOUBLE))
-                AS DECIMAL(16,8)) AS l2_norm
+                AS DECIMAL(16,8)) AS VARCHAR) AS l2_norm
     FROM embeddings
     """,
 )
@@ -92,6 +95,7 @@ def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             l2(F.col("embedding").cast("array<double>"))
             .cast("decimal(16,8)")
+            .cast("string")
             .alias("l2_norm"),
         )
     )
