@@ -952,7 +952,32 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: mapInPandas
+@register(
+    "multimodal_frame_sample",
+    # The stub sampler is deterministic byte math, so DuckDB can recompute
+    # it from the parquet: 32-byte frames, keep every 4th, checksum = sum
+    # of the frame's bytes (parsed from hex pairs of the blob).
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n,
+               hex(CAST(text AS BLOB)) AS hx
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n, hx,
+               unnest(generate_series(
+                   0, CAST(ceil(n / 32.0) AS BIGINT) - 1, 4)) AS frame_idx
+        FROM b WHERE n > 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(list_aggregate(list_transform(
+               generate_series(32 * frame_idx + 1, least(32 * frame_idx + 32, n)),
+               j -> CAST(concat('0x', substr(hx, 2 * j - 1, 2)) AS BIGINT)),
+               'sum') AS BIGINT) AS frame_checksum
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sample path: one input row fans out to N sampled
     frames (a mapInPandas 'table function'). Partition-local, no
@@ -990,7 +1015,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+@register(
+    "multimodal_features",
+    # The fake decoder is deterministic byte math, so DuckDB can recompute
+    # it: dims from the first two bytes, checksum = sum of the first 16
+    # bytes, thumbnail clamp as the resize step.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB)) AS n,
+               hex(CAST(text AS BLOB)) AS hx
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, n AS n_bytes,
+               CASE WHEN n >= 1 THEN
+                   (CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 64) + 1
+               ELSE 0 END AS fake_width,
+               CASE WHEN n >= 2 THEN
+                   (CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) % 48) + 1
+               ELSE 0 END AS fake_height,
+               CAST(coalesce(list_aggregate(list_transform(
+                   generate_series(1, least(16, n)),
+                   j -> CAST(concat('0x', substr(hx, 2 * j - 1, 2)) AS BIGINT)),
+                   'sum'), 0) AS BIGINT) AS checksum
+        FROM b
+    )
+    SELECT doc_id, n_bytes, fake_width, fake_height, checksum,
+           least(fake_width, 32) AS resized_width,
+           least(fake_height, 24) AS resized_height
+    FROM feat
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode path: binary column → Arrow batches →
     ``mapInPandas`` feature extraction (fake decoder, real plumbing:
