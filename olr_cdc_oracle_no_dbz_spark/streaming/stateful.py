@@ -97,53 +97,76 @@ try:  # Spark 4 transformWithState API (requires the RocksDB state store)
 
     class _SCNDedupe(StatefulProcessor):
         """Per-key at-least-once → exactly-once filter (ST3 as a stream
-        operator): keeps the max applied SCN per key in a ValueState and
-        passes through only events with a strictly higher SCN, so
-        redelivered or out-of-order duplicates never reach the sink.
-        The same guard the batch merge applies (cdc/materialize.py),
-        lifted into the state store for pipelines whose sink is not a
-        keyed table (e.g. a Kafka changelog relay, K1)."""
+        operator): keeps the max applied (scn, seq) per key in a
+        ValueState and passes through only events strictly above that
+        composite high-water mark, so redelivered or out-of-order
+        duplicates never reach the sink. The mark must be the PAIR, not
+        the SCN alone: a multi-op transaction shares one commit SCN
+        across its ops (decode_olr_events orders them by seq — the
+        engine-wide DEFAULT_ORDER in cdc/materialize.py), so an
+        SCN-only filter would drop all but one arbitrary intra-txn op.
+        The same guard the batch merge applies, lifted into the state
+        store for pipelines whose sink is not a keyed table (e.g. a
+        Kafka changelog relay, K1)."""
 
         def __init__(self, columns: list[str]) -> None:
             self._columns = columns
 
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._max_scn = handle.getValueState("max_scn", "max_scn long")
+            self._hwm = handle.getValueState(
+                "hwm", "max_scn long, max_seq long"
+            )
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-            prev = self._max_scn.get()[0] if self._max_scn.exists() else -1
+            prev_scn, prev_seq = (
+                self._hwm.get() if self._hwm.exists() else (-1, -1)
+            )
             chunks = [pdf for pdf in rows if not pdf.empty]
             if not chunks:
                 return
             batch = pd.concat(chunks, ignore_index=True)
+            above = (batch["scn"] > prev_scn) | (
+                (batch["scn"] == prev_scn) & (batch["seq"] > prev_seq)
+            )
             fresh = (
-                batch[batch["scn"] > prev]
-                .sort_values("scn")
-                .drop_duplicates(subset=["scn"], keep="first")
+                batch[above]
+                .sort_values(["scn", "seq"])
+                .drop_duplicates(subset=["scn", "seq"], keep="first")
             )
             if fresh.empty:
                 return
-            self._max_scn.update((int(fresh["scn"].max()),))
+            top = fresh.iloc[-1]
+            self._hwm.update((int(top["scn"]), int(top["seq"])))
             yield fresh[self._columns]
 
         def close(self) -> None:
             pass
 
     def dedupe_redelivery(
-        stream: DataFrame, key_col: str = "key", scn_col: str = "scn"
+        stream: DataFrame,
+        key_col: str = "key",
+        scn_col: str = "scn",
+        seq_col: str = "seq",
     ) -> DataFrame:
         """Exactly-once idempotent apply over an at-least-once feed.
 
         Built on ``transformWithStateInPandas`` (Spark 4): per-key
-        ValueState holds the high-water SCN; duplicates and stale
-        redeliveries are dropped inside the state store, surviving
-        restarts via the checkpoint. Output schema == input schema.
+        ValueState holds the high-water (scn, seq) pair — the engine's
+        ordering contract; equal-SCN intra-transaction ops advance by
+        seq — so duplicates and stale redeliveries are dropped inside
+        the state store, surviving restarts via the checkpoint. Streams
+        without a seq column get seq=0 (pure-SCN ordering). Output
+        schema == input schema (+seq if synthesized).
         """
         from pyspark.sql import functions as F
 
         normalized = stream.withColumn("key", F.col(key_col).cast("string"))
         if scn_col != "scn":
             normalized = normalized.withColumn("scn", F.col(scn_col).cast("long"))
+        if seq_col != "seq":
+            normalized = normalized.withColumn("seq", F.col(seq_col).cast("long"))
+        elif "seq" not in normalized.columns:
+            normalized = normalized.withColumn("seq", F.lit(0).cast("long"))
         cols = [f.name for f in normalized.schema.fields]
         out_schema = normalized.schema
         return normalized.groupBy("key").transformWithStateInPandas(

@@ -304,10 +304,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     single conditional aggregation, identical to the CASE form."""
     ev = t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
+    pivoted = (
         ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
         .pivot("event_type", types)
         .agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"))
+    )
+    # coalesce to 0.0: Spark's pivot yields NULL for a (day, type) cell
+    # with no rows, while the oracle's SUM(CASE ... ELSE 0) yields 0 —
+    # current testdata happens to fill every cell, but a data refresh
+    # must not flip the differential gate
+    return pivoted.select(
+        "day", *[F.coalesce(et, F.lit(0.0)).alias(et) for et in types]
     )
 
 

@@ -531,7 +531,9 @@ def test_scn_dedupe_exactly_once_across_restart(spark, tmp_path):
 def test_scn_dedupe_processor_logic():
     """The _SCNDedupe processor logic itself (no streaming runtime):
     stale, duplicate, and in-batch-duplicate rows are dropped; the
-    high-water mark advances and persists in the ValueState."""
+    (scn, seq) high-water mark advances and persists in the ValueState.
+    Equal-SCN multi-op transactions (one commit SCN, seq 1..n) must all
+    pass — the ordering contract is the composite, never SCN alone."""
     import pandas as pd
 
     from olr_cdc_oracle_no_dbz_spark.streaming.stateful import _SCNDedupe
@@ -549,27 +551,39 @@ def test_scn_dedupe_processor_logic():
         def update(self, v):
             self.v = v
 
-    proc = _SCNDedupe(["key", "scn", "payload"])
-    proc._max_scn = FakeState()
+    proc = _SCNDedupe(["key", "scn", "seq", "payload"])
+    proc._hwm = FakeState()
 
+    # one transaction: two ops on the same key share commit SCN 100
     b1 = pd.DataFrame(
-        {"key": ["a"] * 3, "scn": [100, 101, 100], "payload": ["x", "y", "dup"]}
+        {
+            "key": ["a"] * 4,
+            "scn": [100, 100, 101, 100],
+            "seq": [1, 2, 1, 1],
+            "payload": ["op1", "op2", "y", "dup"],
+        }
     )
     out1 = pd.concat(list(proc.handleInputRows(("a",), iter([b1]), None)))
-    assert list(out1["scn"]) == [100, 101]
-    assert proc._max_scn.get() == (101,)
+    assert list(zip(out1["scn"], out1["seq"])) == [(100, 1), (100, 2), (101, 1)]
+    assert proc._hwm.get() == (101, 1)
 
     b2 = pd.DataFrame(
-        {"key": ["a"] * 3, "scn": [95, 101, 102], "payload": ["stale", "dup", "z"]}
+        {
+            "key": ["a"] * 4,
+            "scn": [95, 101, 101, 102],
+            "seq": [1, 1, 2, 1],
+            "payload": ["stale", "dup", "late-intra-txn", "z"],
+        }
     )
     out2 = pd.concat(list(proc.handleInputRows(("a",), iter([b2]), None)))
-    assert list(out2["scn"]) == [102]
-    assert proc._max_scn.get() == (102,)
+    # (101,2) is above the (101,1) mark — an intra-txn op delivered late
+    assert list(zip(out2["scn"], out2["seq"])) == [(101, 2), (102, 1)]
+    assert proc._hwm.get() == (102, 1)
 
     # all-duplicate batch emits nothing and leaves state untouched
     out3 = list(proc.handleInputRows(("a",), iter([b2]), None))
     assert out3 == []
-    assert proc._max_scn.get() == (102,)
+    assert proc._hwm.get() == (102, 1)
 
 
 def test_drop_duplicates_within_watermark(spark, tmp_path):
