@@ -77,6 +77,7 @@ _BNLJ_ALLOWED = {
     "ann_topk_bruteforce",  # 10-row query set × N candidates
     "ann_topk_ivf",  # K=8 centroids × N vectors: the coarse-assignment pass
     "tpch_q22_inactive_customers",  # 1-row scalar AVG threshold × customers
+    "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
 }
 
 
