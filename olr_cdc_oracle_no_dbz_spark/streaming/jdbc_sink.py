@@ -88,14 +88,30 @@ def write_batch(
     dialect: str = "postgresql",
     batch_size: int = 1000,
     paramstyle: str = "qmark",
+    parallelism: int = 1,
 ) -> tuple[int, int]:
     """Apply one LWW-compacted micro-batch to an RDBMS: upserts for live
     rows, deletes for tombstones. Returns (n_upserts, n_deletes).
 
     The batch must already be one-row-per-key (run latest_state first).
-    collect() here is bounded by the micro-batch size — the same
-    driver-side funnel as the reference's single-task JDBC sink.
+
+    ``parallelism=1`` (default) is the reference-faithful driver-side
+    funnel (single connection, like the Connect sink's ``tasks.max: 1``,
+    README.md:785); collect() is bounded by the micro-batch size. At
+    cluster scale that funnel is the bottleneck, so ``parallelism=N``
+    switches to ``foreachPartition``: the batch is hash-partitioned on
+    the key columns and each executor partition opens its OWN connection
+    via ``connection_factory`` (which must therefore be picklable and
+    produce a new connection per call — no shared handles). Parallel
+    mode commits per partition, so a mid-batch failure can leave the
+    batch partially applied; that is safe under streaming redelivery
+    because the per-row upserts/deletes are idempotent.
     """
+    if parallelism > 1:
+        return _write_batch_parallel(
+            batch_df, connection_factory, table, key_cols, dialect,
+            batch_size, paramstyle, parallelism,
+        )
     data_cols = [c for c in batch_df.columns if c != "__deleted"]
     live = [
         tuple(r[c] for c in data_cols)
@@ -122,3 +138,54 @@ def write_batch(
     finally:
         conn.close()
     return len(live), len(dead)
+
+
+def _write_batch_parallel(
+    batch_df: DataFrame,
+    connection_factory: Callable[[], object],
+    table: str,
+    key_cols: list[str],
+    dialect: str,
+    batch_size: int,
+    paramstyle: str,
+    parallelism: int,
+) -> tuple[int, int]:
+    """Executor-side sink: one DB connection per partition.
+
+    Repartitions on the key columns so all rows for a key land in one
+    partition (defensive even though the contract is one-row-per-key).
+    The SQL strings are built driver-side; the partition function is a
+    closure so it pickles by value to Python workers (no repo import
+    needed on executors).
+    """
+    data_cols = [c for c in batch_df.columns if c != "__deleted"]
+    up_sql = upsert_statement(table, data_cols, key_cols, dialect, paramstyle)
+    del_sql = delete_statement(table, key_cols, paramstyle)
+
+    counts = {
+        bool(r["__deleted"]): r["cnt"]
+        for r in batch_df.groupBy("__deleted").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    def _apply(rows) -> None:
+        live, dead = [], []
+        for r in rows:
+            if r["__deleted"]:
+                dead.append(tuple(r[c] for c in key_cols))
+            else:
+                live.append(tuple(r[c] for c in data_cols))
+        if not live and not dead:
+            return
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            for i in range(0, len(live), batch_size):
+                cur.executemany(up_sql, live[i : i + batch_size])
+            for i in range(0, len(dead), batch_size):
+                cur.executemany(del_sql, dead[i : i + batch_size])
+            conn.commit()
+        finally:
+            conn.close()
+
+    batch_df.repartition(parallelism, *key_cols).foreachPartition(_apply)
+    return counts.get(False, 0), counts.get(True, 0)

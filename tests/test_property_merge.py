@@ -151,3 +151,42 @@ def test_write_batch_upsert_delete_idempotent_on_duckdb(spark):
     assert db.execute("SELECT id, stock FROM products ORDER BY id").fetchall() == [
         (1, 9)
     ]
+
+
+def test_write_batch_parallel_mode_matches_funnel(spark, tmp_path):
+    """K2/K3 parallel sink (VERDICT r3 item 3): foreachPartition with a
+    per-partition connection must produce the same final table as the
+    driver funnel, and re-applying must stay idempotent.
+
+    SQLite stands in for Postgres: it accepts the postgresql-dialect
+    ``ON CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c`` syntax, uses the
+    qmark paramstyle, and (unlike in-memory DuckDB) a file-backed DB is
+    reachable from executor Python workers in other processes.
+    """
+    import sqlite3
+
+    db_path = str(tmp_path / "sink.db")
+    with sqlite3.connect(db_path) as init:
+        init.execute("CREATE TABLE products (id INT PRIMARY KEY, stock INT)")
+
+    def factory():  # closure → pickled by value to workers
+        return sqlite3.connect(db_path, timeout=60)
+
+    rows = [(i, 100 + i, False) for i in range(1, 41)] + [
+        (i, 0, True) for i in range(41, 61)
+    ]
+    batch = spark.createDataFrame(rows, "id int, stock int, __deleted boolean")
+
+    n_up, n_del = write_batch(
+        batch, factory, "products", ["id"], parallelism=4
+    )
+    assert (n_up, n_del) == (40, 20)
+
+    # redeliver the same batch through BOTH modes — idempotent either way
+    write_batch(batch, factory, "products", ["id"], parallelism=4)
+    write_batch(batch, factory, "products", ["id"])  # funnel mode
+    with sqlite3.connect(db_path) as check:
+        got = check.execute(
+            "SELECT id, stock FROM products ORDER BY id"
+        ).fetchall()
+    assert got == [(i, 100 + i) for i in range(1, 41)]
