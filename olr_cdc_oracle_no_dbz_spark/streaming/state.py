@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.cdc.materialize import (
     DEFAULT_ORDER,
     latest_state,
@@ -121,7 +122,9 @@ class ParquetStateTable:
             ).withColumn(_BUCKET, self._bucket_col())
         # Materialize before overwriting the partitions we just read
         # (lazy plans must not scan files the write is replacing).
-        merged = merged.localCheckpoint(eager=True)
+        # truncate_lineage: localCheckpoint by default, durable
+        # checkpoint() under spark.graft.checkpoint.durable=true.
+        merged = truncate_lineage(merged)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.util import t
 
@@ -1203,8 +1204,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels. Rounds are whole-graph shuffles on the PAIR graph only (a
     tiny fraction of the corpus — only docs with a verified dup), and
     the loop converges in O(component diameter) rounds (near-dup
-    clusters are shallow; capped at 20). ``localCheckpoint`` truncates
-    the growing lineage each round so the plan stays bounded; the only
+    clusters are shallow; capped at 20). ``truncate_lineage`` cuts
+    the growing lineage each round so the plan stays bounded
+    (localCheckpoint by default; durable ``checkpoint()`` under
+    ``spark.graft.checkpoint.durable=true`` for real clusters); the only
     driver-side data is the per-round convergence count. For graphs
     with adversarially long chains, switch to the large-star/small-star
     contraction (same join primitives, O(log n) rounds).
@@ -1219,13 +1222,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("a_id AS s", "b_id AS d").unionAll(
         pairs.selectExpr("b_id AS s", "a_id AS d")
     )
-    edges = edges.localCheckpoint(eager=True)  # pair pipeline runs once
+    edges = truncate_lineage(edges)  # pair pipeline runs once
     labels = (
         edges.select(F.col("s").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    labels = truncate_lineage(labels)
     for _ in range(20):
         neigh = (
             edges.join(labels, edges["s"] == labels["doc_id"])
@@ -1241,8 +1244,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("neigh_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = truncate_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
