@@ -113,6 +113,14 @@ try:  # Spark 4 transformWithState API (requires the RocksDB state store)
             self._columns = columns
 
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # State-schema note: r3 renamed this state from ``max_scn``
+            # ('max_scn long') to ``hwm`` ('max_scn long, max_seq long').
+            # A pre-r3 transformWithState checkpoint therefore resumes
+            # with empty hwm state and re-emits already-applied events —
+            # upgrading across that boundary requires a fresh checkpoint
+            # (safe when the downstream sink is an idempotent keyed
+            # upsert, which re-converges; a non-keyed relay sink must
+            # re-bootstrap instead).
             self._hwm = handle.getValueState(
                 "hwm", "max_scn long, max_seq long"
             )
@@ -125,18 +133,18 @@ try:  # Spark 4 transformWithState API (requires the RocksDB state store)
             if not chunks:
                 return
             batch = pd.concat(chunks, ignore_index=True)
-            above = (batch["scn"] > prev_scn) | (
-                (batch["scn"] == prev_scn) & (batch["seq"] > prev_seq)
+            above = (batch["__scn"] > prev_scn) | (
+                (batch["__scn"] == prev_scn) & (batch["__seq"] > prev_seq)
             )
             fresh = (
                 batch[above]
-                .sort_values(["scn", "seq"])
-                .drop_duplicates(subset=["scn", "seq"], keep="first")
+                .sort_values(["__scn", "__seq"])
+                .drop_duplicates(subset=["__scn", "__seq"], keep="first")
             )
             if fresh.empty:
                 return
             top = fresh.iloc[-1]
-            self._hwm.update((int(top["scn"]), int(top["seq"])))
+            self._hwm.update((int(top["__scn"]), int(top["__seq"])))
             yield fresh[self._columns]
 
         def close(self) -> None:
@@ -155,23 +163,29 @@ try:  # Spark 4 transformWithState API (requires the RocksDB state store)
         ordering contract; equal-SCN intra-transaction ops advance by
         seq — so duplicates and stale redeliveries are dropped inside
         the state store, surviving restarts via the checkpoint. Streams
-        without a seq column get seq=0 (pure-SCN ordering). Output
-        schema == input schema (+seq if synthesized).
+        without a seq column are ordered by SCN alone (internal seq=0).
+
+        Output schema == input schema EXACTLY: the grouping key and the
+        (scn, seq) ordering columns are carried as reserved ``__key``/
+        ``__scn``/``__seq`` internals and stripped before emit, so
+        fixed-schema sinks and schema-equality assertions survive an
+        upgrade (ADVICE r3).
         """
         from pyspark.sql import functions as F
 
-        normalized = stream.withColumn("key", F.col(key_col).cast("string"))
-        if scn_col != "scn":
-            normalized = normalized.withColumn("scn", F.col(scn_col).cast("long"))
-        if seq_col != "seq":
-            normalized = normalized.withColumn("seq", F.col(seq_col).cast("long"))
-        elif "seq" not in normalized.columns:
-            normalized = normalized.withColumn("seq", F.lit(0).cast("long"))
-        cols = [f.name for f in normalized.schema.fields]
-        out_schema = normalized.schema
-        return normalized.groupBy("key").transformWithStateInPandas(
-            statefulProcessor=_SCNDedupe(cols),
-            outputStructType=out_schema,
+        normalized = (
+            stream.withColumn("__key", F.col(key_col).cast("string"))
+            .withColumn("__scn", F.col(scn_col).cast("long"))
+            .withColumn(
+                "__seq",
+                F.col(seq_col).cast("long")
+                if seq_col in stream.columns
+                else F.lit(0).cast("long"),
+            )
+        )
+        return normalized.groupBy("__key").transformWithStateInPandas(
+            statefulProcessor=_SCNDedupe(list(stream.columns)),
+            outputStructType=stream.schema,
             outputMode="append",
             timeMode="none",
         )
