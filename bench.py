@@ -54,17 +54,36 @@ def main() -> int:
     from olr_cdc_oracle_no_dbz_spark.workload import queries
 
     spark = get_spark("bench")
+
+    # tpch_q3/q10's post-limit rank windows are unpartitioned over ≤20
+    # rows BY DESIGN (pinned: tests/test_plans.py::
+    # test_unpartitioned_windows_only_after_tight_limit), so WindowExec's
+    # "No Partition Defined" warning is noise here — raise its level.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
 
     # JVM/codegen warmup on the smallest table so q1 isn't taxed for it
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Median-of-3 (VERDICT r3 item 8): the ±10-15% shared-container load
+    # variance dominates single-run round-over-round deltas. Rounds are
+    # interleaved (run 1 of every query, then run 2, ...) so a transient
+    # load spike lands on ONE sample of many queries — which the
+    # per-query median then discards — rather than on all samples of one.
+    runs = 3
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    timings = {n: round(sorted(ts)[runs // 2], 3) for n, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +93,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

@@ -132,7 +132,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (per-partition heaps + driver merge of 10-row tops), so no partition
     # ever holds more than its own rows — survives 100× scale, unlike a
     # global unpartitioned row_number window. The rank is then recomputed
-    # over the surviving 10 rows only (trivially single-partition).
+    # over the surviving 10 rows only — the single partition the
+    # WindowExec "No Partition Defined" warning fears is 10 rows at any
+    # data scale. Invariant pinned by tests/test_plans.py::
+    # test_unpartitioned_windows_only_after_tight_limit.
     top = agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
@@ -182,6 +185,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.alias("revenue"))
     )
     top = agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+    # The unpartitioned rank window runs AFTER the limit, over exactly 20
+    # rows — the single partition Spark's "No Partition Defined" warning
+    # fears holds 20 rows at any data scale. Invariant pinned by
+    # tests/test_plans.py::test_unpartitioned_windows_only_after_tight_limit.
     w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
     return top.withColumn("rk", F.row_number().over(w)).select(
         "c_custkey", "c_name", "n_name", "revenue", "rk"

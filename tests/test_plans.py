@@ -95,6 +95,37 @@ def test_no_cartesian_products_anywhere(spark, q):
     assert offenders == []
 
 
+def _iter_nodes(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_nodes(node.children().apply(i))
+
+
+def test_unpartitioned_windows_only_after_tight_limit(spark, q):
+    """VERDICT r3 item 7: an unpartitioned window funnels ALL its input
+    rows through one partition, so it is only ever allowed over a
+    limit-bounded input (the post-top-N rank recompute pattern in
+    tpch_q3/q10 — ≤100 rows at any data scale). Sweeps every registered
+    query's optimized logical plan; any Window with an empty
+    partitionSpec must have a Limit(n<=100) in its input subtree."""
+    offenders = []
+    for name, fn in q.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for node in _iter_nodes(plan):
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().size() == 0
+            ):
+                bounded = any(
+                    n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+                    and int(n.limitExpr().toString()) <= 100
+                    for n in _iter_nodes(node.child())
+                )
+                if not bounded:
+                    offenders.append(name)
+    assert offenders == []
+
+
 def test_events_nanos_decoded_as_timestamp(spark):
     df = load_table(spark, SF_DIR, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
