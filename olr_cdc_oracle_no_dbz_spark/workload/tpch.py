@@ -789,3 +789,254 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_acctbal",
         )
     )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                 AS val_dec
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(val_dec) AS total_dec, COUNT(*) AS n FROM pv)
+    SELECT pv.l_partkey, CAST(pv.val_dec AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE 4 * pv.val_dec * tot.n > 5 * tot.total_dec
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape; traded value
+    from lineitem stands in for partsupp, which the testdata lacks):
+    per-part aggregate HAVING-filtered against a global scalar
+    aggregate. The scalar side is a broadcast 1-row cross join (the q22
+    pattern, allowlisted in the BNLJ sweep) — never a second scan-wide
+    shuffle.
+
+    Determinism: the threshold comparison stays in EXACT arithmetic —
+    ``4 * val_dec * n > 5 * total_dec`` (part value > 1.25x the mean)
+    multiplies decimals by integers instead of dividing (decimal
+    division rounds to engine-specific scales, which could flip a
+    razor's-edge part between engines); identical keep-sets are
+    guaranteed, not probable. The 1.25x mean cut is scale-free — the
+    testdata's near-uniform part values top out around 1.9x mean, so a
+    TPC-H-style tiny-fraction-of-total cut would select nothing at any
+    SF."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")
+        ).alias("val_dec")
+    )
+    tot = pv.agg(
+        F.sum("val_dec").alias("total_dec"), F.count("*").alias("n")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(4 * F.col("val_dec") * F.col("n") > 5 * F.col("total_dec"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("value"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'SMALL'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part attribute (TPC-H Q16 shape; the
+    part-supplier relation comes from lineitem since the testdata has
+    no partsupp, and negative account balance stands in for the
+    complaints-comment exclusion): NOT IN as a left-anti join against
+    the excluded-supplier list, multi-attribute part filter broadcast
+    onto the fact, COUNT(DISTINCT) per group. The anti join's build
+    side is a filtered 100-row dimension — broadcast, no shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_share_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS supp_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    part_tot AS (
+        SELECT l_partkey AS pk, SUM(supp_qty) AS part_qty,
+               COUNT(*) AS n_supp
+        FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+        SELECT DISTINCT s.l_suppkey
+        FROM shipped s JOIN part_tot t ON t.pk = s.l_partkey
+        WHERE s.supp_qty * t.n_supp > 2 * t.part_qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1','NATION_5','NATION_9','NATION_13','NATION_17')
+      AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def tpch_q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-stock suppliers (TPC-H Q20 shape; shipped-share from
+    lineitem stands in for partsupp availability): nested
+    semi-join — part name filter → per-(part, supplier) quantity vs
+    2x the fair share among that part's suppliers (``supp_qty * n_supp
+    > 2 * part_qty``: scale-free, and exact decimal-times-integer math
+    so both engines keep identical sets) → IN as a left-semi join into
+    the nation-filtered supplier dimension. Both dimension joins
+    broadcast; the only shuffles are the two bounded aggregates on the
+    filtered fact slice."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    shipped = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("supp_qty"))
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("part_qty"), F.count("*").alias("n_supp")
+    )
+    dominant = (
+        shipped.join(part_tot, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") * F.col("n_supp") > 2 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_5", "NATION_9", "NATION_13", "NATION_17"
+        )
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey, l.l_shipdate
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    omax AS (
+        SELECT l_orderkey AS ok, MAX(l_shipdate) AS max_ship
+        FROM pairs GROUP BY l_orderkey
+    ),
+    cand AS (
+        SELECT p.l_orderkey, p.l_suppkey, m.max_ship
+        FROM pairs p JOIN omax m ON m.ok = p.l_orderkey
+        WHERE p.l_shipdate = m.max_ship
+    )
+    SELECT s.s_name, COUNT(DISTINCT c.l_orderkey) AS numwait
+    FROM cand c
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM pairs p2
+        WHERE p2.l_orderkey = c.l_orderkey AND p2.l_suppkey <> c.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM pairs p3
+        WHERE p3.l_orderkey = c.l_orderkey AND p3.l_suppkey <> c.l_suppkey
+          AND p3.l_shipdate = c.max_ship
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; "last to
+    ship" over l_shipdate stands in for the receipt>commit lateness
+    predicate, which the testdata lacks): for finalized orders, find
+    the supplier whose ship date IS the order's latest, require EXISTS
+    another supplier on the order (multi-supplier), and NOT EXISTS
+    another supplier also shipping at that latest date (sole
+    laggard) — both as hash semi/anti joins on the order key with the
+    supplier inequality as the join residual, exactly how Catalyst
+    decorrelates the spec's correlated subqueries. Count per supplier,
+    deterministic top-20 via orderBy+limit (TakeOrderedAndProject)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .distinct()
+    )
+    omax = pairs.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    cand = (
+        pairs.join(omax, F.col("ok") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey", "max_ship")
+    )
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("p2_ok"), F.col("l_suppkey").alias("p2_sk")
+    )
+    p3 = pairs.select(
+        F.col("l_orderkey").alias("p3_ok"),
+        F.col("l_suppkey").alias("p3_sk"),
+        F.col("l_shipdate").alias("p3_ship"),
+    )
+    waiting = (
+        cand.join(
+            p2,
+            (F.col("p2_ok") == F.col("l_orderkey"))
+            & (F.col("p2_sk") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            p3,
+            (F.col("p3_ok") == F.col("l_orderkey"))
+            & (F.col("p3_sk") != F.col("l_suppkey"))
+            & (F.col("p3_ship") == F.col("max_ship")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -78,6 +78,7 @@ _BNLJ_ALLOWED = {
     "ann_topk_ivf",  # K=8 centroids × N vectors: the coarse-assignment pass
     "tpch_q22_inactive_customers",  # 1-row scalar AVG threshold × customers
     "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
+    "tpch_q11_important_parts",  # 1-row global-total threshold × parts
 }
 
 
