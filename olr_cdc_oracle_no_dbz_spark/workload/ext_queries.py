@@ -1339,3 +1339,58 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("n_chars")
         ).alias("avg_chars"),
     )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(generate_series(1, greatest(n_chars - 7, 1), 4)) AS BIGINT)
+               AS n_windows,
+           array_to_string(
+             list_slice(
+               list_sort(list_distinct(
+                 list_transform(generate_series(1, greatest(n_chars - 7, 1), 4),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(generate_series(0, 7),
+                              j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1))
+                                        AS BIGINT))),
+                          (h, c) -> (h * 257 + c) % 1000000007))
+               )), 1, 4), '-') AS fp_sketch
+    FROM documents
+    WHERE n_chars >= 8
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via ROLLING hash (SURVEY.md §2.10 text
+    analysis; the winnowing/MOSS family): a Rabin–Karp polynomial hash
+    (base 257 mod 1e9+7) over every stride-4 8-char window, reduced to
+    the min-4 distinct sketch per document. Two documents sharing large
+    text spans share window hashes, so sketch intersection finds
+    plagiarized/near-copied regions — join on any sketch element for
+    candidate pairs (same candidates-then-verify pattern as the LSH
+    dedup family).
+
+    Scale: pure per-row expression work (sequence → transform →
+    aggregate), whole-stage-codegen'd, ZERO shuffles — linear in
+    corpus bytes, embarrassingly parallel. The hash arithmetic is
+    integer mod-math, bit-identical across engines by construction (no
+    float, no locale)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 8)
+    return d.select(
+        "doc_id",
+        F.expr(
+            "cast(size(sequence(1, greatest(n_chars - 7, 1), 4)) AS bigint)"
+        ).alias("n_windows"),
+        F.expr(
+            """
+            array_join(
+              slice(array_sort(array_distinct(
+                transform(sequence(1, greatest(n_chars - 7, 1), 4),
+                  i -> aggregate(split(substring(text, i, 8), ''),
+                                 0L, (h, c) -> (h * 257 + ascii(c)) % 1000000007))
+              )), 1, 4), '-')
+            """
+        ).alias("fp_sketch"),
+    )
