@@ -244,3 +244,52 @@ def scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("long").alias("bal_long"),
         (F.col("c_acctbal") > 0).alias("in_credit"),
     )
+
+
+@register(
+    "scalar_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS name_masked,
+           concat(substr(c_name, 1, 4),
+                  regexp_replace(regexp_replace(regexp_replace(
+                      substr(c_name, 5), '[A-Z]', 'X', 'g'),
+                      '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'))
+               AS name_keep_left4,
+           concat(regexp_replace(regexp_replace(regexp_replace(
+                      substr(c_name, 1, greatest(len(c_name) - 4, 0)),
+                      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'),
+                  substr(c_name, greatest(len(c_name) - 3, 1)))
+               AS name_keep_right4
+    FROM customer
+    """,
+)
+def scalar_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking family (ksqlDB MASK / MASK_KEEP_LEFT /
+    MASK_KEEP_RIGHT, SURVEY.md §2.7 string surface): uppercase → X,
+    lowercase → x, digits → n, punctuation kept — ksqlDB's documented
+    masking alphabet. Pure regexp_replace chains, codegen'd,
+    zero-shuffle."""
+    c = t(spark, sf_dir, "customer")
+
+    def mask(col):
+        return F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(col, "[A-Z]", "X"), "[a-z]", "x"),
+            "[0-9]",
+            "n",
+        )
+
+    name_len = F.length("c_name")
+    return c.select(
+        "c_custkey",
+        mask(F.col("c_name")).alias("name_masked"),
+        F.concat(
+            F.substring("c_name", 1, 4), mask(F.expr("substr(c_name, 5)"))
+        ).alias("name_keep_left4"),
+        F.concat(
+            mask(F.expr("substr(c_name, 1, greatest(length(c_name) - 4, 0))")),
+            F.expr("substr(c_name, greatest(length(c_name) - 3, 1))"),
+        ).alias("name_keep_right4"),
+    )
