@@ -62,6 +62,77 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert rows[0]["uid"] == "u1" and rows[0]["amount_r"] == 5.0
 
 
+def test_stream_stream_interval_left_outer_emits_null_row(spark, tmp_path):
+    """ksqlDB ``LEFT JOIN ... WITHIN`` (J2 outer mode): an unmatched
+    left event must eventually emit with nulls — but only once the
+    watermark passes its join horizon, which Spark evaluates at the
+    START of a micro-batch. So: run 1 ingests everything (including
+    late events that advance both watermarks past u2's horizon); run 2
+    on the same checkpoint processes one more file and flushes the
+    unmatched row from state."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_tx_file(
+        clicks_dir,
+        "c1.json",
+        [
+            '{"uid": "u1", "ts": "2026-01-01 10:00:00", "page": "home"}',
+            '{"uid": "u2", "ts": "2026-01-01 10:00:00", "page": "search"}',
+            '{"uid": "u8", "ts": "2026-01-01 12:00:00", "page": "late"}',
+        ],
+    )
+    write_tx_file(
+        buys_dir,
+        "b1.json",
+        [
+            '{"uid": "u1", "ts": "2026-01-01 10:03:00", "amount": 5.0}',
+            '{"uid": "u9", "ts": "2026-01-01 12:00:00", "amount": 1.0}',
+        ],
+    )
+
+    def run():
+        clicks = _json_stream(
+            spark, clicks_dir, "uid string, ts timestamp, page string"
+        )
+        buys = _json_stream(
+            spark, buys_dir, "uid string, ts timestamp, amount double"
+        )
+        joined = interval_join_streams(
+            clicks, buys, on="uid", within="5 minutes", how="left_outer"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # run 2: one more file advances the stream; the persisted watermark
+    # (11:50, past u2's 10:05 horizon) lets state flush the null row
+    write_tx_file(
+        clicks_dir,
+        "c2.json",
+        ['{"uid": "u8", "ts": "2026-01-01 13:00:00", "page": "later"}'],
+    )
+    write_tx_file(
+        buys_dir,
+        "b2.json",
+        ['{"uid": "u9", "ts": "2026-01-01 13:00:00", "amount": 2.0}'],
+    )
+    run()
+    rows = {
+        (r["uid"], r["page"]): r["amount_r"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("u1", "home")] == 5.0  # inner match
+    assert ("u2", "search") in rows and rows[("u2", "search")] is None
+
+
 def test_interval_join_batch_analog_matches(spark):
     """The same helper runs on batch frames (watermark no-op) — J2's
     batch analog used for differential checking."""
