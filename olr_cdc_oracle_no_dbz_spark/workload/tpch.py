@@ -986,52 +986,53 @@ def tpch_q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataF
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (TPC-H Q21 shape; "last to
     ship" over l_shipdate stands in for the receipt>commit lateness
-    predicate, which the testdata lacks): for finalized orders, find
+    predicate, which the testdata lacks): for finalized orders, keep
     the supplier whose ship date IS the order's latest, require EXISTS
     another supplier on the order (multi-supplier), and NOT EXISTS
-    another supplier also shipping at that latest date (sole
-    laggard) — both as hash semi/anti joins on the order key with the
-    supplier inequality as the join residual, exactly how Catalyst
-    decorrelates the spec's correlated subqueries. Count per supplier,
-    deterministic top-20 via orderBy+limit (TakeOrderedAndProject)."""
+    another supplier also shipping at that latest date (sole laggard).
+
+    Scale design: the literal semi/anti-join translation evaluates the
+    (lineitem JOIN orders) subtree three times — 9 parquet scans, 17
+    exchanges, zero ReusedExchange (measured; the differing projections
+    defeat canonicalization). Instead the correlated predicates
+    decorrelate into per-order WINDOW set-aggregates — max ship date,
+    distinct-supplier count, distinct-suppliers-at-max count — all over
+    one ``partitionBy(l_orderkey)``, which REUSES the orderkey hash
+    partitioning of the orders join: one fact scan, one shuffle, then a
+    broadcast supplier join. The DuckDB oracle keeps the spec's
+    correlated EXISTS form, so the differential gate proves the
+    decorrelation equivalent. Deterministic top-20 via orderBy+limit
+    (TakeOrderedAndProject)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
-    pairs = (
-        li.join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .distinct()
+    joined = li.join(
+        o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    w = Window.partitionBy("l_orderkey")
+    flagged = joined.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+    ).withColumn(
+        # distinct suppliers shipping at the order's max date; the
+        # second window pass stacks on the same partitioning — no
+        # additional exchange (collect_set skips the non-max nulls)
+        "n_last",
+        F.size(
+            F.collect_set(
+                F.when(
+                    F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey")
+                )
+            ).over(w)
+        ),
     )
-    omax = pairs.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("max_ship")
-    )
-    cand = (
-        pairs.join(omax, F.col("ok") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") == F.col("max_ship"))
-        .select("l_orderkey", "l_suppkey", "max_ship")
-    )
-    p2 = pairs.select(
-        F.col("l_orderkey").alias("p2_ok"), F.col("l_suppkey").alias("p2_sk")
-    )
-    p3 = pairs.select(
-        F.col("l_orderkey").alias("p3_ok"),
-        F.col("l_suppkey").alias("p3_sk"),
-        F.col("l_shipdate").alias("p3_ship"),
-    )
-    waiting = (
-        cand.join(
-            p2,
-            (F.col("p2_ok") == F.col("l_orderkey"))
-            & (F.col("p2_sk") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            p3,
-            (F.col("p3_ok") == F.col("l_orderkey"))
-            & (F.col("p3_sk") != F.col("l_suppkey"))
-            & (F.col("p3_ship") == F.col("max_ship")),
-            "left_anti",
-        )
+    waiting = flagged.filter(
+        (F.col("l_shipdate") == F.col("max_ship"))
+        & (F.col("n_supp") > 1)
+        & (F.col("n_last") == 1)
     )
     return (
         waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
