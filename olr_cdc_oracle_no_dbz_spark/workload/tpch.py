@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.util import davg, dsum, sql_davg, sql_dsum, t
 
@@ -829,6 +830,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")
         ).alias("val_dec")
     )
+    # pv feeds both the scalar total and the filtered output; without a
+    # materialization point the fact would be scanned and aggregated
+    # TWICE (no ReusedExchange across the differing consumers). pv is
+    # |parts| rows — truncate once, scan the fact once.
+    pv = truncate_lineage(pv)
     tot = pv.agg(
         F.sum("val_dec").alias("total_dec"), F.count("*").alias("n")
     )
@@ -927,6 +933,9 @@ def tpch_q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("supp_qty"))
     )
+    # same double-consumption materialization as q11: shipped feeds the
+    # per-part totals AND the dominance filter; |parts x suppliers| rows
+    shipped = truncate_lineage(shipped)
     part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("supp_qty").alias("part_qty"), F.count("*").alias("n_supp")
     )
