@@ -154,6 +154,52 @@ def test_python_codec_dataframe_round_trip(spark):
     ) == [(1, "x", 2.5), (2, None, -1.0)]
 
 
+def test_python_codec_round_trip_property():
+    """Hypothesis: ANY value assignment round-trips through the binary
+    codec — unicode strings, full-range longs, NaN-free doubles,
+    arbitrary bytes, nulls anywhere, ragged arrays."""
+    import pyspark.sql.types as T
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    struct = T.StructType(
+        [
+            T.StructField("a_long", T.LongType()),
+            T.StructField("a_str", T.StringType()),
+            T.StructField("a_double", T.DoubleType()),
+            T.StructField("a_bool", T.BooleanType()),
+            T.StructField("a_bytes", T.BinaryType()),
+            T.StructField("a_arr", T.ArrayType(T.LongType())),
+        ]
+    )
+    enc, dec = _codec(avro_schema_for(struct, "Prop"))
+    opt = lambda s: st.one_of(st.none(), s)  # noqa: E731
+    rows = st.fixed_dictionaries(
+        {
+            "a_long": opt(st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+            "a_str": opt(st.text(max_size=80)),
+            "a_double": opt(
+                st.floats(allow_nan=False, allow_infinity=True, width=64)
+            ),
+            "a_bool": opt(st.booleans()),
+            "a_bytes": opt(st.binary(max_size=64)),
+            "a_arr": opt(
+                st.lists(
+                    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    max_size=8,
+                )
+            ),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows)
+    def check(row):
+        assert dec(enc(row)) == row
+
+    check()
+
+
 def test_avro_round_trip_when_loaded(spark):
     if not avro_available(spark):
         pytest.skip("spark-avro module not loaded in this container")
