@@ -80,6 +80,58 @@ def delete_statement(
     return f"DELETE FROM {table} WHERE {cond}"
 
 
+#: Spark simpleString -> portable SQL column type (the subset the change
+#: feed can produce per SURVEY.md §1.2)
+_SQL_TYPES = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "float": "REAL",
+    "double": "DOUBLE PRECISION",
+    "string": "VARCHAR(4000)",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "BLOB",
+}
+
+
+def evolve_statements(
+    table: str,
+    current_cols: list[str],
+    batch_schema,
+    dialect: str = "postgresql",
+) -> list[str]:
+    """``auto.evolve: true`` for the JDBC sink (K5, reference
+    README.md:787): one ``ALTER TABLE ... ADD COLUMN`` per column the
+    batch carries that the sink table lacks (case-insensitive compare —
+    live RDBMSs fold unquoted identifiers). New columns are nullable by
+    construction: historical rows predate the column, exactly the
+    Connect sink's evolution contract. Decimal types map through with
+    their precision/scale; unknown types fail fast rather than guessing
+    DDL."""
+    have = {c.lower() for c in current_cols}
+    stmts = []
+    for field in batch_schema.fields:
+        if field.name.lower() in have or field.name == "__deleted":
+            continue
+        simple = field.dataType.simpleString()
+        if simple.startswith("decimal"):
+            sql_type = simple.upper()
+        else:
+            try:
+                sql_type = _SQL_TYPES[simple]
+            except KeyError:
+                raise TypeError(
+                    f"no SQL mapping for evolved column {field.name!r} of "
+                    f"Spark type {simple!r}"
+                ) from None
+        if dialect == "mysql":  # mysql has no BLOB-vs-bytea divergence here,
+            sql_type = sql_type.replace("DOUBLE PRECISION", "DOUBLE")
+        stmts.append(f"ALTER TABLE {table} ADD COLUMN {field.name} {sql_type}")
+    return stmts
+
+
 def write_batch(
     batch_df: DataFrame,
     connection_factory: Callable[[], object],

@@ -153,6 +153,51 @@ def test_write_batch_upsert_delete_idempotent_on_duckdb(spark):
     ]
 
 
+def test_jdbc_sink_schema_evolution_live(spark, tmp_path):
+    """K5 at the JDBC sink (auto.evolve analog, README.md:787): a batch
+    carrying a column the sink table lacks first ALTERs the table, then
+    upserts rows including the new column; pre-evolution rows read back
+    NULL there."""
+    import sqlite3
+
+    from olr_cdc_oracle_no_dbz_spark.streaming.jdbc_sink import (
+        evolve_statements,
+    )
+
+    db_path = str(tmp_path / "evolve.db")
+    with sqlite3.connect(db_path) as db:
+        db.execute("CREATE TABLE products (id INT PRIMARY KEY, stock INT)")
+        db.execute("INSERT INTO products VALUES (1, 5)")
+
+    batch = spark.createDataFrame(
+        [(2, 7, "blue", False)],
+        "id int, stock int, color string, __deleted boolean",
+    )
+    with sqlite3.connect(db_path) as db:
+        current = [r[1] for r in db.execute("PRAGMA table_info(products)")]
+        stmts = evolve_statements("products", current, batch.schema)
+        assert stmts == ["ALTER TABLE products ADD COLUMN color VARCHAR(4000)"]
+        for s in stmts:
+            db.execute(s)
+
+    def factory():
+        return sqlite3.connect(db_path, timeout=60)
+
+    write_batch(batch, factory, "products", ["id"])
+    with sqlite3.connect(db_path) as db:
+        got = db.execute(
+            "SELECT id, stock, color FROM products ORDER BY id"
+        ).fetchall()
+    assert got == [(1, 5, None), (2, 7, "blue")]
+
+    # idempotent: evolving again is a no-op, case-insensitively
+    assert evolve_statements("products", ["ID", "STOCK", "COLOR"], batch.schema) == []
+    # unknown types fail fast instead of guessing DDL
+    arr = spark.createDataFrame([([1],)], "xs array<int>")
+    with pytest.raises(TypeError, match="no SQL mapping"):
+        evolve_statements("products", ["id"], arr.schema)
+
+
 def test_write_batch_parallel_mode_matches_funnel(spark, tmp_path):
     """K2/K3 parallel sink (VERDICT r3 item 3): foreachPartition with a
     per-partition connection must produce the same final table as the
