@@ -22,6 +22,7 @@ key clustering; the interface is storage-agnostic on purpose.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,6 +154,51 @@ class ParquetStateTable:
         for extra in self.order_cols[1:]:
             delta = delta.withColumn(extra, F.lit(0))
         self.merge_batch(delta)
+
+    def compact(self, tombstone_watermark_scn: int) -> int:
+        """Garbage-collect tombstones at or below a safe SCN watermark
+        (the Postgres-VACUUM analog the parquet state otherwise never
+        gets — without it, every deleted key costs a row forever).
+
+        Contract: ``tombstone_watermark_scn`` must not exceed the
+        stream's committed checkpoint SCN. Tombstones above it are
+        KEPT — they still guard against redelivered pre-delete upserts;
+        below it no redelivery can occur, so the guard is dead weight.
+        Rewrites ONLY the buckets that contain eligible tombstones
+        (same partition-pruned O(touched) cost model as merge_batch).
+        Returns the number of tombstones dropped.
+        """
+        state = self.read_internal()
+        if state is None:
+            return 0
+        dead = F.col("__deleted") & (
+            F.col(self.order_cols[0]) <= tombstone_watermark_scn
+        )
+        touched = [
+            r[0]
+            for r in state.filter(dead).select(_BUCKET).distinct().collect()
+        ]
+        if not touched:
+            return 0
+        affected = self.read_internal(buckets=touched)
+        n_dead = affected.filter(dead).count()
+        kept = truncate_lineage(affected.filter(~dead))
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET)
+            .parquet(self.data_dir)
+        )
+        # dynamic overwrite only rewrites partitions PRESENT in `kept` —
+        # a bucket whose every row was a dead tombstone has no surviving
+        # rows and must be dropped explicitly or it would keep its files
+        surviving = {r[0] for r in kept.select(_BUCKET).distinct().collect()}
+        for bucket in set(touched) - surviving:
+            shutil.rmtree(
+                os.path.join(self.data_dir, f"{_BUCKET}={bucket}"),
+                ignore_errors=True,
+            )
+        return n_dead
 
     # -- queries ----------------------------------------------------------
 

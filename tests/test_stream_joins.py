@@ -196,3 +196,36 @@ def test_state_merge_double_apply_idempotent(spark, tmp_path):
     second = sorted(tuple(r) for r in state.current().collect())
     assert first == second
     assert state.read_internal().count() == 2  # no duplicate rows
+
+
+def test_state_compact_gc_tombstones(spark, tmp_path):
+    """State-table tombstone GC (the VACUUM analog): tombstones at or
+    below the watermark vanish, newer ones survive as redelivery
+    guards, fully-dead buckets disappear from disk, and live rows are
+    untouched."""
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    rows = [
+        (1, 10, 1, False, 5),   # live
+        (2, 11, 1, True, 0),    # old tombstone -> GC'd
+        (3, 99, 1, True, 0),    # young tombstone -> kept (guard)
+        (4, 12, 1, False, 7),   # live
+        (5, 13, 1, True, 0),    # old tombstone -> GC'd
+    ]
+    state.merge_batch(
+        spark.createDataFrame(
+            rows, "id int, scn long, seq int, __deleted boolean, stock int"
+        )
+    )
+    assert state.read_internal().count() == 5
+
+    n = state.compact(tombstone_watermark_scn=50)
+    assert n == 2
+    internal = state.read_internal()
+    assert internal.count() == 3  # 2 live + 1 young tombstone
+    assert internal.filter("__deleted").count() == 1
+    # published view unchanged by compaction
+    assert sorted(
+        (r["id"], r["stock"]) for r in state.current().collect()
+    ) == [(1, 5), (4, 7)]
+    # idempotent: nothing eligible remains
+    assert state.compact(tombstone_watermark_scn=50) == 0
