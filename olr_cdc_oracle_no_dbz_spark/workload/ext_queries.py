@@ -1394,3 +1394,48 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("fp_sketch"),
     )
+
+
+@register(
+    "embedding_quantize_sq8",
+    oracle="""
+    SELECT vec_id,
+           CAST(CAST(
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS DECIMAL(16,8)) AS VARCHAR) AS scale,
+           CAST(CAST(
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                    - round(CAST(x AS DOUBLE)
+                        / (list_max(list_transform(embedding,
+                             y -> abs(CAST(y AS DOUBLE)))) / 127.0))
+                      * (list_max(list_transform(embedding,
+                           y -> abs(CAST(y AS DOUBLE)))) / 127.0))))
+             AS DECIMAL(16,8)) AS VARCHAR) AS max_abs_err
+    FROM embeddings
+    """,
+)
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization (the FAISS-SQ8 shape — the
+    standard compression step before ANN at corpus scale: 4x smaller
+    vectors, one dequant multiply on the read path): per-vector
+    symmetric scale = max|x|/127, codes = round(x/scale), and the
+    reported reconstruction error max|x - code*scale| (bounded by
+    scale/2 by construction). Pure array expressions, zero shuffle,
+    linear in vectors; both engines compute identical IEEE doubles and
+    the 8-decimal emission follows the repo's cross-engine float
+    contract."""
+    d = t(spark, sf_dir, "embeddings")
+    max_abs = (
+        "array_max(transform(embedding, y -> abs(cast(y AS double)))) / 127.0"
+    )
+    return d.select(
+        "vec_id",
+        F.expr(max_abs).cast("decimal(16,8)").cast("string").alias("scale"),
+        F.expr(
+            f"""array_max(transform(embedding,
+                 x -> abs(cast(x AS double)
+                      - round(cast(x AS double) / ({max_abs}))
+                        * ({max_abs}))))"""
+        ).cast("decimal(16,8)").cast("string").alias("max_abs_err"),
+    )
