@@ -111,3 +111,65 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value) AS mean_v,
+               sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS std_v
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           MIN(s.n) AS n_total,
+           MIN(e.value) AS min_outlier,
+           MAX(e.value) AS max_outlier
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs(e.value - s.mean_v) > 3.0 * s.std_v
+    GROUP BY e.event_type
+    """,
+)
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier detection per event type — the data-quality
+    screen a training pipeline runs before ingesting telemetry. The
+    per-type mean/stddev come from exact decimal power sums (the
+    agg_stats pattern: bit-deterministic on both engines, unlike
+    streaming double accumulation), broadcast back onto the fact as a
+    tiny dimension, so the plan is one partial-agg shuffle over
+    |event_types| rows plus a broadcast join — the fact never shuffles.
+    The 3-sigma comparison operates on identical IEEE doubles on both
+    engines, so the keep-set is deterministic."""
+    ev = t(spark, sf_dir, "events")
+    s1 = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    s2 = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(28,6)")
+    ).cast("double")
+    n = F.count("*")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        n.alias("n"),
+        (s1 / F.count("value")).alias("mean_v"),
+        F.sqrt(var).alias("std_v"),
+    )
+    return (
+        ev.join(F.broadcast(stats), F.col("et") == F.col("event_type"))
+        .filter(
+            F.abs(F.col("value") - F.col("mean_v")) > 3.0 * F.col("std_v")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.min("n").alias("n_total"),
+            F.min("value").alias("min_outlier"),
+            F.max("value").alias("max_outlier"),
+        )
+    )
