@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_topk_bruteforce",     # ext: broadcast k-NN
     "text_tfidf_top_terms",    # ext: text analysis
     "corpus_pipeline",         # ext: composed quality→dedup→split flow
+    "tpch_q21_waiting_suppliers",  # exists/not-exists decorrelated to windows
+    "text_rolling_fingerprint",    # ext: zero-shuffle rolling-hash sketch
+    "embedding_quantize_sq8",      # ext: int8 vector quantization
 ]
 
 
