@@ -89,6 +89,31 @@ def test_incremental_merge_equals_batch_any_split_any_order(
     )
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_lww_max_by_equals_window_row_number(spark, events):
+    """materialize.latest_state's partial-aggregatable max_by form must
+    equal the classic window row_number()==1 formulation for ANY event
+    set — the equivalence its docstring claims, pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_no_dbz_spark.cdc.materialize import latest_state
+
+    df = _df(spark, _rows(events))
+    w = Window.partitionBy("id").orderBy(F.desc("scn"), F.desc("seq"))
+    via_window = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert _final(latest_state(df)) == _final(via_window)
+
+
 # -- JDBC sink end-to-end against DuckDB ------------------------------------
 
 
