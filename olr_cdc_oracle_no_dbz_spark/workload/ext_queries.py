@@ -1439,3 +1439,75 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * ({max_abs}))))"""
         ).cast("decimal(16,8)").cast("string").alias("max_abs_err"),
     )
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST((i * 180) + 1 AS INT), 200) AS chunk_text,
+           CAST(len(substr(text, CAST((i * 180) + 1 AS INT), 200)) AS BIGINT)
+               AS chunk_len
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+             CAST(greatest(ceil((n_chars - 20) / 180.0) - 1, 0) AS BIGINT)))
+             AS u(i)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the training-window /
+    RAG-passage prep step): 200-char chunks advancing 180 chars —
+    20-char overlap so no boundary token is lost. One row fans out to
+    ceil((n-20)/180) rows via explode — partition-local, no shuffle,
+    output linear in corpus bytes. Chunk boundaries are pure integer
+    arithmetic on character offsets, identical on both engines (a
+    token-based chunker swaps substring for slice over the token
+    array — same plan shape)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "sequence(0, cast(greatest(ceil((n_chars - 20) / 180.0) - 1,"
+                " 0) AS bigint))"
+            )
+        ).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            "substring(text, cast(chunk_idx * 180 + 1 AS int), 200)"
+        ).alias("chunk_text"),
+        F.expr(
+            "cast(length(substring(text, cast(chunk_idx * 180 + 1 AS int),"
+            " 200)) AS bigint)"
+        ).alias("chunk_len"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+               AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 40 ELSE 90 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus rebalancing: downsample
+    the over-represented language, keep the rest): per-group keep-rates
+    applied via an md5 hash bucket of the stable doc_id — the same
+    engine/run/cluster-size-independent technique as dataset_split, on
+    hex chars 9-16 so the buckets are independent of the split's
+    chars 1-8. Zero shuffle, pure map-side filter; rates are exact
+    integer comparisons (no float RNG, no sample() nondeterminism)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "conv(substring(md5(cast(doc_id AS string)), 9, 8), 16, 10)"
+    ).cast("bigint") % 100
+    rate = F.when(F.col("lang") == "en", 40).otherwise(90)
+    return d.filter(bucket < rate).select("doc_id", "lang")
