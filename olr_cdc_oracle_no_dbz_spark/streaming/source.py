@@ -184,13 +184,19 @@ def read_kafka_change_stream(
     return decode_events(raw, schema, passthrough_cols=("_key",))
 
 
-def encode_events(df: DataFrame, key_col: str = "id") -> DataFrame:
+def encode_events(
+    df: DataFrame, key_col: str = "id", value_format: str = "json"
+) -> DataFrame:
     """Kafka producer framing (K1 + P3): key = string PK (``pk.mode:
     record_key, pk.fields: ID``, reference README.md:789-790), value =
-    the full envelope as one JSON document.
+    the full envelope as one JSON document or one Avro binary record
+    (``value_format="avro"`` — the reference's optional Avro converter
+    stack, Dockerfile:15-60; uses the pure-Python codec so no
+    spark-avro jar is required).
 
     ``from_json(encode_events(df).value) == df`` round-trips (tested),
-    which is the engine's serde contract (P6).
+    which is the engine's serde contract (P6); the Avro framing
+    round-trips through ``decode_avro_python`` the same way.
     """
     value_cols = [c for c in df.columns if not c.startswith("_")]
     key = (
@@ -198,10 +204,47 @@ def encode_events(df: DataFrame, key_col: str = "id") -> DataFrame:
         if key_col in df.columns
         else F.coalesce(F.col(f"after.{key_col}"), F.col(f"before.{key_col}"))
     )
+    if value_format == "avro":
+        from olr_cdc_oracle_no_dbz_spark.serde import (
+            avro_schema_for,
+            encode_avro_python,
+        )
+
+        keyed = df.select(key.cast("string").alias("key"), *value_cols)
+        avsc = avro_schema_for(
+            keyed.drop("key").schema, "ChangeEventValue"
+        )
+        # mapInPandas consumes the whole projection, so the key rides
+        # through the encoder and the value is built from the rest
+        import pandas as pd  # noqa: F401 — worker-side dependency
+
+        encode_record, _ = _avro_codec_for(avsc)
+
+        def frame_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                vals = [
+                    encode_record(dict(zip(value_cols, row)))
+                    for row in zip(*(pdf[c] for c in value_cols))
+                ]
+                yield pd.DataFrame({"key": pdf["key"], "value": vals})
+
+        return keyed.mapInPandas(frame_batches, "key string, value binary")
+    if value_format != "json":
+        raise ValueError(f"value_format must be json|avro, got {value_format!r}")
     return df.select(
         key.cast("string").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("value"),
     )
+
+
+def _avro_codec_for(avsc: str):
+    """Indirection so the codec import stays driver-side and the worker
+    closure captures only the by-value codec functions."""
+    from olr_cdc_oracle_no_dbz_spark.serde import _codec
+
+    return _codec(avsc)
 
 
 def write_kafka_changelog(

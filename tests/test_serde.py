@@ -200,6 +200,29 @@ def test_python_codec_round_trip_property():
     check()
 
 
+def test_kafka_framing_avro_round_trip(spark):
+    """K1 with Avro values (the reference's optional Avro converter):
+    encode_events(value_format='avro') frames key + binary Avro value;
+    decode_avro_python recovers the envelope exactly."""
+    from olr_cdc_oracle_no_dbz_spark.streaming.source import encode_events
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, None, 101)], "id int, name string, scn long"
+    )
+    framed = encode_events(df, value_format="avro")
+    assert framed.schema.simpleString() == "struct<key:string,value:binary>"
+    keys = sorted(r["key"] for r in framed.collect())
+    assert keys == ["1", "2"]
+    avsc = avro_schema_for(df.schema, "ChangeEventValue")
+    back = decode_avro_python(framed, avsc, df.schema).select("event.*")
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a", 100),
+        (2, None, 101),
+    ]
+    with pytest.raises(ValueError, match="value_format"):
+        encode_events(df, value_format="protobuf")
+
+
 def test_avro_round_trip_when_loaded(spark):
     if not avro_available(spark):
         pytest.skip("spark-avro module not loaded in this container")
