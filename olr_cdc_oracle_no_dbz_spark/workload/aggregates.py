@@ -375,3 +375,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.grouping_id().alias("gid"),
     )
+
+
+@register(
+    "agg_latest_n_by_offset",
+    oracle="""
+    SELECT user_id,
+           list_transform(list_slice(list_sort(
+               list({'k': event_id, 'v': event_type}), 'DESC'), 1, 3),
+               x -> x.v) AS latest_3_types,
+           list_transform(list_slice(list_sort(
+               list({'k': event_id, 'v': value}), 'DESC'), 1, 3),
+               x -> x.v) AS latest_3_values
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_latest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST_BY_OFFSET(col, N) — the ksqlDB N-variant (A4): the last 3
+    values per key in offset order. Spark has no N-ary max_by, so the
+    (offset, value) pairs are collected, sorted descending by the
+    struct (offset leads, unique → total order), sliced to 3, and
+    projected — one shuffle, bounded per-group state. DuckDB mirrors it
+    with list()/list_sort('DESC')/list_slice over the same (offset,
+    value) structs (this build's arg_max has no N-ary form)."""
+    ev = t(spark, sf_dir, "events")
+
+    def latest3(col: str):
+        return F.expr(
+            "transform(slice(sort_array(collect_list(struct(event_id,"
+            f" {col})), false), 1, 3), s -> s.{col})"
+        )
+
+    return ev.groupBy("user_id").agg(
+        latest3("event_type").alias("latest_3_types"),
+        latest3("value").alias("latest_3_values"),
+    )
