@@ -229,3 +229,14 @@ def test_state_compact_gc_tombstones(spark, tmp_path):
     ) == [(1, 5), (4, 7)]
     # idempotent: nothing eligible remains
     assert state.compact(tombstone_watermark_scn=50) == 0
+
+
+def test_state_merge_empty_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch (common under availableNow retries) must
+    leave state untouched: zero touched buckets, dynamic overwrite
+    writes no partitions, existing data survives."""
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    schema = "id int, scn long, seq int, __deleted boolean, stock int"
+    state.merge_batch(spark.createDataFrame([(1, 1, 1, False, 5)], schema))
+    state.merge_batch(spark.createDataFrame([], schema))
+    assert sorted(tuple(r) for r in state.current().collect()) == [(1, 5)]
