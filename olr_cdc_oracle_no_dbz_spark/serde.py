@@ -166,10 +166,17 @@ def _codec(avsc: str):
     _EPOCH = datetime(1970, 1, 1)
 
     def _is_null(v) -> bool:
+        # NaN/NaT are the only scalar values unequal to themselves; the
+        # check is type-based so a string field holding the literal text
+        # "NaT" is NOT nulled. KNOWN LIMITATION: a genuine NaN double is
+        # encoded as Avro null — through pandas/Arrow a null double IS
+        # NaN, so the two are indistinguishable on the DataFrame path.
         if v is None:
             return True
-        # float NaN / pandas NaT without importing pandas
-        return (isinstance(v, float) and v != v) or str(v) == "NaT"
+        try:
+            return bool(v != v)
+        except (TypeError, ValueError):  # arrays: elementwise compare
+            return False
 
     def _write_long(out: bytearray, n: int) -> None:
         z = (n << 1) ^ (n >> 63)  # zigzag (Python ints: n>>63 is -1 for n<0)

@@ -214,15 +214,20 @@ def _write_batch_parallel(
     up_sql = upsert_statement(table, data_cols, key_cols, dialect, paramstyle)
     del_sql = delete_statement(table, key_cols, paramstyle)
 
-    counts = {
-        bool(r["__deleted"]): r["cnt"]
-        for r in batch_df.groupBy("__deleted").agg(F.count("*").alias("cnt")).collect()
-    }
+    # single-pass counts via accumulators (a separate groupBy/collect
+    # would re-execute the whole upstream micro-batch plan); exact in
+    # normal operation, may overcount if a task retries after writing —
+    # the counts are diagnostics, the writes themselves are idempotent
+    sc = batch_df.sparkSession.sparkContext
+    n_up_acc, n_del_acc = sc.accumulator(0), sc.accumulator(0)
 
     def _apply(rows) -> None:
         live, dead = [], []
         for r in rows:
-            if r["__deleted"]:
+            flag = r["__deleted"]
+            if flag is None:
+                continue  # match funnel mode: NULL flag rows are dropped
+            if flag:
                 dead.append(tuple(r[c] for c in key_cols))
             else:
                 live.append(tuple(r[c] for c in data_cols))
@@ -238,6 +243,8 @@ def _write_batch_parallel(
             conn.commit()
         finally:
             conn.close()
+        n_up_acc.add(len(live))
+        n_del_acc.add(len(dead))
 
     batch_df.repartition(parallelism, *key_cols).foreachPartition(_apply)
-    return counts.get(False, 0), counts.get(True, 0)
+    return n_up_acc.value, n_del_acc.value

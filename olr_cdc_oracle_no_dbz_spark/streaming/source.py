@@ -210,14 +210,14 @@ def encode_events(
             encode_avro_python,
         )
 
-        keyed = df.select(key.cast("string").alias("key"), *value_cols)
+        # the record key travels under a reserved internal name so a
+        # business column literally named "key" cannot collide (a
+        # duplicate-name projection would make drop()/pdf["key"]
+        # ambiguous and corrupt the Avro schema)
+        keyed = df.select(key.cast("string").alias("__graft_key"), *value_cols)
         avsc = avro_schema_for(
-            keyed.drop("key").schema, "ChangeEventValue"
+            keyed.drop("__graft_key").schema, "ChangeEventValue"
         )
-        # mapInPandas consumes the whole projection, so the key rides
-        # through the encoder and the value is built from the rest
-        import pandas as pd  # noqa: F401 — worker-side dependency
-
         encode_record, _ = _avro_codec_for(avsc)
 
         def frame_batches(batches):
@@ -228,7 +228,7 @@ def encode_events(
                     encode_record(dict(zip(value_cols, row)))
                     for row in zip(*(pdf[c] for c in value_cols))
                 ]
-                yield pd.DataFrame({"key": pdf["key"], "value": vals})
+                yield pd.DataFrame({"key": pdf["__graft_key"], "value": vals})
 
         return keyed.mapInPandas(frame_batches, "key string, value binary")
     if value_format != "json":

@@ -171,8 +171,12 @@ class ParquetStateTable:
         state = self.read_internal()
         if state is None:
             return 0
-        dead = F.col("__deleted") & (
-            F.col(self.order_cols[0]) <= tombstone_watermark_scn
+        # null-safe: a row with NULL __deleted (pre-evolution bucket
+        # file) or NULL scn must be KEPT, not silently vanish — a plain
+        # three-valued predicate would exclude it from both filter(dead)
+        # and filter(~dead)
+        dead = F.col("__deleted").eqNullSafe(True) & F.coalesce(
+            F.col(self.order_cols[0]) <= tombstone_watermark_scn, F.lit(False)
         )
         touched = [
             r[0]

@@ -173,15 +173,18 @@ try:  # Spark 4 transformWithState API (requires the RocksDB state store)
         """
         from pyspark.sql import functions as F
 
+        # the seq=0 fallback applies ONLY when the caller left seq_col at
+        # its default and the stream truly has no seq column; an
+        # explicitly-named missing column must fail fast, not silently
+        # collapse multi-op transactions onto (scn, 0)
+        if seq_col == "seq" and "seq" not in stream.columns:
+            seq_expr = F.lit(0).cast("long")
+        else:
+            seq_expr = F.col(seq_col).cast("long")
         normalized = (
             stream.withColumn("__key", F.col(key_col).cast("string"))
             .withColumn("__scn", F.col(scn_col).cast("long"))
-            .withColumn(
-                "__seq",
-                F.col(seq_col).cast("long")
-                if seq_col in stream.columns
-                else F.lit(0).cast("long"),
-            )
+            .withColumn("__seq", seq_expr)
         )
         return normalized.groupBy("__key").transformWithStateInPandas(
             statefulProcessor=_SCNDedupe(list(stream.columns)),

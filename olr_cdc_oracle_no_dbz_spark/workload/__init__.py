@@ -9,6 +9,7 @@ deterministic values (see util.dsum for the float-determinism strategy).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,10 +49,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _last_green_round() -> dict[str, int]:
     """Map query name -> latest round with a green driver row.
 
-    A row counts as green only when it has no error and the row counts
-    matched; an ``err`` or mismatch row means the query still needs a
-    fresh check and keeps its earlier (staler) rank.
+    A row counts as green only when it has no error AND rows, schema,
+    and value-hash all matched (hash is THE gate signal — treating a
+    rows-match-only row as green would rotate a hash-FAILING query to
+    the back of the capped sample, the opposite of the intent). Rows
+    from weaker rows-only checks (no hash recorded) count as green;
+    an explicit False on any match keeps the stale rank. Cached per
+    process — the history files are immutable within a run.
     """
+    return _parse_history()
+
+
+@functools.cache
+def _parse_history() -> dict[str, int]:
     import json
     import re
     from pathlib import Path
@@ -72,6 +82,8 @@ def _last_green_round() -> dict[str, int]:
                 isinstance(row, dict)
                 and row.get("err") is None
                 and row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last

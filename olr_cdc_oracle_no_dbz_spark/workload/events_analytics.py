@@ -146,8 +146,14 @@ def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming double accumulation), broadcast back onto the fact as a
     tiny dimension, so the plan is one partial-agg shuffle over
     |event_types| rows plus a broadcast join — the fact never shuffles.
-    The 3-sigma comparison operates on identical IEEE doubles on both
-    engines, so the keep-set is deterministic."""
+
+    Determinism caveat: the 3-sigma threshold involves sqrt, so unlike
+    the q11/q20 exact decimal-times-integer comparisons it is a double
+    compare. Both engines derive mean/std from the SAME exact decimal
+    sums, so a keep-set flip requires a value within ~1 ulp of
+    mean + 3*std (measured green at sf0.01 and sf0.1; residual risk
+    ~1e-16 per row — the same class the 8-decimal emission contract
+    accepts elsewhere)."""
     ev = t(spark, sf_dir, "events")
     s1 = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
     s2 = F.sum(

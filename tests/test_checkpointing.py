@@ -26,11 +26,15 @@ def durable(spark, tmp_path):
 
 
 def test_durable_requires_checkpoint_dir(spark):
+    # setCheckpointDir is irreversible on the shared SparkContext, so if
+    # another durable test ran first this assertion CANNOT execute —
+    # skip loudly rather than pass vacuously (review r4 finding).
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set on the shared context")
     spark.conf.set(DURABLE_CONF, "true")
     try:
-        if spark.sparkContext.getCheckpointDir() is None:
-            with pytest.raises(ValueError, match="setCheckpointDir"):
-                truncate_lineage(spark.range(3))
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            truncate_lineage(spark.range(3))
     finally:
         spark.conf.set(DURABLE_CONF, "false")
 

@@ -260,3 +260,31 @@ def test_write_batch_parallel_mode_matches_funnel(spark, tmp_path):
             "SELECT id, stock FROM products ORDER BY id"
         ).fetchall()
     assert got == [(i, 100 + i) for i in range(1, 41)]
+
+
+def test_write_batch_parallel_null_flag_matches_funnel(spark, tmp_path):
+    """Review r4 finding: rows with NULL __deleted must be dropped in
+    BOTH modes (funnel's filter(col)/filter(~col) both exclude NULL;
+    parallel mode must not upsert them), and counts must not collapse
+    the NULL group into False."""
+    import sqlite3
+
+    db_path = str(tmp_path / "nullflag.db")
+    with sqlite3.connect(db_path) as db:
+        db.execute("CREATE TABLE products (id INT PRIMARY KEY, stock INT)")
+
+    def factory():
+        return sqlite3.connect(db_path, timeout=60)
+
+    batch = spark.createDataFrame(
+        [(1, 5, False), (2, 7, None), (3, 0, True)],
+        "id int, stock int, __deleted boolean",
+    )
+    n_up, n_del = write_batch(batch, factory, "products", ["id"], parallelism=2)
+    assert (n_up, n_del) == (1, 1)  # the NULL-flag row is dropped
+    with sqlite3.connect(db_path) as db:
+        got = db.execute("SELECT id, stock FROM products").fetchall()
+    assert got == [(1, 5)]
+    # funnel mode agrees
+    n_up2, n_del2 = write_batch(batch, factory, "products", ["id"])
+    assert (n_up2, n_del2) == (1, 1)

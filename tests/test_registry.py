@@ -40,3 +40,21 @@ def test_history_parse_produces_known_rounds():
     last = _last_green_round()
     assert last, "CORRECTNESS history should parse to a non-empty map"
     assert all(r >= 1 for r in last.values())
+
+
+def test_hash_fail_rows_do_not_count_as_green():
+    """Review r4 finding: the r2 history contains rows with
+    rows_match=true but hash_match=false (real hash FAILs). Those must
+    NOT register round 2 as their last green round — a hash-failing
+    query has to rotate to the FRONT of the capped sample."""
+    import json
+
+    r2 = json.load(open("CORRECTNESS_r02.json"))
+    hash_fails = [
+        n
+        for n, r in r2.items()
+        if r.get("rows_match") and r.get("hash_match") is False
+    ]
+    assert hash_fails, "fixture expectation: r2 shipped hash-fail rows"
+    last = _last_green_round()
+    assert all(last.get(n, 0) != 2 for n in hash_fails)

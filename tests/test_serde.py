@@ -232,3 +232,24 @@ def test_avro_round_trip_when_loaded(spark):
         "event.*"
     )
     assert [tuple(r) for r in back.collect()] == [(1, "x")]
+
+
+def test_codec_nat_string_and_key_column_collision(spark):
+    """Review r4 findings: (a) a string field holding the literal text
+    'NaT' must encode as a string, not Avro null; (b) a business column
+    literally named 'key' must survive Avro framing."""
+    enc, dec = _codec(avro_schema_for(
+        __import__("pyspark").sql.types.StructType([
+            __import__("pyspark").sql.types.StructField(
+                "s", __import__("pyspark").sql.types.StringType())]), "T"))
+    assert dec(enc({"s": "NaT"})) == {"s": "NaT"}
+
+    from olr_cdc_oracle_no_dbz_spark.streaming.source import encode_events
+
+    df = spark.createDataFrame(
+        [(1, "k1", 100)], "id int, key string, scn long"
+    )
+    framed = encode_events(df, value_format="avro")
+    avsc = avro_schema_for(df.schema, "ChangeEventValue")
+    back = decode_avro_python(framed, avsc, df.schema).select("event.*")
+    assert [tuple(r) for r in back.collect()] == [(1, "k1", 100)]

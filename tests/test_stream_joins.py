@@ -240,3 +240,20 @@ def test_state_merge_empty_batch_is_noop(spark, tmp_path):
     state.merge_batch(spark.createDataFrame([(1, 1, 1, False, 5)], schema))
     state.merge_batch(spark.createDataFrame([], schema))
     assert sorted(tuple(r) for r in state.current().collect()) == [(1, 5)]
+
+
+def test_state_compact_keeps_null_flag_rows(spark, tmp_path):
+    """Review r4 finding: a state row with NULL __deleted (e.g. a bucket
+    file written before that column existed, read via mergeSchema) must
+    SURVIVE compaction — a three-valued predicate would silently drop it
+    from both the dead and kept sides."""
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=1)
+    internal = spark.createDataFrame(
+        [(1, 10, 1, None, 5), (2, 5, 1, True, 0)],
+        "id int, scn long, seq int, __deleted boolean, stock int",
+    ).withColumn("bucket_id", F.lit(0))
+    internal.write.partitionBy("bucket_id").parquet(state.data_dir)
+
+    assert state.compact(tombstone_watermark_scn=50) == 1  # only the true tombstone
+    kept = state.read_internal().collect()
+    assert [(r["id"], r["stock"]) for r in kept] == [(1, 5)]

@@ -668,3 +668,20 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     got = dict(collected)
     assert sorted(got) == ["a-100", "b-50", "c-7"]
     assert got["a-100"] == "first"  # both later redeliveries dropped
+
+
+def test_scn_dedupe_explicit_missing_seq_col_fails_fast(spark):
+    """Review r4 finding: the seq=0 fallback applies only to the DEFAULT
+    seq_col; naming a column that does not exist must raise at plan
+    time, not silently collapse multi-op transactions onto (scn, 0)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from olr_cdc_oracle_no_dbz_spark.streaming.stateful import dedupe_redelivery
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS key", "value AS scn"
+    )
+    with pytest.raises(AnalysisException):
+        dedupe_redelivery(stream, seq_col="sequence")
+    # default seq_col on a seq-less stream still synthesizes seq=0
+    assert dedupe_redelivery(stream).schema == stream.schema
