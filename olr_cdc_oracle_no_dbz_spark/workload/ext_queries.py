@@ -1199,62 +1199,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical id (the component's min doc_id) — the step that turns
     pair detection into an actual keep-one-per-group dedup policy.
 
-    Distributed min-label propagation: labels start as own doc_id; each
-    round every vertex takes the min of its own and its neighbors'
-    labels. Rounds are whole-graph shuffles on the PAIR graph only (a
-    tiny fraction of the corpus — only docs with a verified dup), and
-    the loop converges in O(component diameter) rounds (near-dup
-    clusters are shallow; capped at 20). ``truncate_lineage`` cuts
-    the growing lineage each round so the plan stays bounded
-    (localCheckpoint by default; durable ``checkpoint()`` under
-    ``spark.graft.checkpoint.durable=true`` for real clusters); the only
-    driver-side data is the per-round convergence count. For graphs
-    with adversarially long chains, switch to the large-star/small-star
-    contraction (same join primitives, O(log n) rounds).
+    Runs on the PAIR graph only (a tiny fraction of the corpus — only
+    docs with a verified dup) through graph.connected_components: min-
+    label propagation by default (O(component diameter) rounds —
+    near-dup clusters are shallow), or large-star/small-star
+    contraction (O(log n) rounds, the adversarial-long-chain answer)
+    under ``spark.graft.cc.algorithm=starcontraction``. Both labelings
+    are identical (property-tested vs union-find, tests/test_graph.py);
+    per-round lineage cuts go through ``truncate_lineage`` (durable-
+    checkpoint aware), and the only driver-side data is the per-round
+    convergence count.
 
     DuckDB oracle: recursive CTE transitive closure with MIN(root) —
     identical fixpoint by construction."""
+    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("is_dup"))
         .select("a_id", "b_id")
     )
-    edges = pairs.selectExpr("a_id AS s", "b_id AS d").unionAll(
-        pairs.selectExpr("b_id AS s", "a_id AS d")
+    labels = connected_components(
+        pairs.selectExpr("a_id AS s", "b_id AS d"),
+        algorithm=str(
+            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+        ),
     )
-    edges = truncate_lineage(edges)  # pair pipeline runs once
-    labels = (
-        edges.select(F.col("s").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    labels = truncate_lineage(labels)
-    for _ in range(20):
-        neigh = (
-            edges.join(labels, edges["s"] == labels["doc_id"])
-            .groupBy(F.col("d").alias("nd"))
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["nd"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("neigh_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        )
-        new_labels = truncate_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     # the clustered-vertex count is a 1-row aggregate broadcast back onto
     # every row — NOT count(*) over an unpartitioned window, which would
     # funnel all labels through a single partition at scale

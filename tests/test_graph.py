@@ -1,0 +1,89 @@
+"""Connected-components equivalence: both distributed algorithms must
+match a union-find reference for arbitrary random graphs, including the
+long-chain adversary that separates their round complexities."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
+
+def _union_find(n_vertices: set[int], edges: list[tuple[int, int]]):
+    parent = {v: v for v in n_vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: every vertex -> component minimum
+    comp = {}
+    for v in n_vertices:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def _run(spark, edges, algorithm):
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = connected_components(df, algorithm=algorithm)
+    return {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+@pytest.mark.parametrize("algorithm", ["labelprop", "starcontraction"])
+def test_cc_matches_union_find_on_random_graphs(spark, algorithm, edges):
+    vertices = {v for e in edges for v in e}
+    expected = _union_find(vertices, edges)
+    assert _run(spark, edges, algorithm) == expected
+
+
+@pytest.mark.parametrize("algorithm", ["labelprop", "starcontraction"])
+def test_cc_long_chain(spark, algorithm):
+    """The adversary that separates the algorithms: a 24-vertex path.
+    Label propagation needs ~24 rounds (capped at 30); star contraction
+    must finish in O(log 24) ~ 5 alternating rounds."""
+    chain = [(i, i + 1) for i in range(23)]
+    expected = {v: 0 for v in range(24)}
+    assert _run(spark, chain, algorithm) == expected
+
+
+def test_cc_rejects_unknown_algorithm(spark):
+    df = spark.createDataFrame([(1, 2)], "s long, d long")
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(df, algorithm="bfs")
+
+
+def test_dedup_clusters_identical_under_star_contraction(spark):
+    """The conf switch must not change the registered query's output."""
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in queries()["dedup_clusters"](spark, sf).collect()}
+    spark.conf.set("spark.graft.cc.algorithm", "starcontraction")
+    try:
+        star = {
+            tuple(r) for r in queries()["dedup_clusters"](spark, sf).collect()
+        }
+    finally:
+        spark.conf.set("spark.graft.cc.algorithm", "labelprop")
+    assert base == star and base
