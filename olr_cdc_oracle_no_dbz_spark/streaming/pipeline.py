@@ -34,6 +34,7 @@ def materialize_stream(
     available_now: bool = True,
     processing_time: str = "1 second",
     require_commit: bool = False,
+    jdbc_sink: dict | None = None,
 ) -> StreamingQuery:
     """Start the CDC materialization stream; returns the StreamingQuery.
 
@@ -47,6 +48,16 @@ def materialize_stream(
     held back until its transaction's commit marker arrives in the same
     batch (for feeds where, unlike OLR, uncommitted work can appear —
     OLR itself only emits on COMMIT, so the default is off).
+
+    ``jdbc_sink`` additionally materializes every compacted batch into
+    an RDBMS — the reference's literal sink (Connect JDBC upsert,
+    README.md:775-798). Keys: ``connection_factory`` (zero-arg DBAPI
+    connection callable), ``table``, optional ``dialect``/``paramstyle``/
+    ``parallelism``/``auto_evolve`` (default True: ALTERs the live
+    table when the batch carries new columns, K5). The parquet state
+    table remains the engine's scalable store; the RDBMS is a
+    reference-faithful mirror, idempotent under foreachBatch retries
+    like everything else in this path.
     """
 
     def _apply(batch_df, batch_id: int) -> None:
@@ -63,6 +74,43 @@ def materialize_stream(
         if delta.isEmpty():
             return
         state.merge_batch(delta)
+        if jdbc_sink is not None:
+            from olr_cdc_oracle_no_dbz_spark.cdc.materialize import (
+                latest_state,
+            )
+            from olr_cdc_oracle_no_dbz_spark.streaming.jdbc_sink import (
+                evolve_statements,
+                write_batch,
+            )
+
+            compacted = latest_state(delta, state.key_cols, state.order_cols)
+            factory = jdbc_sink["connection_factory"]
+            sink_table = jdbc_sink["table"]
+            if jdbc_sink.get("auto_evolve", True):
+                conn = factory()
+                try:
+                    cur = conn.cursor()
+                    cur.execute(f"SELECT * FROM {sink_table} WHERE 1=0")
+                    current = [d[0] for d in cur.description]
+                    for stmt in evolve_statements(
+                        sink_table,
+                        current,
+                        compacted.drop(*state.order_cols).schema,
+                        jdbc_sink.get("dialect", "postgresql"),
+                    ):
+                        cur.execute(stmt)
+                    conn.commit()
+                finally:
+                    conn.close()
+            write_batch(
+                compacted.drop(*state.order_cols),
+                factory,
+                sink_table,
+                list(state.key_cols),
+                dialect=jdbc_sink.get("dialect", "postgresql"),
+                paramstyle=jdbc_sink.get("paramstyle", "qmark"),
+                parallelism=jdbc_sink.get("parallelism", 1),
+            )
 
     writer = (
         read_change_stream(spark, source_dir, schema, max_files_per_trigger)

@@ -98,3 +98,58 @@ def test_change_stream_to_jdbc_sink_with_evolution(spark, tmp_path):
         ).fetchall()
     # id=1 predates the color column -> NULL; id=2 deleted; id=3 evolved
     assert got == [(1, 6, None), (3, 9, "blue")]
+
+
+def test_materialize_stream_with_jdbc_mirror(spark, tmp_path):
+    """The full configured path with the reference's literal sink: one
+    materialize_stream call keeps the parquet state AND mirrors every
+    compacted batch into an RDBMS (upsert + tombstone delete), through
+    the same insert→update→delete protocol the reference documents."""
+    from olr_cdc_oracle_no_dbz_spark.streaming import (
+        ParquetStateTable,
+        materialize_stream,
+    )
+    from tests.conftest import event, product_row, write_tx_file
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    db_path = str(tmp_path / "mirror.db")
+    with sqlite3.connect(db_path) as db:
+        db.execute(
+            "CREATE TABLE products (id INT PRIMARY KEY, name VARCHAR(100),"
+            " description VARCHAR(500), price VARCHAR(20), stock INT,"
+            " created_date VARCHAR(30), updated_date VARCHAR(30),"
+            " __deleted_marker INT DEFAULT 0)"
+        )
+
+    # sqlite3 has no native Decimal binding (psycopg2 does); adapt via
+    # str — the DECIMAL column round-trips as its exact text form
+    import decimal
+
+    sqlite3.register_adapter(decimal.Decimal, str)
+
+    def factory():
+        return sqlite3.connect(db_path, timeout=60)
+
+    state = ParquetStateTable(spark, str(tmp_path / "state"), n_buckets=4)
+    r1 = product_row(1, "Test Product", "99.99", 10)
+    r2 = product_row(2, "Other", "5.00", 3)
+    write_tx_file(src, "tx1.json", [event(100, "c", after=r1)])
+    write_tx_file(src, "tx2.json", [event(101, "c", after=r2)])
+    write_tx_file(
+        src, "tx3.json", [event(200, "u", before=r1, after=dict(r1, stock=77))]
+    )
+    write_tx_file(src, "tx4.json", [event(300, "d", before=dict(r1, stock=77))])
+    q = materialize_stream(
+        spark,
+        src,
+        state,
+        ckpt,
+        jdbc_sink={"connection_factory": factory, "table": "products"},
+    )
+    q.awaitTermination(120)
+
+    # parquet state and the RDBMS mirror agree: only id=2 lives
+    assert {r["id"] for r in state.current().collect()} == {2}
+    with sqlite3.connect(db_path) as db:
+        got = db.execute("SELECT id, stock FROM products").fetchall()
+    assert got == [(2, 3)]
