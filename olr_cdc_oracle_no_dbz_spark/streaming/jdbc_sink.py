@@ -158,6 +158,11 @@ def write_batch(
     mode commits per partition, so a mid-batch failure can leave the
     batch partially applied; that is safe under streaming redelivery
     because the per-row upserts/deletes are idempotent.
+
+    Driver-side DBAPI setup does NOT reach executor workers: any type
+    adapter the driver registers (e.g. ``sqlite3.register_adapter``
+    for Decimal) must be registered INSIDE ``connection_factory`` so it
+    runs in the worker process too.
     """
     if parallelism > 1:
         return _write_batch_parallel(
