@@ -254,3 +254,84 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.row_number().over(w).alias("rn"),
     )
+
+
+@register(
+    "window_distribution_binned",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               MIN(value) AS lo,
+               MAX(value) AS hi,
+               COUNT(*) AS n_total
+        FROM events GROUP BY event_type
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 100.0)),
+                          99) AS BIGINT) AS bucket,
+               MIN(b.n_total) AS n_total,
+               COUNT(*) AS n
+        FROM events e JOIN bounds b ON b.event_type = e.event_type
+        GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                AS BIGINT) AS cum_n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                AS DOUBLE) / n_total AS cume_est
+    FROM binned
+    """,
+)
+def window_distribution_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for per-type distribution analysis (the exact
+    ``window_distribution`` ranks every event inside one partition per
+    type — parallelism bounded by type cardinality, the one documented
+    weak spot): two aggregation passes instead. Pass 1 computes per-type
+    [min, max] (a tiny broadcast dimension); pass 2 buckets every event
+    into 100 equal-width bins and counts per (type, bucket). The
+    cumulative window then runs over AT MOST 100 rows per type — the
+    single-partition window the exact form drags all events through now
+    holds bucket counts only, so the fact-sized work is all hash
+    aggregation (partial map-side combine, fully parallel at any
+    type cardinality). cume_est approximates cume_dist to 1/100
+    resolution — the histogram-sketch tradeoff, stated in the name.
+
+    Determinism: bucket boundaries divide identical IEEE doubles on
+    both engines (same lo/hi from the same values), and a value exactly
+    on a boundary lands identically because the expression is the same
+    arithmetic both sides."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n_total"),
+    )
+    binned = (
+        ev.join(F.broadcast(bounds), F.col("et") == F.col("event_type"))
+        .select(
+            "event_type",
+            "n_total",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 100.0)
+                ),
+                F.lit(99),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.min("n_total").alias("n_total"), F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return binned.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        (F.sum("n").over(w).cast("double") / F.col("n_total")).alias(
+            "cume_est"
+        ),
+    )
