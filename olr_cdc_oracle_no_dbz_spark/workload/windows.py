@@ -242,8 +242,8 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Parallelism is bounded by the partition-key
     cardinality; that is inherent to exact per-type ranks (the whole
     type must sort together). At 100 TB the right tool for this
-    question is an approximate per-type quantile sketch — a different,
-    deliberately-not-this operator."""
+    question is ``window_distribution_binned`` below — the histogram
+    variant whose window covers bucket counts, not events."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select(
