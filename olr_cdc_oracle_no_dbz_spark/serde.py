@@ -313,7 +313,16 @@ def _codec(avsc: str):
         return bytes(out)
 
     def decode_record(payload: bytes) -> dict:
-        value, _ = _decode(schema, bytes(payload), 0)
+        raw = bytes(payload)
+        value, pos = _decode(schema, raw, 0)
+        if pos != len(raw):
+            # Avro binary has no framing: trailing bytes mean the
+            # payload was written with a DIFFERENT schema or corrupted —
+            # surfacing it here beats silently returning junk
+            raise ValueError(
+                f"Avro payload has {len(raw) - pos} undecoded trailing "
+                "bytes (schema mismatch or corruption)"
+            )
         return value
 
     return encode_record, decode_record
@@ -343,10 +352,25 @@ def decode_avro_python(
     avsc: str,
     spark_schema: T.StructType,
     value_col: str = "value",
+    permissive: bool = False,
 ) -> DataFrame:
     """``decode_avro`` without spark-avro: binary value → typed ``event``
     struct column. ``spark_schema`` is the record's Spark StructType
-    (the inverse of avro_schema_for)."""
+    (the inverse of avro_schema_for).
+
+    ``permissive=True`` mirrors ``from_json``'s PERMISSIVE mode (the
+    engine's JSON decode contract, cdc/decode.py): a malformed record
+    yields ``event=NULL`` plus its raw bytes in ``_corrupt`` instead of
+    failing the stream — mandatory for a sink reading a topic other
+    producers can write garbage to. Default stays strict (fail fast on
+    corruption, the spark-avro behavior).
+
+    What counts as malformed: buffer overruns (truncation), trailing
+    bytes (schema mismatch — the codec demands full consumption),
+    invalid UTF-8, out-of-range union indexes. Unframed binary can't
+    catch byte strings that happen to BE a valid encoding of the
+    schema — that detection needs a Registry schema-id prefix or a
+    checksum, neither of which plain Avro values carry."""
     _, decode_record = _codec(avsc)
 
     def decode_batches(batches):
@@ -357,5 +381,29 @@ def decode_avro_python(
                 {"event": [decode_record(bytes(b)) for b in pdf[value_col]]}
             )
 
+    def decode_batches_permissive(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            events, corrupt = [], []
+            for b in pdf[value_col]:
+                try:
+                    events.append(decode_record(bytes(b)))
+                    corrupt.append(None)
+                except Exception:  # noqa: BLE001 — any decode failure
+                    events.append(None)
+                    corrupt.append(bytes(b))
+            yield pd.DataFrame({"event": events, "_corrupt": corrupt})
+
+    if permissive:
+        out_schema = T.StructType(
+            [
+                T.StructField("event", spark_schema),
+                T.StructField("_corrupt", T.BinaryType()),
+            ]
+        )
+        return df.select(value_col).mapInPandas(
+            decode_batches_permissive, out_schema
+        )
     out_schema = T.StructType([T.StructField("event", spark_schema)])
     return df.select(value_col).mapInPandas(decode_batches, out_schema)

@@ -410,3 +410,34 @@ def agg_latest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest3("event_type").alias("latest_3_types"),
         latest3("value").alias("latest_3_values"),
     )
+
+
+@register(
+    "agg_earliest_n_by_offset",
+    oracle="""
+    SELECT user_id,
+           list_transform(list_slice(list_sort(
+               list({'k': event_id, 'v': event_type}), 'ASC'), 1, 3),
+               x -> x.v) AS earliest_3_types,
+           list_transform(list_slice(list_sort(
+               list({'k': event_id, 'v': value}), 'ASC'), 1, 3),
+               x -> x.v) AS earliest_3_values
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_earliest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EARLIEST_BY_OFFSET(col, N) — the symmetric twin of
+    agg_latest_n_by_offset: first 3 values per key in offset order
+    (ascending struct sort, slice, project)."""
+    ev = t(spark, sf_dir, "events")
+
+    def earliest3(col: str):
+        return F.expr(
+            "transform(slice(sort_array(collect_list(struct(event_id,"
+            f" {col})), true), 1, 3), s -> s.{col})"
+        )
+
+    return ev.groupBy("user_id").agg(
+        earliest3("event_type").alias("earliest_3_types"),
+        earliest3("value").alias("earliest_3_values"),
+    )

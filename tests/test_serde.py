@@ -253,3 +253,40 @@ def test_codec_nat_string_and_key_column_collision(spark):
     avsc = avro_schema_for(df.schema, "ChangeEventValue")
     back = decode_avro_python(framed, avsc, df.schema).select("event.*")
     assert [tuple(r) for r in back.collect()] == [(1, "k1", 100)]
+
+
+def test_decode_avro_python_permissive_corruption(spark):
+    """Permissive decode (the from_json PERMISSIVE analog): malformed
+    payloads land in _corrupt with event=NULL; good rows decode; strict
+    mode fails fast; trailing bytes are treated as corruption (full-
+    consumption contract)."""
+    import pyspark.sql.types as T
+
+    struct = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    avsc = avro_schema_for(struct, "P")
+    enc, dec = _codec(avsc)
+    good = enc({"id": 7, "name": "ok"})
+    truncated = good[:-2]
+    trailing = good + b"\xff\xff"
+    with pytest.raises(ValueError, match="trailing"):
+        dec(trailing)
+
+    df = spark.createDataFrame(
+        [(good,), (truncated,), (trailing,)], "value binary"
+    )
+    out = decode_avro_python(df, avsc, struct, permissive=True).collect()
+    events = [r["event"] for r in out]
+    corrupt = [r["_corrupt"] for r in out]
+    assert sum(e is not None for e in events) == 1
+    assert sum(c is not None for c in corrupt) == 2
+    ok = next(e for e in events if e is not None)
+    assert (ok["id"], ok["name"]) == (7, "ok")
+
+    # strict mode: the stream fails loudly instead
+    with pytest.raises(Exception):
+        decode_avro_python(df, avsc, struct).collect()
