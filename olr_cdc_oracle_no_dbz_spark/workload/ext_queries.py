@@ -1493,3 +1493,116 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint") % 100
     rate = F.when(F.col("lang") == "en", 40).otherwise(90)
     return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+_SQL_SPLIT_OF = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 < 80 THEN 'train' "
+    "WHEN CAST(concat('0x', substr(md5(CAST({c} AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    mh AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(substr(md5(s || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+                   for i in range(16)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band_hash "
+            f"FROM mh"
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+        GROUP BY c.a_id, c.b_id
+    ),
+    dups AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.a_id
+        JOIN sizes zb ON zb.doc_id = i.b_id
+        WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.8
+    ),
+    tagged AS (
+        SELECT a_id, b_id,
+               {_SQL_SPLIT_OF.format(c='a_id')} AS split_a,
+               {_SQL_SPLIT_OF.format(c='b_id')} AS split_b
+        FROM dups
+    )
+    SELECT least(split_a, split_b) AS split_lo,
+           greatest(split_a, split_b) AS split_hi,
+           COUNT(*) AS n_leaked_pairs,
+           MIN(a_id) AS example_a,
+           MIN(b_id) AS example_b
+    FROM tagged
+    WHERE split_a <> split_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION detection — the decontamination audit
+    every training pipeline runs before trusting its eval numbers: a
+    near-duplicate pair whose members land in DIFFERENT dataset splits
+    leaks training signal into evaluation. Composes two existing
+    operators: verified MinHash-LSH duplicate pairs x the deterministic
+    md5-bucket split assignment (the same hash dataset_split uses, so
+    the audit sees exactly the splits the pipeline would produce).
+    Reports leaked-pair counts per split combination with example ids
+    for drill-down.
+
+    Scale: the pair relation is tiny (only verified dups) and the split
+    tag is a per-row hash expression — the dominant cost is the LSH
+    pipeline itself, already bounded by banded candidates."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+
+    def split_of(c: str):
+        bucket = F.expr(
+            f"conv(substring(md5(cast({c} AS string)), 1, 8), 16, 10)"
+        ).cast("bigint") % 100
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        )
+
+    tagged = pairs.select(
+        "a_id",
+        "b_id",
+        split_of("a_id").alias("split_a"),
+        split_of("b_id").alias("split_b"),
+    )
+    return (
+        tagged.filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_leaked_pairs"),
+            F.min("a_id").alias("example_a"),
+            F.min("b_id").alias("example_b"),
+        )
+    )
