@@ -9,7 +9,7 @@ self-derived dimensions (no self-joins over the raw fact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.workload import register
@@ -178,4 +178,44 @@ def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("min_outlier"),
             F.max("value").alias("max_outlier"),
         )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (the Markov-chain view of the
+    event stream — which event types follow which): lag() over each
+    user's offset-ordered sequence, then a bigram count. One shuffle
+    partitioned by user_id serves both the window and (via partial
+    aggregation) the transition count; per-user partitions are small
+    (bounded events per user), so parallelism scales with users, not
+    with the event-type cardinality. The unique event_id offset makes
+    each user's sequence — and therefore every bigram — deterministic
+    on both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
     )
