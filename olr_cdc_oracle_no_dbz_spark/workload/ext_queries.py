@@ -1606,3 +1606,63 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("b_id").alias("example_b"),
         )
     )
+
+
+@register(
+    "corpus_source_report",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               md5(text) AS h
+        FROM documents
+    ),
+    dup_h AS (
+        SELECT h FROM sized GROUP BY h HAVING COUNT(*) > 1
+    )
+    SELECT s.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(s.n_words) AS BIGINT) AS total_words,
+           CAST(COUNT(d.h) AS BIGINT) AS n_dup_involved,
+           CAST(SUM(CASE WHEN s.n_words < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_too_short
+    FROM sized s LEFT JOIN dup_h d ON d.h = s.h
+    GROUP BY s.source
+    """,
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE corpus accounting — the data-sourcing view every
+    ingest pipeline reports: how much each source contributes, how much
+    of it is duplicated (docs whose exact-dup hash appears more than
+    once corpus-wide), and how much fails the length gate. The dup-hash
+    relation is a tiny HAVING>1 aggregate broadcast back onto the
+    per-doc rows; everything else is map-side expression work plus one
+    source rollup."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    dup_h = (
+        d.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    )
+    return (
+        d.join(
+            F.broadcast(dup_h.withColumnRenamed("h", "dh")),
+            F.col("dh") == F.col("h"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.count("dh").cast("bigint").alias("n_dup_involved"),
+            F.sum((F.col("n_words") < 20).cast("int"))
+            .cast("bigint")
+            .alias("n_too_short"),
+        )
+    )
