@@ -234,3 +234,51 @@ def cdc_txn_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_scn",
         "committed",
     )
+
+
+_ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+_STATE_ASOF_SQL = f"""
+    SELECT * FROM (
+        SELECT e.*, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
+        FROM events e
+        WHERE ts <= TIMESTAMP '{_ASOF_CUTOFF}'
+    ) WHERE __rn = 1
+"""
+
+
+@register(
+    "cdc_state_asof",
+    oracle=f"""
+    WITH state AS ({_STATE_ASOF_SQL})
+    SELECT user_id,
+           event_type AS last_event_type,
+           value      AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM state WHERE event_type <> 'error'
+    """,
+)
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) materialization: the current-state
+    table AS OF a cutoff — replay the changelog but apply only events
+    at or before the cutoff, then LWW + delete-drop as usual. This is
+    the reference's 'what did `products` look like last Tuesday'
+    question, answered from the retained changelog rather than a stored
+    snapshot (the changelog IS the time-travel log).
+
+    Scale design: the cutoff is a plain predicate that reaches the
+    parquet scan (min/max row-group pruning skips everything after the
+    cutoff when the log is written in arrival order — which append-only
+    changelogs are), then the identical single-shuffle LWW as
+    cdc_current_state."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(_ASOF_CUTOFF).cast("timestamp")
+    )
+    live = latest_state(ev, KEY, ORDER).filter(F.col("event_type") != "error")
+    return live.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

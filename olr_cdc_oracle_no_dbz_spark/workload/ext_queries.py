@@ -1666,3 +1666,352 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_too_short"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality filters / domain caps / packing / mixing / semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, n_words - 1)) AS i
+              FROM base)
+    ),
+    top_bg AS (
+        SELECT doc_id, MAX(cnt) AS top_bigram_cnt
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words,
+           1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+           CAST(COALESCE(t.top_bigram_cnt, 0) AS DOUBLE)
+               / GREATEST(b.n_words - 1, 1) AS top_bigram_frac,
+           (1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words <= 0.6
+            AND CAST(COALESCE(t.top_bigram_cnt, 0) AS DOUBLE)
+                / GREATEST(b.n_words - 1, 1) <= 0.2) AS passes_repetition
+    FROM base b LEFT JOIN top_bg t ON t.doc_id = b.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021, §A1.1 —
+    public paper): fraction of repeated words (1 - distinct/total) and
+    the fraction of word-bigrams taken by the single most frequent
+    bigram. Degenerate machine-generated text fails one of the two.
+
+    Scale design: the bigram mode is computed by explode →
+    ``groupBy(doc_id, bigram)`` → per-doc max — partial aggregation
+    makes the first shuffle carry only distinct (doc, bigram) pairs,
+    and both shuffles hash on doc_id, so there is no skew beyond
+    document length and no all-pairs anything. The word-level stats
+    are pure map-side expressions."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 1, 1)),"
+                " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    top_bg = (
+        bg.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_cnt"))
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(F.col("n_words") - 1, F.lit(1))
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac <= 0.6) & (top_frac <= 0.2)).alias(
+                "passes_repetition"
+            ),
+        )
+    )
+
+
+@register(
+    "docs_domain_cap",
+    oracle="""
+    SELECT doc_id, source, rn, rn <= 15 AS kept
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    """,
+)
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (per-domain) document cap — the anti-over-
+    representation gate every crawl pipeline applies (C4 caps pages per
+    domain): keep the first K=15 docs per source in deterministic
+    doc_id order, flag the rest.
+
+    Scale design: one hash shuffle on ``source`` + a per-partition sort
+    — rank-within-group is the textbook windowed cap. Skewed domains
+    (one source = half the corpus) are the real-world hazard; the fix
+    at 100 TB is a two-phase cap (per-partition pre-cap at K, then the
+    exact window over survivors), which composes from this same
+    operator."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+    ).withColumn("kept", F.col("rn") <= 15)
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
+        FROM sized
+    )
+    SELECT source, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / 512 AS fill_ratio
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents into fixed
+    token-budget (512) sequences. Deterministic offset packing — the
+    sequence id is floor(running_token_count_before_doc / budget) within
+    a source shard, so the layout is a pure function of the data, not of
+    partitioning or arrival order.
+
+    Scale design: packing is windowed WITHIN each source shard (one
+    hash shuffle + per-partition running sum), never a global sort —
+    shards pack independently on their executors, which is exactly how
+    a 100 TB corpus packs on 1000 nodes. The per-sequence rollup reuses
+    the same partitioning (source is a prefix of the grouping key), so
+    AQE keeps it co-located."""
+    sized = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / 512
+        ).alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        (F.sum("n_tokens").cast("double") / 512).alias("fill_ratio"),
+    )
+
+
+#: target mixture weights per language — the dataset-mixing knob
+#: (keep-rate per stratum; en oversampled, zh downsampled)
+_MIX_RATES = {"en": 95, "de": 60, "fr": 50, "es": 40, "zh": 30}
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle=f"""
+    WITH marked AS (
+        SELECT lang, n_chars,
+               CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 100 AS bucket,
+               CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+                    ELSE 0 END AS rate
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS achieved_rate,
+           CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM marked
+    GROUP BY lang
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: downsample each language stratum to a
+    target keep-rate (the 'data mixture' step before training). The
+    keep decision is an md5 bucket of ``doc_id`` under a salt distinct
+    from dataset_split's, so mixing composes independently with the
+    train/val/test split (no correlation between the two decisions) and
+    is reproducible across engines, runs, and cluster sizes — never
+    ``rand()``.
+
+    Scale design: the keep decision is a pure map-side function of the
+    row; the only shuffle is the tiny per-stratum report. Dropping
+    filtered rows early also makes this the cheapest possible shape for
+    a downstream writer."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for k, v in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    kept = bucket < rate
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_input"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        (F.sum(kept.cast("int")).cast("double") / F.count("*")).alias(
+            "achieved_rate"
+        ),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM e
+             WHERE vec_id < {_IVF_K}),
+    assign AS (
+        SELECT vec_id, v, nsq, cent_id FROM (
+            SELECT e.vec_id, e.v, e.nsq, cent.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST({_sql_dot("e.v", "cent.cv")}
+                                / (sqrt(e.nsq) * sqrt(cent.cnsq))
+                                AS DECIMAL(16,8)) DESC, cent.cent_id) AS rk
+            FROM e CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT b.vec_id, b.cent_id,
+               CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                    AS DECIMAL(16,8)) AS cos_sim
+        FROM assign a JOIN assign b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, cent_id,
+           CAST(MAX(cos_sim) AS VARCHAR) AS max_cos_to_earlier,
+           COUNT(*) AS n_near_earlier
+    FROM pairs
+    WHERE cos_sim >= CAST(0.25 AS DECIMAL(16,8))
+    GROUP BY vec_id, cent_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): cluster embeddings
+    with a coarse quantizer, then mark as semantic duplicates the
+    vectors whose cosine to an EARLIER (lower-id) vector in the same
+    cluster crosses the threshold — keep-first-drop-rest within each
+    semantic neighborhood. Threshold 0.25 because the synthetic table
+    tops out near cos 0.52 (see dedup_embedding_cosine); real corpora
+    use ~0.95+.
+
+    Scale design: identical skeleton to ann_topk_ivf — broadcast K=8
+    centroid assignment (K×N, never N²), then pairwise cosine ONLY
+    within a cluster, so cost is sum of squared cluster sizes, the
+    SemDeDup paper's own complexity. With real k-means centroids the
+    plan shape is unchanged. Reported per duplicate: its cluster, max
+    similarity to an earlier keeper-candidate, and how many earlier
+    near-neighbors it has."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nsq").alias("cnsq"),
+    )
+    sim_to_cent = (
+        _dot("v", "cv") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("cnsq")))
+    ).cast("decimal(16,8)")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        sim_to_cent.desc(), "cent_id"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nsq", "cent_id")
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    cos = (
+        _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
+    ).cast("decimal(16,8)")
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.cent_id").alias("cent_id"),
+        cos.alias("cos_sim"),
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= F.lit("0.25").cast("decimal(16,8)"))
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.max("cos_sim").cast("string").alias("max_cos_to_earlier"),
+            F.count("*").alias("n_near_earlier"),
+        )
+    )

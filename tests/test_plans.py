@@ -76,6 +76,7 @@ def test_lsh_candidate_joins_never_cartesian(spark, q):
 _BNLJ_ALLOWED = {
     "ann_topk_bruteforce",  # 10-row query set × N candidates
     "ann_topk_ivf",  # K=8 centroids × N vectors: the coarse-assignment pass
+    "dedup_semantic",  # same K=8 coarse-assignment pass as ann_topk_ivf
     "tpch_q22_inactive_customers",  # 1-row scalar AVG threshold × customers
     "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
     "tpch_q11_important_parts",  # 1-row global-total threshold × parts
