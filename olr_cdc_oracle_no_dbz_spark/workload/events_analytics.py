@@ -219,3 +219,115 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def _pr_iter_sql(prev: str, name: str) -> str:
+    """One PageRank power iteration as a DuckDB CTE (mirrors the Spark
+    loop body exactly: per-edge double contribution, exact-decimal sum,
+    damped update)."""
+    return f"""
+    {name} AS (
+        SELECT r.node,
+               CAST(0.15 AS DOUBLE) / r.n
+                 + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE))
+                 AS rank,
+               r.n
+        FROM {prev} r LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(p.rank * CAST(e.w AS DOUBLE)
+                                 / CAST(e.ow AS DOUBLE)
+                                 AS DECIMAL(28,18))) AS DOUBLE) AS s
+            FROM e JOIN {prev} p ON p.node = e.src
+            GROUP BY e.dst
+        ) s ON s.node = r.node
+    )"""
+
+
+@register(
+    "graph_pagerank_transitions",
+    oracle=f"""
+    WITH trans AS (
+        SELECT event_type AS dst,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS src
+        FROM events
+    ),
+    edges AS (SELECT src, dst, COUNT(*) AS w
+              FROM trans WHERE src IS NOT NULL GROUP BY src, dst),
+    oute AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, oute.ow
+          FROM edges JOIN oute USING (src)),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank, n
+           FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node, CAST(CAST(rank AS DECIMAL(16,8)) AS VARCHAR) AS pagerank
+    FROM r3
+    """,
+)
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-journey transition graph (nodes = event
+    types, edge weight = observed transition count) — the iterative-
+    algorithm pattern (power iteration) done the way it scales: a FIXED
+    number of damped iterations, each one `join(edges, ranks) →
+    groupBy(dst) → sum`, with the rank mass summed through exact
+    decimals so the result is independent of partitioning and engine.
+
+    Scale design: each iteration is one hash shuffle of the EDGE
+    relation keyed by dst (ranks are broadcast — the node set is always
+    the small side; for web-scale node sets the same loop runs with a
+    shuffle join and periodic `truncate_lineage`). The derivation of
+    the edge list reuses the transition-matrix shape: one user-keyed
+    shuffle for lag(), one groupBy on the (src,dst) pairs. No driver-
+    side collect anywhere — the iteration count is static, not a
+    convergence test on collected values.
+    """
+    ev = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w_user).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    edges = trans.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    oute = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(oute, "src")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1).cast("double") / F.col("n")).alias("rank"), "n"
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(
+                F.broadcast(
+                    rank.select(F.col("node").alias("src"), "rank")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("rank")
+                    * F.col("w").cast("double")
+                    / F.col("ow").cast("double")
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast("decimal(28,18)")).cast("double").alias("s"))
+        )
+        rank = rank.join(F.broadcast(contrib), "node", "left").select(
+            "node",
+            (
+                F.lit(0.15).cast("double") / F.col("n")
+                + F.lit(0.85).cast("double")
+                * F.coalesce("s", F.lit(0).cast("double"))
+            ).alias("rank"),
+            "n",
+        )
+    return rank.select(
+        "node",
+        F.col("rank").cast("decimal(16,8)").cast("string").alias("pagerank"),
+    )

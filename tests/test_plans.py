@@ -79,6 +79,7 @@ _BNLJ_ALLOWED = {
     "dedup_semantic",  # same K=8 coarse-assignment pass as ann_topk_ivf
     "tpch_q22_inactive_customers",  # 1-row scalar AVG threshold × customers
     "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
+    "graph_pagerank_transitions",  # 1-row node-count aggregate broadcast × nodes
     "tpch_q11_important_parts",  # 1-row global-total threshold × parts
 }
 
