@@ -23,12 +23,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Scale-note: at 100 TB these become
     partitioned/bucketed external tables; the call site stays identical.
 
-    Nanosecond timestamps: the driver's ``events.parquet`` stores ``ts``
-    as INT64 TIMESTAMP(NANOS), which Spark's vectorized parquet reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as raw longs
-    (runtime conf, safe for every other table — it only affects NANOS
-    columns) and truncate to microsecond timestamps with exact integer
-    division, matching DuckDB's own ns→µs truncation bit-for-bit.
+    Timestamp normalization — the driver's parquet writer has shipped two
+    shapes across rounds, and the catalog absorbs both so every query
+    downstream sees plain ``timestamp``:
+
+    * INT64 TIMESTAMP(NANOS) (rounds 1-3, ``events.ts``): Spark's
+      vectorized reader rejects NANOS outright (PARQUET_TYPE_ILLEGAL), so
+      we read nanos as raw longs (runtime conf, safe for every other
+      table — it only affects NANOS columns) and truncate to microsecond
+      timestamps with exact integer division, matching DuckDB's own
+      ns→µs truncation bit-for-bit.
+    * TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (round 4+:
+      ``events.ts``, ``lineitem.l_shipdate``, ``orders.o_orderdate``):
+      Spark 4 infers TIMESTAMP_NTZ, which strict chrono functions
+      (``unix_micros`` et al.) refuse. The session timezone is pinned
+      UTC (session.py), so casting NTZ→TIMESTAMP is value-identical to
+      DuckDB's naive-UTC reading of the same column.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
@@ -36,6 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
