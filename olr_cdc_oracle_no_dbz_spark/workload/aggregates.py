@@ -441,3 +441,56 @@ def agg_earliest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         earliest3("event_type").alias("earliest_3_types"),
         earliest3("value").alias("earliest_3_values"),
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value')} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a maintained aggregate table
+    is refreshed by MERGING the partial-aggregation state of the new
+    delta into the stored state — never by rescanning the base. This
+    query proves the merge law the whole scheme rests on,
+    ``merge(partial(base), partial(delta)) == agg(base ∪ delta)``:
+    the input is split on an arbitrary predicate, each side reduced to
+    per-group (count, exact-decimal sum, min, max) state, and the two
+    states merged by a second aggregate (counts add, decimal sums add,
+    min/max fold). The oracle computes the direct full aggregate, so
+    the differential gate certifies merge == recompute bit-for-bit —
+    the sum state stays DECIMAL until the final cast, because merging
+    already-rounded doubles would break associativity.
+
+    Scale design: this is exactly Spark's own map-side partial-agg
+    contract lifted to table granularity. At 100 TB the stored state is
+    |groups| rows, the delta pass reads only new data, and the merge
+    shuffles |groups| — refresh cost is O(delta), independent of base
+    size. Same states power the streaming aggregation upgrade path
+    (state-store rows ARE these partials)."""
+    ev = t(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_state"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    is_delta = F.col("event_id") % 4 == 0  # arbitrary, deterministic split
+    merged = partial(ev.filter(~is_delta)).unionByName(
+        partial(ev.filter(is_delta))
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_state").cast("double").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -282,3 +282,50 @@ def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w IS NULL AND event_type <> 'error') AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from the changelog: instead of
+    LWW-collapsing to current state (cdc_current_state), every change
+    event becomes a VERSION row with a [valid_from, valid_to) interval
+    — valid_to is the next change's timestamp for the same key, open
+    (NULL) on the live version. A delete closes the interval chain: the
+    tombstone's own row carries is_current=false, so 'current' means
+    last version AND not deleted. This is the standard warehouse answer
+    to 'what was this row worth at time T' — the interval form of the
+    cdc_state_asof point query.
+
+    Scale design: one shuffle on the key, then lead() inside each key
+    partition — identical exchange shape to the LWW materialization, so
+    the history table costs the same shuffle as the state table it
+    generalizes. Version rows append in SCN order at write time, so at
+    100 TB the output partitions naturally by valid_from for row-group
+    pruning on time-travel predicates."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        (nxt.isNull() & (F.col("event_type") != "error")).alias("is_current"),
+    )

@@ -2015,3 +2015,83 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_near_earlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common dialect (no
+# backrefs, no lookaround) so Spark and DuckDB match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus is PII-free word soup, so the query plants
+# deterministic doc_id-derived PII in both engines and must then strip
+# every planted token — redaction provably FIRES on every row instead
+# of vacuously matching on no-op text.
+_PII_SEED_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example'"
+    " || ' call ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')"
+    " || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9'"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, {_PII_SEED_SQL} AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(raw, '{_PII_IP}'))    AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_hash
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every LLM training corpus
+    runs before tokenization: emails, NANP-style phone numbers, and
+    IPv4 literals replaced with typed placeholder tags, with
+    per-category match counts for the audit report.
+
+    Cross-engine contract: patterns use only the Java-regex ∩ RE2
+    common dialect; application order (email → phone → ip) is fixed so
+    overlapping matches resolve identically. Output carries the md5 of
+    the redacted text, so the differential gate proves byte-identical
+    redaction, not just equal counts.
+
+    Scale design: pure per-row regexp projection — zero shuffles, fully
+    codegen'd JVM expressions, linear in executors; at 100 TB this is
+    scan-bound, exactly what a redaction pass should be. (The seeding
+    CTE exists only because the synthetic corpus contains no organic
+    PII; production input drops it.)"""
+    d = t(spark, sf_dir, "documents")
+    raw = F.expr(_PII_SEED_SQL.replace("VARCHAR", "STRING"))
+    seeded = d.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("raw", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
