@@ -329,3 +329,48 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (nxt.isNull() & (F.col("event_type") != "error")).alias("is_current"),
     )
+
+
+@register(
+    "cdc_purge_keys",
+    oracle=f"""
+    WITH purge AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    state AS ({_STATE_SQL})
+    SELECT s.user_id,
+           s.event_type AS last_event_type,
+           s.value      AS last_value
+    FROM state s
+    WHERE s.event_type <> 'error'
+      AND s.user_id NOT IN (SELECT user_id FROM purge)
+    """,
+)
+def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: given a table of erasure requests
+    (here a deterministic synthetic list — every 97th user), remove
+    those keys from the materialized state with a LEFT ANTI join. The
+    request list is a real relation, not a filter literal, because in
+    production it arrives as a table you cannot inline into a
+    predicate. Complements K3 delete propagation: deletes flow from the
+    SOURCE through the changelog, purges are imposed from OUTSIDE on
+    everything retained.
+
+    Scale design: the erasure list is tiny relative to state, so the
+    anti join broadcasts it — zero extra shuffle on the state side, and
+    the same broadcast prunes the 100 TB changelog retention rewrite
+    (the other half of a real purge) file-by-file. Keys absent from
+    state are a no-op, matching erasure-request semantics."""
+    ev = t(spark, sf_dir, "events")
+    purge = (
+        ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    live = latest_state(ev, KEY, ORDER).filter(F.col("event_type") != "error")
+    return (
+        live.join(F.broadcast(purge), "user_id", "left_anti")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
