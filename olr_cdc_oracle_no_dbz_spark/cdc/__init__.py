@@ -5,6 +5,11 @@ from olr_cdc_oracle_no_dbz_spark.cdc.decode import (
     filter_source,
     unwrap,
 )
+from olr_cdc_oracle_no_dbz_spark.cdc.history import (
+    merge_into_history,
+    publish_history,
+    scd2_chain,
+)
 from olr_cdc_oracle_no_dbz_spark.cdc.materialize import (
     latest_state,
     materialize_state,
@@ -19,5 +24,8 @@ __all__ = [
     "latest_state",
     "materialize_state",
     "merge_into_state",
+    "merge_into_history",
     "publish",
+    "publish_history",
+    "scd2_chain",
 ]
