@@ -335,3 +335,51 @@ def window_distribution_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cume_est"
         ),
     )
+
+
+@register(
+    "window_moving_avg_range",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(value) OVER w AS n_in_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               / COUNT(value) OVER w AS mov_avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval frame (the time-based sibling of the ROWS frame in
+    window_rank_frames): per-user moving average over the trailing hour
+    of EVENT TIME, not the trailing N rows — frames stretch and shrink
+    with event density, and rows sharing a timestamp are peers (both
+    engines include all peers in a RANGE frame, so ties are
+    deterministic without a tiebreaker column). Spark expresses the
+    interval bound as rangeBetween(-3600, 0) over epoch seconds —
+    value-identical to the SQL INTERVAL bound, both ends inclusive.
+    The average is exact-decimal sum / count (util.py determinism
+    contract: frame sums must not depend on intra-frame visit order).
+
+    Scale design: single shuffle on user_id, sort within partition —
+    the same exchange as every per-key window here; the frame is
+    evaluated by a sliding two-pointer over the sorted run, O(n) per
+    key, no per-row rescan."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count("value").over(w).alias("n_in_hour"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mov_avg_1h"),
+    )
