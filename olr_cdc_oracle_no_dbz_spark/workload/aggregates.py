@@ -494,3 +494,53 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS cnt,
+               {sql_dsum('value')} AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'cnt' AS metric, cnt AS metric_value FROM wide
+    UNION ALL
+    SELECT event_type, 'sum_value', sum_value FROM wide
+    UNION ALL
+    SELECT event_type, 'min_value', min_value FROM wide
+    UNION ALL
+    SELECT event_type, 'max_value', max_value FROM wide
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of agg_pivot: a wide per-type metrics table
+    melted to (event_type, metric, metric_value) long form through the
+    native DataFrame.unpivot API (Catalyst Expand node, the same
+    operator that powers rollup/cube). All measures cast to double
+    first — unpivot requires one value type, and counts stay exact in
+    a double well past 2^50.
+
+    Scale design: Expand multiplies rows by the measure count WITHOUT a
+    shuffle (it's a flatMap-shaped projection over the already-reduced
+    aggregate), so the long form costs |groups| x |metrics| rows of
+    projection, nothing more."""
+    wide = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            dsum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["cnt", "sum_value", "min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
