@@ -1,0 +1,178 @@
+"""Empirical scaling probe: do the heavy operators scale linearly?
+
+Replicates the sf0.1 tables K-fold with structure-preserving
+perturbations and times the shuffle-heavy / candidate-generating
+operators at each factor, then fits the per-query scaling exponent
+alpha from t(K) ~ K^alpha (least squares over log-log). A
+candidates-then-verify design should sit near alpha ~ 1 (linear in
+data); alpha ~ 2 means an operator degenerated to all-pairs and would
+NOT survive 100 TB. This is the measured check behind every
+"scale-safe" claim in the operator docstrings.
+
+Replication is built so TRUE duplicate structure scales linearly
+instead of quadratically (replicas must not be near-dups of each
+other, or the probe would measure the data, not the algorithm):
+- documents: per-replica vowel rotation (translate) gives each replica
+  a disjoint vocabulary — within-replica near-dup pairs are preserved
+  exactly, cross-replica pairs impossible.
+- embeddings: per-replica deterministic directional perturbation
+  (index- and replica-dependent additive term) pushes replicas apart
+  in cosine space while keeping within-replica neighborhoods.
+- events: user_id/event_id offset per replica — key cardinality grows
+  K-fold, per-key history stays constant (the LWW/window shape).
+
+Usage:
+    python scripts/scale_probe.py            # factors 1 2 4
+    python scripts/scale_probe.py 1 2 4 8
+
+Prints one JSON line per run plus a final summary with exponents.
+Writes replicated data under /tmp/spark_graft_scale_probe/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/spark_graft_scale_probe"
+
+#: probed operators — the candidate-generating / shuffle-heavy set
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "ann_topk_ivf",
+    "dedup_semantic",
+    "cdc_current_state",
+    "text_pii_redact",
+    "window_moving_avg_range",
+]
+
+_VOWELS = "aeiou"
+
+
+def _rotate(k: int) -> str:
+    return _VOWELS[k % 5 :] + _VOWELS[: k % 5]
+
+
+def replicate(spark: SparkSession, factor: int) -> str:
+    out = os.path.join(WORK, f"x{factor}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    n_usr = ev.agg(F.max("user_id")).first()[0] + 1
+    n_evt = ev.agg(F.max("event_id")).first()[0] + 1
+
+    d_parts = [
+        docs.select(
+            (F.col("doc_id") + k * n_doc).alias("doc_id"),
+            F.translate("text", _VOWELS, _rotate(k)).alias("text"),
+            "lang",
+            F.concat(F.col("source"), F.lit(f"_r{k}")).alias("source"),
+            "n_chars",
+        )
+        for k in range(factor)
+    ]
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    e_parts = [
+        emb.select(
+            (F.col("vec_id") + k * n_vec).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + F.lit(0.05 * k) * F.sin(i.cast("double") + F.lit(float(k)))
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        for k in range(factor)
+    ]
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    v_parts = [
+        ev.select(
+            (F.col("event_id") + k * n_evt).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * n_usr).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(factor)
+    ]
+    v = v_parts[0]
+    for p in v_parts[1:]:
+        v = v.unionByName(p)
+    v.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    from olr_cdc_oracle_no_dbz_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "scale_probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    qs = queries()
+    times: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for factor in factors:
+        sf_dir = replicate(spark, factor)
+        for q in QUERIES:
+            t0 = time.monotonic()
+            qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            times[q][factor] = dt
+            print(json.dumps({"factor": factor, "query": q, "sec": dt}), flush=True)
+
+    import math
+
+    summary = {}
+    for q, ts in times.items():
+        if len(ts) < 2:
+            continue
+        xs = [math.log(f) for f in sorted(ts)]
+        ys = [math.log(max(ts[f], 1e-3)) for f in sorted(ts)]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        denom = sum((x - mx) ** 2 for x in xs) or 1.0
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        summary[q] = {
+            "alpha": round(alpha, 2),
+            **{f"t_x{f}": ts[f] for f in sorted(ts)},
+        }
+    print(json.dumps({"scaling": summary}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

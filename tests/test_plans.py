@@ -62,6 +62,14 @@ def test_global_topn_is_distributed(spark, q):
     assert "TakeOrderedAndProject" in plan_q3
 
 
+def test_purge_anti_join_broadcasts_the_erasure_list(spark, q):
+    """cdc_purge_keys must broadcast the (tiny) erasure list into a
+    LeftAnti broadcast hash join — a shuffled anti join here would add a
+    full exchange of the state table per purge run."""
+    plan = _plan(q["cdc_purge_keys"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_lsh_candidate_joins_never_cartesian(spark, q):
     for name in ("dedup_minhash_lsh", "dedup_embedding_cosine", "ann_topk_lsh",
                  "dedup_simhash"):
