@@ -121,6 +121,7 @@ def _load_all() -> None:
         ext_queries,
         joins,
         scalars,
+        sketches,
         sql_api,
         tpch,
         udf_queries,

@@ -1,0 +1,219 @@
+"""Sketch-based approximate aggregates with exact cross-engine oracles.
+
+At 100 TB, exact COUNT(DISTINCT) and exact top-k frequency both shuffle
+every distinct key; production pipelines answer them with fixed-size
+sketches instead (KMV/HLL for cardinality, count-min for frequency).
+Spark's built-ins (`approx_count_distinct`, `count_min_sketch`) use
+engine-private hash seeds, so their outputs can't be differentially
+checked against DuckDB. These queries therefore build the SAME sketches
+from md5 — deterministic and identical in both engines — which makes the
+estimator itself hash-checkable, not just "close". The md5-derived
+fractions are uniform, so the estimators carry the textbook error
+bounds: KMV ±1/sqrt(k-2) relative, CMS overestimate ≤ 2N/w with prob
+1-(1/2)^d.
+
+Reference parity: the reference's sink-side dedupe/metrics path (README
+counters) exposes only exact counts; these sketches are the scale path a
+Spark deployment swaps in when exact is unaffordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.util import t
+
+_KMV_K = 64
+# 13 hex chars = 52 bits < 2^53: the parsed integer is exactly
+# representable as a double in BOTH engines, so frac = h / 2^52 is
+# bit-identical (no rounding step to disagree on).
+_KMV_HEX = 13
+_KMV_DENOM = float(1 << (4 * _KMV_HEX))
+
+
+@register(
+    "agg_distinct_kmv",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT event_type,
+               md5(CAST(user_id AS VARCHAR)) AS h_full,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT
+                   AS h_int
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, h_int,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h_full) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h_int END) AS kth
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact,
+           CASE WHEN s.n_kept < {_KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                     / (CAST(s.kth AS DOUBLE) / {_KMV_DENOM!r})
+           END AS kmv_est
+    FROM sk s JOIN exact e ON e.event_type = s.event_type
+    """,
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type:
+    keep the k=64 smallest md5 hashes of the key; if the sketch is full,
+    estimate D ≈ (k-1)/frac(k-th smallest hash), else the sketch IS the
+    exact distinct set. Exact COUNT(DISTINCT) is computed alongside so
+    the row itself documents the estimator's error.
+
+    Scale: the k-smallest selection here runs as distinct + per-group
+    rank — one shuffle of DISTINCT keys (already far smaller than the
+    event stream). The true 100 TB form keeps the selection
+    partial-aggregatable (a fixed k-slot buffer merged map-side, as a
+    UDAF or `sort_array(collect_list)[0:k]` per partition); the
+    estimator math — the part being differentially verified — is
+    identical either way. Ordering by the FULL 32-char hash makes
+    row_number deterministic; only the first 13 chars feed the fraction
+    (exact-double guarantee, see _KMV_HEX)."""
+    du = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h_full"),
+    ).withColumn(
+        "h_int",
+        F.conv(F.substring("h_full", 1, _KMV_HEX), 16, 10).cast("long"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h_full")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h_int"))).alias("kth"),
+        )
+    )
+    exact = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) / (F.col("kth").cast("double") / F.lit(_KMV_DENOM))
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "n_exact", est.alias("kmv_est"))
+    )
+
+
+_CMS_D = 4  # hash rows
+# substr(md5, 1, 2) -> 256 buckets per row; width w=256 bounds the
+# overestimate at 2N/w with probability 1 - 2^-4.
+_CMS_TOPK = 20
+
+
+def _cms_bucket_sql(seed: int, word: str) -> str:
+    return f"substr(md5('{seed}:' || {word}), 1, 2)"
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH words AS (
+        SELECT u.w AS word
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+             LATERAL unnest(ws) AS u(w)
+    ),
+    sketch AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS seed, {_cms_bucket_sql(d, 'word')} AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY 2"
+            for d in range(_CMS_D)
+        )}
+    ),
+    vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM words GROUP BY word
+    ),
+    probe AS (
+        {" UNION ALL ".join(
+            f"SELECT word, n_exact, {d} AS seed, "
+            f"{_cms_bucket_sql(d, 'word')} AS bucket FROM vocab"
+            for d in range(_CMS_D)
+        )}
+    ),
+    est AS (
+        SELECT p.word, p.n_exact, MIN(s.cnt) AS cms_est
+        FROM probe p
+        JOIN sketch s ON s.seed = p.seed AND s.bucket = p.bucket
+        GROUP BY p.word, p.n_exact
+    )
+    SELECT word, n_exact, cms_est, cms_est - n_exact AS overcount
+    FROM est
+    ORDER BY cms_est DESC, word
+    LIMIT {_CMS_TOPK}
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus vocabulary: d=4
+    md5-seeded hash rows × 256 buckets hold exact bucket counts; a
+    word's frequency estimate is the MIN of its d bucket counts (always
+    ≥ truth). Top-20 by estimate, exact count alongside so each row
+    shows its own overcount.
+
+    Scale: the sketch is 1024 rows REGARDLESS of corpus size — built
+    with one map-side-combined shuffle over words, then broadcast to
+    score candidates (the join below hash-broadcasts the sketch; the
+    candidate side streams). At 100 TB the vocab side would itself be
+    sketched (count-min answers point queries without materializing the
+    vocabulary); here the exact vocab is kept to make the estimator
+    differentially checkable. orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort, no unpartitioned window."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    seeded = words.selectExpr(
+        f"stack({_CMS_D}, "
+        + ", ".join(
+            f"{d}, substring(md5(cast(concat('{d}:', word) as binary)), 1, 2)"
+            for d in range(_CMS_D)
+        )
+        + ") AS (seed, bucket)"
+    )
+    sketch = seeded.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("n_exact"))
+    probe = vocab.selectExpr(
+        "word",
+        "n_exact",
+        f"stack({_CMS_D}, "
+        + ", ".join(
+            f"{d}, substring(md5(cast(concat('{d}:', word) as binary)), 1, 2)"
+            for d in range(_CMS_D)
+        )
+        + ") AS (seed, bucket)",
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "word",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_est"), "word")
+        .limit(_CMS_TOPK)
+    )
