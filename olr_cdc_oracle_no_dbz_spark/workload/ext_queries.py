@@ -2095,3 +2095,96 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
         F.md5(redacted.cast("binary")).alias("redacted_hash"),
     )
+
+
+_BP_K = 3  # words per aligned segment
+_BP_MIN_DOCS = 4  # segment is boilerplate when it appears in >= this many docs
+
+
+@register(
+    "text_boilerplate_removal",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, i - 1 AS idx,
+               array_to_string(
+                   w[(i - 1) * {_BP_K} + 1 : (i - 1) * {_BP_K} + {_BP_K}],
+                   ' ') AS seg
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, (len(w) + {_BP_K - 1}) // {_BP_K}))
+                         AS i
+              FROM base)
+    ),
+    bl AS (
+        SELECT seg FROM (
+            SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+        ) WHERE nd >= {_BP_MIN_DOCS}
+    ),
+    marked AS (
+        SELECT s.doc_id, s.idx, s.seg, b.seg IS NOT NULL AS is_bp
+        FROM segs s LEFT JOIN bl b ON b.seg = s.seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY idx)
+                            FILTER (WHERE NOT is_bp), '')) AS clean_md5
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    paragraph-dedup stage, adapted to this corpus's space-separated
+    text): each document is cut into ALIGNED non-overlapping 3-word
+    segments; a segment seen in >= 4 distinct documents is corpus
+    boilerplate (headers, footers, injected templates) and is dropped
+    from every document; surviving segments are reassembled in order.
+    Output per doc: segment counts and the md5 of the cleaned text, so
+    the oracle verifies the exact reassembled bytes, not just counts.
+
+    Scale: two shuffles — segment-frequency (partial-agg count-distinct
+    on the segment key; at 100 TB hash the segment to 16 bytes first so
+    the shuffle carries fixed-width keys) and the per-doc reassembly
+    (collect_list bounded by document length). The blocklist join is a
+    plain equi-join; Spark broadcasts it while it is small and AQE
+    falls back to shuffle-hash when corpus-scale boilerplate grows
+    past the threshold — both correct. Unlike near-dup LSH (whole-doc
+    granularity), this removes PARTIAL overlap at segment granularity;
+    the two compose in a real pipeline."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(w) + {_BP_K - 1}) div {_BP_K}), "
+                f"i -> array_join(slice(w, (i - 1) * {_BP_K} + 1, {_BP_K}), ' '))"
+            )
+        ).alias("idx", "seg"),
+    )
+    bl = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_MIN_DOCS)
+        .select("seg", F.lit(True).alias("is_bp"))
+    )
+    marked = segs.join(bl, "seg", "left").withColumn(
+        "is_bp", F.coalesce("is_bp", F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_bp"), F.struct(F.col("idx"), F.col("seg"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
