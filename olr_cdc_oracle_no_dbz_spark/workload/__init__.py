@@ -120,6 +120,7 @@ def _load_all() -> None:
         events_analytics,
         ext_queries,
         joins,
+        layout,
         scalars,
         sketches,
         sql_api,
