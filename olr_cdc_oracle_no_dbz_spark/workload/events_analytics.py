@@ -395,9 +395,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     arboricity bound that keeps triangle joins from exploding on skewed
     graphs — the scale-critical choice; an unoriented count would square
     the hub degree). Three equi-joins on node ids, no cartesian
-    anywhere. The three 1-row summary aggregates are combined on a
-    literal key so they compile to broadcast HASH joins, not nested-loop
-    plans.
+    anywhere. The four 1-row summary aggregates are zipped into the
+    single output row on a literal key; Catalyst constant-folds that key
+    away and plans 1x1 broadcast nested-loop joins — bounded by
+    construction and allowlisted in tests/test_plans.py.
 
     Edge list derivation is window lead() per block — one shuffle, and
     block sizes bound the window partitions. Deterministic: user_id

@@ -89,6 +89,10 @@ _BNLJ_ALLOWED = {
     "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
     "graph_pagerank_transitions",  # 1-row node-count aggregate broadcast × nodes
     "tpch_q11_important_parts",  # 1-row global-total threshold × parts
+    # Four 1-row summary aggregates zipped into the single output row;
+    # the literal join key constant-folds away, so Catalyst plans 1×1
+    # BNLJs. Bounded by construction.
+    "graph_triangle_count",
 }
 
 
