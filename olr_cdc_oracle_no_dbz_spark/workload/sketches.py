@@ -217,3 +217,101 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cms_est"), "word")
         .limit(_CMS_TOPK)
     )
+
+
+_HLL_M = 256  # 2^8 registers; bucket key = first 2 md5 hex chars
+# alpha_256 * m^2 (Flajolet et al. 2007 bias constant), computed once in
+# Python and inlined as the SAME double literal in both engines.
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+_HLL_W = 52  # register-value bits: 13 hex chars after the bucket byte
+_HLL_SCALE = float(1 << (_HLL_W + 1))  # 2^53: exact-integer term scaling
+
+
+@register(
+    "agg_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13))::BIGINT AS v
+        FROM events
+    ),
+    reg AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN v = 0 THEN {_HLL_W + 1}
+                        ELSE {_HLL_W + 1} - len(bin(v)) END) AS m_j
+        FROM h GROUP BY event_type, bucket
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << ({_HLL_W + 1} - m_j)) AS BIGINT) AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM reg GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_exact,
+           CAST({_HLL_ALPHA_M2!r} AS DOUBLE)
+             * ({_HLL_SCALE!r} / CAST(s.s_present
+                  + ({_HLL_M} - s.n_present) * CAST({_HLL_SCALE!r} AS BIGINT)
+                  AS DOUBLE)) AS hll_est,
+           {_HLL_M} - s.n_present AS n_zero_registers
+    FROM sk s JOIN exact e ON e.event_type = s.event_type
+    """,
+)
+def agg_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count per event_type, built from md5 so the
+    sketch — registers, harmonic sum, AND estimate — is bit-identical in
+    both engines (Spark's approx_count_distinct uses engine-private
+    seeds and can only ever be range-checked). Register index = first
+    hash byte (m=256); register value = leading-zero rank of the next
+    52 bits via bin()-length (no floating point anywhere in the
+    sketch). The harmonic-mean denominator sums EXACT integers — each
+    2^-M_j term scaled by 2^53 — so no order-dependent double
+    accumulation exists; absent registers contribute the scaled 2^0
+    term. Raw estimator only (|error| ~ 1.04/sqrt(256) ≈ 6.5%); the
+    small-range linear-counting correction needs ln(), whose last-ulp
+    behavior differs across libm builds, so it is deliberately not part
+    of the checked surface — n_zero_registers is emitted for it.
+
+    Scale: THE production cardinality path — max-per-register is fully
+    partial-aggregatable (map-side combine to ≤256 rows per group per
+    partition), the shuffle carries m rows per group regardless of
+    input size, and no distinct pass is needed (duplicates can't move a
+    max). Contrast agg_distinct_kmv, which must rank distinct hashes."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("hh"),
+    ).select(
+        "event_type",
+        F.substring("hh", 1, 2).alias("bucket"),
+        F.conv(F.substring("hh", 3, 13), 16, 10).cast("long").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin("v"))
+    )
+    reg = h.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
+    sk = reg.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(
+        int(_HLL_SCALE)
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.lit(_HLL_ALPHA_M2).cast("double")
+            * (F.lit(_HLL_SCALE) / s_total.cast("double"))
+        ).alias("hll_est"),
+        (F.lit(_HLL_M) - F.col("n_present")).alias("n_zero_registers"),
+    )
