@@ -177,3 +177,90 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"),
         (F.count("event_id") > 0).alias("matched"),
     )
+
+
+@register(
+    "join_bloom_prune",
+    oracle="""
+    WITH build AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= DATE '1994-01-01'
+          AND o_orderdate < DATE '1994-04-01'
+    ),
+    bloom AS (
+        SELECT DISTINCT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 3) AS bkt
+        FROM build
+    ),
+    probe AS (
+        SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
+        FROM lineitem l
+        WHERE EXISTS (
+            SELECT 1 FROM bloom b
+            WHERE b.bkt = substr(md5(CAST(l.l_orderkey AS VARCHAR)), 1, 3)
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prefiltered,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_joined,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN
+                    CAST(p.l_extendedprice * (1 - p.l_discount)
+                         AS DECIMAL(28,6)) END) AS DOUBLE) AS revenue
+    FROM probe p LEFT JOIN build o ON o.o_orderkey = p.l_orderkey
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (bloom-style) semi-join reduction, made explicit
+    and checkable: a selective orders slice builds a 4096-bucket
+    membership set (first 3 md5 hex chars of the key — a 1-hash bloom
+    filter whose buckets are exact, so both engines agree bit-for-bit);
+    the lineitem probe is PRE-FILTERED by bucket membership before the
+    real key join. The output row quantifies exactly what the technique
+    buys: probe rows surviving the bloom, true matches, false positives
+    (bucket collisions), and the revenue aggregate over true matches.
+
+    Scale: this is what Spark's AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) does implicitly —
+    at 100 TB the explicit form matters when the probe scan is remote
+    (prune BEFORE the network) or the engine's runtime filter declines
+    (join below its size thresholds). Both joins here are broadcast
+    hash joins of the tiny build side: the bucket semi-join ships ~4 KB
+    to every executor, and lineitem never shuffles. False-positive rate
+    = |build|/4096 per distinct probe key, measured by the row itself."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+    ).select("o_orderkey")
+    bucket = lambda c: F.substring(  # noqa: E731
+        F.md5(F.col(c).cast("string").cast("binary")), 1, 3
+    )
+    bloom = build.select(bucket("o_orderkey").alias("bkt")).distinct()
+    probe = (
+        li.withColumn("bkt", bucket("l_orderkey"))
+        .join(F.broadcast(bloom), "bkt", "left_semi")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = probe.join(
+        F.broadcast(build), F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    )
+    matched = F.col("o_orderkey").isNotNull()
+    return j.agg(
+        F.count("*").alias("n_prefiltered"),
+        F.sum(F.when(matched, 1).otherwise(0)).alias("n_joined"),
+        F.sum(F.when(~matched, 1).otherwise(0)).alias("n_false_positive"),
+        F.sum(
+            F.when(
+                matched,
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                ),
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
