@@ -374,3 +374,105 @@ def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "cdc_table_checksum",
+    oracle="""
+    WITH o_rows AS (
+        SELECT md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                   o_orderpriority)) AS h
+        FROM orders
+    ),
+    c_rows AS (
+        SELECT md5(concat_ws('|',
+                   CAST(c_custkey AS VARCHAR),
+                   c_name,
+                   CAST(c_nationkey AS VARCHAR),
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+                   c_mktsegment)) AS h
+        FROM customer
+    ),
+    both_t AS (
+        SELECT 'orders' AS table_name, h FROM o_rows
+        UNION ALL
+        SELECT 'customer' AS table_name, h FROM c_rows
+    )
+    SELECT table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 13))::BIGINT AS DECIMAL(38,0)))
+                AS VARCHAR) AS checksum,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash
+    FROM both_t GROUP BY table_name
+    """,
+)
+def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint — the anti-entropy check a
+    CDC deployment runs to prove sink == source without moving either
+    table (the reference's only verification surface is per-connector
+    row counters, README.md metrics section; a content checksum
+    catches what counters can't: same count, different rows). Each row
+    is canonicalized to a '|'-joined string — decimals at fixed scale
+    and timestamps via explicit format, the repo's cross-engine
+    emission contract — hashed with md5, and the per-table digest is
+    the SUM of each hash's 52-bit prefix. Summation commutes, so the
+    digest is independent of row order AND of partitioning; DECIMAL(38)
+    keeps it exact far past 100 TB row counts (~1e15 rows x 2^52 fits).
+    Emitted as a string so both engines agree bit-for-bit.
+
+    Scale: embarrassingly parallel — a zero-shuffle projection per
+    table, one partial-agg reduce to a single row per table. Comparing
+    source and sink digests is then an O(1) exchange. min/max hash
+    witnesses give a cheap first-divergence probe (binary-search by
+    hash range re-using the same query with a WHERE on h)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    o_h = o.select(
+        F.lit("orders").alias("table_name"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                F.col("o_orderpriority"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    c_h = c.select(
+        F.lit("customer").alias("table_name"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_acctbal").cast("decimal(18,2)").cast("string"),
+                F.col("c_mktsegment"),
+            ).cast("binary")
+        ).alias("h"),
+    )
+    return (
+        o_h.unionAll(c_h)
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.conv(F.substring("h", 1, 13), 16, 10)
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .cast("string")
+            .alias("checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
