@@ -544,3 +544,82 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+_PROFILE_COLS = (
+    # (name, canonical-repr SQL fragment for min/max emission)
+    ("o_orderkey", "CAST({m} AS VARCHAR)"),
+    ("o_custkey", "CAST({m} AS VARCHAR)"),
+    ("o_orderstatus", "{m}"),
+    ("o_totalprice", "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderpriority", "{m}"),
+)
+
+
+@register(
+    "profile_table",
+    oracle=f"""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn_{c}, "
+                   f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+                   + r.format(m=f"MIN({c})") + f" AS mn_{c}, "
+                   + r.format(m=f"MAX({c})") + f" AS mx_{c}"
+                   for c, r in _PROFILE_COLS
+               )}
+        FROM orders
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_repr, mx_{c} AS max_repr FROM a"
+        for c, _ in _PROFILE_COLS
+    )}
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of a table (the ingest-time
+    data-quality report: null counts, cardinalities, value ranges per
+    column). ONE scan computes every per-column aggregate into a single
+    wide row — count/null-count/min/max are all partial-aggregatable,
+    so the reduce moves one row per partition — and a stack() pivots it
+    to the long form a quality dashboard stores. Numeric min/max are
+    computed in their native type and only FORMATTED as strings (string
+    MIN would order '9' > '10'); doubles go through the fixed-scale
+    decimal emission contract.
+
+    Scale: the COUNT(DISTINCT) columns expand the scan |profiled
+    columns| ways before the partial agg (Spark's Expand); at 100 TB
+    swap each for the HLL register sketch (agg_distinct_hll) and the
+    pass stays single-scan with constant-size state. Everything else is
+    strictly one reduce."""
+    o = t(spark, sf_dir, "orders")
+
+    def reprs(c: str) -> tuple[F.Column, F.Column]:
+        if c == "o_totalprice":
+            mn = F.min(c).cast("decimal(18,2)").cast("string")
+            mx = F.max(c).cast("decimal(18,2)").cast("string")
+        else:
+            mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
+        return mn, mx
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c, _ in _PROFILE_COLS:
+        mn, mx = reprs(c)
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            mn.alias(f"mn_{c}"),
+            mx.alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, min_repr, max_repr)",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr"
+    )
