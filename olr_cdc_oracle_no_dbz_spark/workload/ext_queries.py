@@ -2188,3 +2188,96 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("clean_md5"),
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the recall oracle from the THREE registered ANN oracles
+    verbatim (module registration order guarantees they exist) — the
+    evaluation harness must measure the exact queries it ships, not a
+    re-derivation that could drift."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    bf = _ORACLES["ann_topk_bruteforce"]
+    ivf = _ORACLES["ann_topk_ivf"]
+    lsh = _ORACLES["ann_topk_lsh"]
+    return f"""
+    WITH bf AS (SELECT query_id, neighbor_id FROM ({bf}) t),
+    ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t),
+    lsh AS (SELECT query_id, neighbor_id FROM ({lsh}) t),
+    m AS (
+        SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+        UNION ALL
+        SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+    ),
+    truth AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+              FROM bf GROUP BY query_id),
+    grid AS (
+        SELECT 'ivf' AS method, query_id, n_truth FROM truth
+        UNION ALL
+        SELECT 'lsh' AS method, query_id, n_truth FROM truth
+    ),
+    ret AS (SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved
+            FROM m GROUP BY method, query_id),
+    hits AS (SELECT m.method, m.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM m JOIN bf USING (query_id, neighbor_id)
+             GROUP BY m.method, m.query_id)
+    SELECT g.method, g.query_id, g.n_truth,
+           COALESCE(r.n_retrieved, 0) AS n_retrieved,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / g.n_truth AS recall
+    FROM grid g
+    LEFT JOIN ret r ON r.method = g.method AND r.query_id = g.query_id
+    LEFT JOIN hits h ON h.method = g.method AND h.query_id = g.query_id
+    """
+
+
+@register("ann_recall_report", oracle=_ann_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation harness: recall@10 of the IVF and sign-LSH
+    indexes against the brute-force ground truth, per query point — the
+    accept/reject gate a pipeline runs before trusting an approximate
+    index at 100 TB (where brute force is only affordable on a sampled
+    query set, exactly this shape). Composes the three REGISTERED ANN
+    operators unchanged on both engines, so the report measures the
+    shipping implementations; hits are an equi-join on (query_id,
+    neighbor_id), and the per-method grid is built by union (never a
+    cross join).
+
+    Scale: ground truth is k×|sample| rows and each index returns ≤k
+    per query — every join input is tiny relative to the vector table;
+    the expensive parts are the three underlying scans, which is the
+    point of the harness (one evaluation pass, three index reads)."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = bf.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    methods = []
+    for method, fn in (("ivf", ann_topk_ivf), ("lsh", ann_topk_lsh)):
+        methods.append(
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit(method))
+        )
+    m = methods[0].unionAll(methods[1])
+    grid = truth.withColumn("method", F.lit("ivf")).unionAll(
+        truth.withColumn("method", F.lit("lsh"))
+    )
+    ret = m.groupBy("method", "query_id").agg(F.count("*").alias("n_retrieved"))
+    hits = (
+        m.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        grid.join(ret, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            "n_truth",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
