@@ -93,6 +93,9 @@ _BNLJ_ALLOWED = {
     # the literal join key constant-folds away, so Catalyst plans 1×1
     # BNLJs. Bounded by construction.
     "graph_triangle_count",
+    # Composes ann_topk_bruteforce + ann_topk_ivf verbatim, inheriting
+    # their allowlisted bounded BNLJ scans (10-row / K=8 broadcast sides).
+    "ann_recall_report",
 }
 
 
