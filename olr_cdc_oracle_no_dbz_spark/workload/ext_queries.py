@@ -2281,3 +2281,106 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_PQ_M = 4  # subspaces (64-dim vectors -> 16 dims each)
+_PQ_K = 4  # centroids per subspace; deterministic "training": first K vectors
+_PQ_SUB = 16
+
+
+def _pq_sql_dist(x: str, c: str) -> str:
+    """Squared L2 via the exact-decimal dot identity |x|^2 - 2<x,c> + |c|^2
+    (each term is the engines' bit-identical decimal dot), cast to
+    DECIMAL(16,8) so the argmin comparison never ties on double noise."""
+    return (
+        f"CAST({_sql_dot(x, x)} - 2 * {_sql_dot(x, c)} + {_sql_dot(c, c)}"
+        f" AS DECIMAL(16,8))"
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH subs AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {s} AS sub_idx, "
+            f"embedding[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS sv "
+            f"FROM embeddings"
+            for s in range(_PQ_M)
+        )}
+    ),
+    cents AS (
+        SELECT sub_idx, vec_id AS c_idx, sv AS cv FROM subs
+        WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+        SELECT u.vec_id, u.sub_idx, c.c_idx,
+               {_pq_sql_dist("u.sv", "c.cv")} AS dist
+        FROM subs u JOIN cents c ON c.sub_idx = u.sub_idx
+    ),
+    best AS (
+        SELECT vec_id, sub_idx, c_idx, dist FROM (
+            SELECT vec_id, sub_idx, c_idx, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                                      ORDER BY dist, c_idx) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(c_idx AS VARCHAR), '-' ORDER BY sub_idx) AS pq_code,
+           CAST(SUM(dist) AS DOUBLE) AS recon_err_sq
+    FROM best GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ in IVF-PQ — Jégou et al. 2011):
+    split each 64-dim vector into m=4 subspaces, assign each subvector
+    to its nearest of K=4 per-subspace centroids (deterministic
+    codebook: the first K vectors, the ann_topk_ivf convention), and
+    emit the m-byte code plus the exact squared reconstruction error.
+    A 100 TB vector corpus stores THESE codes (m log2 K bits/vector
+    instead of 4·D bytes) and scans them with table lookups; this query
+    is the encode pass plus the fidelity report that decides K and m.
+
+    Scale: subspace rows are a stack() fan-out (×m, no shuffle); the
+    m·K-row codebook broadcasts; argmin is a (vec_id, sub_idx)-local
+    window; final code assembly groups by vec_id — one shuffle of m
+    rows per vector. Distances compare as DECIMAL(16,8) derived from
+    the exact-decimal dot identity, so the argmin — and therefore every
+    code — is bit-stable across engines and partitionings."""
+    e = t(spark, sf_dir, "embeddings")
+    stack_args = ", ".join(
+        f"{s}, slice(embedding, {s * _PQ_SUB + 1}, {_PQ_SUB})"
+        for s in range(_PQ_M)
+    )
+    subs = e.selectExpr(
+        "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
+    )
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("c_idx"), F.col("sv").alias("cv")
+    )
+    dist = F.expr(
+        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
+        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
+    )
+    scored = subs.join(F.broadcast(cents), "sub_idx").select(
+        "vec_id", "sub_idx", "c_idx", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "sub_idx").orderBy("dist", "c_idx")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub_idx", "c_idx"))
+                ),
+                lambda s: s.c_idx.cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.sum("dist").cast("double").alias("recon_err_sq"),
+    )
