@@ -623,3 +623,96 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr"
     )
+
+
+_PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type, n, p,
+               CAST(FLOOR(p * (n - 1)) AS BIGINT) + 1 AS lo,
+               LEAST(CAST(FLOOR(p * (n - 1)) AS BIGINT) + 2, n) AS hi,
+               p * (n - 1) - FLOOR(p * (n - 1)) AS frac
+        FROM counts, LATERAL unnest(
+            [{", ".join(f"CAST({p!r} AS DOUBLE)" for p in _PCTS)}]) AS u(p)
+    )
+    SELECT g.event_type, g.p, g.n,
+           a.value + g.frac * (b.value - a.value) AS pct_value
+    FROM grid g
+    JOIN ranked a ON a.event_type = g.event_type AND a.rn = g.lo
+    JOIN ranked b ON b.event_type = g.event_type AND b.rn = g.hi
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (p25/p50/p75/p95 per event_type)
+    with HAND-ROLLED linear interpolation: rank each group once, then
+    join the two bracketing ranks per requested quantile and
+    interpolate with the textbook pos = p*(n-1) formula. Spark's
+    percentile() and DuckDB's quantile_cont() implement the same
+    definition but evaluate the interpolation in engine-private
+    operator code; writing the arithmetic as an explicit expression
+    makes the result bit-identical (same IEEE ops in the same order on
+    both engines) — the same trick the HLL/KMV estimators use.
+
+    Scale: ONE shuffle ranks each group (vs percentile()'s
+    collect-to-buffer per group, which holds the whole group in one
+    task's memory — this form spills via ExternalSort instead and is
+    the scalable exact path); the 4-row-per-group bracket grid
+    broadcasts back onto the ranked relation as two equi-joins. Exact
+    interpolated quantiles at any scale; for fixed-error estimates at
+    less cost, t-digest/KLL sketches are the approximate alternative
+    (not differentially checkable — engine-private buffers)."""
+    ev = t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(wr).alias("rn")
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    pos = F.col("p") * (F.col("n") - 1)
+    grid = (
+        counts.select(
+            "event_type",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("p"),
+        )
+        .withColumn("lo", F.floor(pos).cast("long") + 1)
+        .withColumn("hi", F.least(F.floor(pos).cast("long") + 2, F.col("n")))
+        .withColumn("frac", pos - F.floor(pos))
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    g = F.broadcast(grid).alias("g")
+    return (
+        g.join(
+            a,
+            (F.col("a.event_type") == F.col("g.event_type"))
+            & (F.col("a.rn") == F.col("g.lo")),
+        )
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("g.event_type"))
+            & (F.col("b.rn") == F.col("g.hi")),
+        )
+        .select(
+            F.col("g.event_type").alias("event_type"),
+            "p",
+            "n",
+            (
+                F.col("a.value")
+                + F.col("g.frac") * (F.col("b.value") - F.col("a.value"))
+            ).alias("pct_value"),
+        )
+    )
