@@ -685,3 +685,59 @@ def test_scn_dedupe_explicit_missing_seq_col_fails_fast(spark):
         dedupe_redelivery(stream, seq_col="sequence")
     # default seq_col on a seq-less stream still synthesizes seq=0
     assert dedupe_redelivery(stream).schema == stream.schema
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Engine-native streaming dedupe: dropDuplicatesWithinWatermark
+    suppresses key redeliveries arriving inside the watermark interval
+    — the built-in alternative to the custom transformWithState
+    high-water-mark guard (streaming/stateful.py), with state expiry
+    for free. Two micro-batches redeliver event_id=1 with a LATER
+    timestamp (an exact-dup dropDuplicates would keep it — the
+    within-watermark variant must drop it on key alone)."""
+    import json
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def jline(eid, ts):
+        return json.dumps({"event_id": eid, "ts_raw": ts})
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                jline(1, "2024-01-01 10:00:00"),
+                jline(1, "2024-01-01 10:00:05"),
+                jline(2, "2024-01-01 10:01:00"),
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                jline(1, "2024-01-01 10:02:00"),
+                jline(3, "2024-01-01 10:03:00"),
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts_raw string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts_raw"))
+        .drop("ts_raw")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dd_within_wm")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dd_within_wm").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
