@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.util import t
 
@@ -425,6 +426,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # edges feeds deg (twice) + the orientation join: cut its lineage
+    # so the distinct+window derivation runs once (measured at sf0.01:
+    # 12.0s -> 1.4s with both cuts; sf0.1: 5.1s -> 3.6s).
+    edges = truncate_lineage(edges)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -441,6 +446,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
+    # The oriented edge list feeds THREE join inputs plus the degree
+    # relation; without a lineage cut Spark re-derives the whole
+    # scan->distinct->window->join pipeline per consumer (static plan:
+    # 40 FileScans). Materialize it once — same pattern as the CC
+    # fixpoint; durable-checkpoint flag applies on clusters.
+    oriented = truncate_lineage(oriented)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
