@@ -476,3 +476,99 @@ def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_hash"),
         )
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    ),
+    snap_b AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    classified AS (
+        SELECT CASE
+                 WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN a.o_custkey <> b.o_custkey
+                   OR a.o_orderstatus <> b.o_orderstatus
+                   OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM snap_a a FULL OUTER JOIN snap_b b
+          ON b.o_orderkey = a.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM classified GROUP BY change_type
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the reconciliation a CDC deployment runs
+    when the changelog is suspect (gap, replay, resnapshot decision):
+    full outer join of two table versions on the key, rows classified
+    added / removed / changed / unchanged. Snapshot B is derived from A
+    by deterministic arithmetic (drops, mutations, inserts) so the
+    expected counts are checkable; in production B is yesterday's
+    materialization (cdc/materialize.py) or the source via JDBC.
+    cdc_table_checksum answers "are they equal" in O(1) exchange; this
+    answers "what exactly differs" — run the checksum first, diff only
+    on mismatch.
+
+    Scale: one co-partitioned shuffle on the key for the outer join
+    (both sides hash-partition; with the bucketed state layout of
+    streaming/state.py the shuffle disappears — see test_scale.py's
+    zero-Exchange bucketed join); classification is a codegen
+    projection; the report aggregate is |change types| rows. Column
+    comparison is explicit per column here; for wide tables compare the
+    canonicalized row hash (cdc_table_checksum's md5 contract) and pay
+    one string build instead of N comparisons."""
+    o = t(spark, sf_dir, "orders")
+    snap_a = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    snap_b = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("b.o_orderkey") == F.col("a.o_orderkey"), "full_outer")
+    change_type = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_custkey") != F.col("b.o_custkey"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change_type.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )

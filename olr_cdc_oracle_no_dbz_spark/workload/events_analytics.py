@@ -485,3 +485,136 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD -> sigma under normality
+
+
+def _sql_median(src: str, part: str, val: str, tie: str) -> str:
+    """DuckDB CTE body: exact per-group median of ``val`` via explicit
+    rank-bracket interpolation (the agg_percentiles_exact technique —
+    engine-identical IEEE ops, no quantile_cont internals)."""
+    return f"""
+        SELECT g.{part},
+               a.{val} + (0.5 * (g.n - 1) - FLOOR(0.5 * (g.n - 1)))
+                   * (b.{val} - a.{val}) AS med
+        FROM (
+            SELECT {part}, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(FLOOR(0.5 * (COUNT(*) - 1)) AS BIGINT) + 1 AS lo,
+                   LEAST(CAST(FLOOR(0.5 * (COUNT(*) - 1)) AS BIGINT) + 2,
+                         COUNT(*)) AS hi
+            FROM {src} GROUP BY {part}
+        ) g
+        JOIN (SELECT {part}, {val},
+                     ROW_NUMBER() OVER (PARTITION BY {part}
+                                        ORDER BY {val}, {tie}) AS rn
+              FROM {src}) a ON a.{part} = g.{part} AND a.rn = g.lo
+        JOIN (SELECT {part}, {val},
+                     ROW_NUMBER() OVER (PARTITION BY {part}
+                                        ORDER BY {val}, {tie}) AS rn
+              FROM {src}) b ON b.{part} = g.{part} AND b.rn = g.hi
+    """
+
+
+@register(
+    "events_outliers_mad",
+    oracle=f"""
+    WITH med AS ({_sql_median("events", "event_type", "value", "event_id")}),
+    dev AS (
+        SELECT e.event_type, e.event_id,
+               abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS ({_sql_median("dev", "event_type", "adev", "event_id")})
+    SELECT d.event_type,
+           MIN(d.med) AS median_v,
+           MIN(x.med) AS mad_v,
+           CAST(SUM(CASE WHEN d.adev > CAST(3.0 AS DOUBLE)
+                         * CAST({_MAD_K!r} AS DOUBLE) * x.med
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM dev d JOIN mad x ON x.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median/MAD with the 1.4826 normal-
+    consistency constant — the screen that survives what breaks
+    events_outliers' 3-sigma (mean and stddev are themselves dragged by
+    the outliers being hunted; median/MAD have a 50% breakdown point).
+    Medians are exact via the rank-bracket interpolation of
+    agg_percentiles_exact, so every threshold is bit-identical across
+    engines — no engine quantile internals anywhere.
+
+    Scale: two rank passes over the fact (value, then absolute
+    deviation), each ONE shuffle on the group key with ExternalSort
+    spill — the scalable exact path; the per-group median/MAD relations
+    are group-cardinality-sized and broadcast back onto the fact. For
+    a cheaper single-pass screen accept approximate medians (KLL
+    sketch) — not differentially checkable, hence not this query."""
+    ev = t(spark, sf_dir, "events")
+
+    def median_of(df: DataFrame, val: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(val, "event_id")
+        ranked = df.select(
+            "event_type", val, "event_id", F.row_number().over(wr).alias("rn")
+        )
+        pos = F.lit(0.5) * (F.col("n") - 1)
+        g = (
+            df.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "event_type",
+                "n",
+                (F.floor(pos).cast("long") + 1).alias("lo"),
+                F.least(F.floor(pos).cast("long") + 2, F.col("n")).alias("hi"),
+                (pos - F.floor(pos)).alias("frac"),
+            )
+        )
+        a, b = ranked.alias("a"), ranked.alias("b")
+        gg = F.broadcast(g).alias("g")
+        return (
+            gg.join(
+                a,
+                (F.col("a.event_type") == F.col("g.event_type"))
+                & (F.col("a.rn") == F.col("g.lo")),
+            )
+            .join(
+                b,
+                (F.col("b.event_type") == F.col("g.event_type"))
+                & (F.col("b.rn") == F.col("g.hi")),
+            )
+            .select(
+                F.col("g.event_type").alias("event_type"),
+                (
+                    F.col(f"a.{val}")
+                    + F.col("g.frac") * (F.col(f"b.{val}") - F.col(f"a.{val}"))
+                ).alias("med"),
+            )
+        )
+
+    med = median_of(ev.select("event_type", "value", "event_id"), "value")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = median_of(
+        dev.select("event_type", F.col("adev"), "event_id"), "adev"
+    ).withColumnRenamed("med", "mad_med")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("median_v"),
+            F.min("mad_med").alias("mad_v"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(_MAD_K) * F.col("mad_med"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )
