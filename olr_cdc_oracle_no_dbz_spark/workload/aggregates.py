@@ -716,3 +716,49 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_value"),
         )
     )
+
+
+@register(
+    "agg_two_phase_skew",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum("value")} AS sum_value,
+           {sql_davg("value")} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed keys, verified to be
+    EXACTLY the plain aggregate: phase 1 groups by (key, salt16) so a
+    hot key's rows spread over 16 reducers; phase 2 merges the 16
+    partial states per key. The mergeable state is (count, exact
+    decimal sum) — the same algebra agg_incremental_merge pins — so
+    salting changes the execution shape, never the result, and the
+    oracle is simply the UNSALTED GROUP BY.
+
+    Scale: THE standard fix when one key owns 20% of a 100 TB fact and
+    AQE skew handling can't help (skew-join splitting applies to
+    joins, not aggregates; map-side partial agg already helps but
+    still funnels each key's partials to ONE reducer — salting gives
+    that key 16). Salt = md5(event_id) bucket: deterministic,
+    uniform, and independent of the data distribution."""
+    ev = t(spark, sf_dir, "events")
+    salt = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("int") % 16
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("psum"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+        (F.sum("psum").cast("double") / F.sum("pn")).alias("avg_value"),
+    )

@@ -2384,3 +2384,113 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_code"),
         F.sum("dist").cast("double").alias("recon_err_sq"),
     )
+
+
+def _dedup_overlap_oracle() -> str:
+    """Compose from the three REGISTERED dedup oracles verbatim (same
+    contract as ann_recall_report: measure what ships)."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    mh = _ORACLES["dedup_minhash_lsh"]
+    ng = _ORACLES["dedup_ngram_jaccard"]
+    sh = _ORACLES["dedup_simhash"]
+    return f"""
+    WITH tagged AS (
+        SELECT 'minhash' AS method, a_id, b_id FROM ({mh}) t WHERE is_dup
+        UNION ALL
+        SELECT 'ngram' AS method, a_id, b_id FROM ({ng}) t
+        UNION ALL
+        SELECT 'simhash' AS method, a_id, b_id FROM ({sh}) t WHERE hamming <= 1
+    ),
+    counts AS (
+        SELECT method, CAST(COUNT(*) AS BIGINT) AS n FROM tagged GROUP BY method
+    ),
+    common AS (
+        SELECT x.method AS method_a, y.method AS method_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM tagged x
+        JOIN tagged y ON y.a_id = x.a_id AND y.b_id = x.b_id
+                     AND x.method < y.method
+        GROUP BY x.method, y.method
+    )
+    SELECT c.method_a, c.method_b,
+           ca.n AS n_a, cb.n AS n_b, c.n_common,
+           CAST(c.n_common AS DOUBLE) / (ca.n + cb.n - c.n_common)
+               AS pair_jaccard
+    FROM common c
+    JOIN counts ca ON ca.method = c.method_a
+    JOIN counts cb ON cb.method = c.method_b
+    """
+
+
+@register("dedup_overlap_report", oracle=_dedup_overlap_oracle())
+def dedup_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement report: pairwise overlap (set Jaccard
+    over the detected pair sets) between MinHash-LSH (j >= 0.8),
+    5-gram Jaccard (j >= 0.5) and SimHash (hamming <= 1) — the audit a
+    pipeline runs before trusting ONE near-dup method at 100 TB, where
+    each method's blocking recall is otherwise unmeasurable. Composes
+    the three REGISTERED operators verbatim. Method pairs with zero
+    common detections drop out of the inner join identically on both
+    engines (the report's own signal that two methods disagree
+    completely).
+
+    Scale: each underlying method is already candidates-then-verify
+    (never all-pairs); the agreement joins run over DETECTED pairs —
+    orders of magnitude smaller than the corpus — keyed on (a_id,
+    b_id), with the tiny per-method count relation equi-joined back by
+    method name (hash joins throughout, no 1-row zip)."""
+    mh = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+        .withColumn("method", F.lit("minhash"))
+    )
+    ng = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("method", F.lit("ngram"))
+    )
+    sh = (
+        dedup_simhash(spark, sf_dir)
+        .filter(F.col("hamming") <= 1)
+        .select("a_id", "b_id")
+        .withColumn("method", F.lit("simhash"))
+    )
+    tagged = mh.unionAll(ng).unionAll(sh)
+    counts = tagged.groupBy("method").agg(F.count("*").alias("n"))
+    x, y = tagged.alias("x"), tagged.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("y.a_id") == F.col("x.a_id"))
+            & (F.col("y.b_id") == F.col("x.b_id"))
+            & (F.col("x.method") < F.col("y.method")),
+        )
+        .groupBy(
+            F.col("x.method").alias("method_a"),
+            F.col("y.method").alias("method_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.withColumnRenamed("method", "method_a").withColumnRenamed(
+        "n", "n_a"
+    )
+    cb = counts.withColumnRenamed("method", "method_b").withColumnRenamed(
+        "n", "n_b"
+    )
+    return (
+        common.join(F.broadcast(ca), "method_a")
+        .join(F.broadcast(cb), "method_b")
+        .select(
+            "method_a",
+            "method_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("pair_jaccard"),
+        )
+    )
