@@ -105,3 +105,64 @@ def write_range_sorted(
         .mode(mode)
         .save(path)
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist hive-style directory-partitioned parquet
+    (``path/col=value/...``) — the coarse pruning layer ABOVE file
+    statistics: a filter on a partition column eliminates whole
+    directories at PLANNING time (PartitionFilters in the scan node,
+    `PartitionCount` in the plan's metadata), before any footer is
+    opened. The 100 TB convention: partition by the coarse, always-
+    filtered dimension (ingest day, tenant), then range-sort or
+    z-order WITHIN partitions for the fine-grained layer
+    (write_range_sorted / workload.layout.zvalue)."""
+    df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files and return
+    the new file count — the maintenance pass every long-running
+    streaming sink needs (each micro-batch writes at least one file per
+    touched partition; a month of 30 s triggers yields ~90k tiny files
+    whose open/footer overhead dominates scans long before data volume
+    does). Sizing uses the CURRENT on-disk bytes, so compressed size —
+    not row count — decides the file count. coalesce() avoids a
+    shuffle (it only glues existing partitions); the rewrite goes
+    through a temp directory so a crash mid-compaction never leaves
+    the table truncated."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    spark.read.parquet(path).coalesce(int(n_out)).write.format("parquet").mode(
+        "overwrite"
+    ).save(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return len(
+        [
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if os.path.isfile(f)
+        ]
+    )
