@@ -762,3 +762,47 @@ def agg_two_phase_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psum").cast("double").alias("sum_value"),
         (F.sum("psum").cast("double") / F.sum("pn")).alias("avg_value"),
     )
+
+
+@register(
+    "agg_histogram_equi_depth",
+    oracle="""
+    WITH buckets AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM buckets GROUP BY event_type, bucket
+    """,
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets per event_type):
+    ntile assigns equal-population buckets, then min/max per bucket are
+    the adaptive boundaries — the histogram an optimizer or drift
+    monitor wants when the distribution is skewed and fixed-width
+    buckets (agg_histogram) put 90% of rows in one bar. Tie-break on
+    the unique event_id makes every ntile assignment — and so every
+    boundary — deterministic on both engines.
+
+    Scale: one rank shuffle per group (the agg_percentiles_exact
+    cost model) + a partial-agg rollup of 10 rows per group. ntile is
+    partition-local after the shuffle, so parallelism scales with
+    groups; for a single giant group, derive boundaries from
+    percentiles (agg_percentiles_exact) against a sampled rank pass
+    instead."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
