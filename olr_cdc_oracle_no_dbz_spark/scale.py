@@ -166,3 +166,38 @@ def compact_small_files(
             if os.path.isfile(f)
         ]
     )
+
+
+def write_zorder_sorted(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_partitions: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist clustered on the Morton z-value of TWO dimensions
+    (workload.layout.zvalue over the low 16 bits of each) — the layout
+    for tables filtered by either or both of two keys, where
+    write_range_sorted can serve only one: every output file becomes a
+    small rectangle in (x, y) space, so parquet min/max footers stay
+    tight for BOTH columns and file skipping works two-dimensionally.
+    The z column is dropped after partitioning — the layout is the
+    artifact, not the key."""
+    from olr_cdc_oracle_no_dbz_spark.workload.layout import zvalue
+
+    zdf = df.withColumn(
+        "__z",
+        zvalue(
+            F.col(x_col).bitwiseAND(F.lit(65535)),
+            F.col(y_col).bitwiseAND(F.lit(65535)),
+        ),
+    )
+    (
+        zdf.repartitionByRange(n_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )

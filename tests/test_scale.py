@@ -213,3 +213,53 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     assert (
         spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == sum_before
     )
+
+
+def test_write_zorder_sorted_two_dimensional_footers(spark, tmp_path):
+    """Z-order layout receipt: after write_zorder_sorted, every file's
+    footer bounding box is tight in BOTH dimensions (≤ 1/4 of each
+    domain side for every file), which single-column range sorting
+    cannot achieve for the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from olr_cdc_oracle_no_dbz_spark.scale import write_zorder_sorted
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % (1 << 16)).alias("x"),
+        (F.col("id") * 40503 % (1 << 16)).alias("y"),
+    )
+    out = str(tmp_path / "zsorted")
+    write_zorder_sorted(df, out, "x", "y", n_partitions=16)
+
+    def spans(col):
+        out_spans = []
+        for f in glob.glob(out + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            st = [
+                md.row_group(g).column(ci).statistics
+                for g in range(md.num_row_groups)
+            ]
+            out_spans.append(
+                max(s.max for s in st) - min(s.min for s in st)
+            )
+        return out_spans
+
+    xs, ys = spans("x"), spans("y")
+    assert len(xs) >= 8
+    # A contiguous z-range that crosses a high-order quad boundary can
+    # legitimately span a full dimension (the z midpoint file covers
+    # x∈[0,1)), so the 2-D locality receipt is: MOST files are tight in
+    # BOTH dims — which a 1-D x-sort can never give (every file's
+    # y_span ≈ full domain there).
+    half = (1 << 15) + (1 << 11)
+    tight = sum(1 for xd, yd in zip(xs, ys) if xd <= half and yd <= half)
+    assert tight >= (3 * len(xs)) // 4
+    assert spark.read.parquet(out).count() == n
