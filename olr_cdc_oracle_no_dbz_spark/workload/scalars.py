@@ -293,3 +293,44 @@ def scalar_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, greatest(length(c_name) - 3, 1))"),
         ).alias("name_keep_right4"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                                   AS low_byte,
+           event_id >> 8                                    AS high_bits,
+           (event_id << 3) & 1048575                        AS shifted,
+           xor(event_id, user_id)                           AS id_xor,
+           event_id | 4096                                  AS with_flag,
+           CAST(bit_count(event_id) AS INTEGER)             AS popcount,
+           CAST((event_id >> 5) & 1 AS INTEGER)             AS bit5,
+           ~event_id                                        AS id_not
+    FROM events
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (§2.7 completion): AND/OR/XOR/NOT, shifts,
+    popcount, single-bit probe — the primitives behind flag words,
+    bitmap indexes, bloom membership (join_bloom_prune), simhash
+    signatures and the z-order key (layout.zvalue), here pinned as an
+    oracle-checked surface of their own. Pure codegen projection, zero
+    shuffles, and 64-bit two's-complement semantics agree between the
+    JVM and DuckDB for every operator including ~ and sign-propagating
+    >>."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright("event_id", 8).alias("high_bits"),
+        F.shiftleft("event_id", 3).bitwiseAND(F.lit(1048575)).alias("shifted"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.bit_count("event_id").alias("popcount"),
+        F.shiftright("event_id", 5)
+        .bitwiseAND(F.lit(1))
+        .cast("int")
+        .alias("bit5"),
+        F.bitwise_not(F.col("event_id")).alias("id_not"),
+    )
