@@ -2494,3 +2494,59 @@ def dedup_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_jaccard"),
         )
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_x,
+           (CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_x,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM dims GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/variance/range for each
+    of the 64 coordinates) — the pass that feeds whitening, mean-
+    centering before PQ (embedding_pq_codes assumes roughly centered
+    subspaces), and dead-dimension detection. Exact decimal power sums
+    (the agg_stats/events_outliers pattern) keep mean and variance
+    bit-identical across engines and partitionings. Decimal scale is
+    6, NOT higher: Spark casts double->decimal through the shortest
+    decimal representation while DuckDB expands the exact binary value,
+    and for float32-sourced data the two agree only up to ~7
+    significant digits — scale 6 is the largest the contract allows.
+
+    Scale: posexplode fans each vector into D rows partition-locally
+    (no shuffle), then ONE partial-agg groupBy on the dimension index —
+    64 groups regardless of corpus size, each reduce state a constant
+    few decimals. The transpose-free alternative to per-column loops;
+    at 100 TB this is the cheapest full-corpus pass there is."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    s1 = F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double")
+    n = F.count("*")
+    return dims.groupBy("dim").agg(
+        n.alias("n"),
+        (s1 / n).alias("mean_x"),
+        ((s2 - s1 * s1 / n) / (n - 1)).alias("var_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
