@@ -161,3 +161,41 @@ def test_cdc_lww_single_shuffle(spark):
     )
     plan = _plan(latest_state(df))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_checksum_is_scan_and_reduce_only(spark, q):
+    """cdc_table_checksum must stay embarrassingly parallel: per-table
+    digest = projection + ONE hash-agg exchange on table_name; any
+    extra exchange means the canonicalization started shuffling rows."""
+    plan = _plan(q["cdc_table_checksum"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_profile_table_single_scan(spark, q):
+    """profile_table computes every column statistic in ONE pass: the
+    plan may contain exactly one FileScan of orders (Expand for the
+    multi-distinct is fine; a second scan is not)."""
+    plan = _plan(q["profile_table"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_bloom_prune_keeps_fact_unshuffled(spark, q):
+    """join_bloom_prune: both the bucket semi-join and the key join
+    broadcast the tiny build side — lineitem must reach the final
+    aggregate without a single hash-partition exchange."""
+    plan = _plan(q["join_bloom_prune"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # the single hash exchange is the build side's bucket distinct()
+    # (tiny); lineitem itself reaches the aggregate shuffle-free
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(bkt" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_hll_shuffle_carries_registers_not_rows(spark, q):
+    """agg_distinct_hll: the register build is partial-aggregatable, so
+    the plan has partial_max before the exchange (map-side combine to
+    <=m rows per group per partition) — plus the exact-count branch."""
+    plan = _plan(q["agg_distinct_hll"](spark, SF_DIR))
+    assert "partial_max" in plan
