@@ -572,3 +572,63 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "cdc_table_checksum_ranged",
+    oracle="""
+    WITH o_rows AS (
+        SELECT md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                   o_orderpriority)) AS h
+        FROM orders
+    )
+    SELECT substr(h, 1, 1) AS hash_range,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 13))::BIGINT AS DECIMAL(38,0)))
+                AS VARCHAR) AS checksum
+    FROM o_rows GROUP BY substr(h, 1, 1)
+    """,
+)
+def cdc_table_checksum_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The divergence-localization probe behind cdc_table_checksum: the
+    same order-independent digest, split into 16 hash ranges (first hex
+    nibble). When the whole-table digests disagree, source and sink run
+    THIS query and compare 16 rows to localize the divergence to a
+    1/16th slice; recursing on longer prefixes binary-searches down to
+    the offending rows in O(log N) round trips of O(ranges) bytes each
+    — the Merkle-tree sweep DBAs run instead of shipping either table.
+
+    Scale: identical to the parent — zero-shuffle projection, one
+    partial-agg reduce; the hash-prefix group key is uniform by
+    construction (md5), so no range can skew."""
+    o = t(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        ).cast("binary")
+    )
+    return (
+        o.select(h.alias("h"))
+        .groupBy(F.substring("h", 1, 1).alias("hash_range"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.conv(F.substring("h", 1, 13), 16, 10)
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .cast("string")
+            .alias("checksum"),
+        )
+    )

@@ -618,3 +618,101 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+@register(
+    "events_gap_islands",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL '30 minutes' AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('second', island_start, island_end))
+                AS BIGINT) AS covered_seconds,
+           CAST(MAX(date_diff('second', island_start, island_end))
+                AS BIGINT) AS longest_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event projects a 30-min
+    activity interval; overlapping/touching intervals per user merge
+    into maximal islands via the classic running-max algorithm (an
+    interval starts a new island iff it begins after the max end-time
+    of everything before it). The idiom behind validity-interval
+    compaction in SCD2 tables, downtime stitching, and session
+    coverage — and distinct from session_window, which buckets by
+    fixed inactivity gaps rather than merging arbitrary intervals.
+
+    Scale: one shuffle partitioned by user serves both running-max
+    windows AND the two rollups (same-key aggregation reuses the
+    partitioning); per-user partitions are bounded by that user's
+    events. The running max needs no self-join — the O(n²) interval
+    overlap join this replaces is the actual scale trap."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    dur = (
+        F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(dur).alias("covered_seconds"),
+        F.max(dur).alias("longest_seconds"),
+    )
