@@ -2550,3 +2550,125 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY w1, w2
+    ),
+    tot AS (
+        SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM cnt GROUP BY w1
+    ),
+    ranked AS (
+        SELECT c.w1, c.w2, c.n, t.n_w1,
+               CAST(c.n AS DOUBLE) / t.n_w1 AS p_next,
+               ROW_NUMBER() OVER (PARTITION BY c.w1
+                                  ORDER BY c.n DESC, c.w2) AS rk
+        FROM cnt c JOIN tot t ON t.w1 = c.w1
+    )
+    SELECT w1, w2, n, n_w1, p_next, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model: P(w2|w1) = c(w1,w2)/c(w1),
+    top-3 continuations per word — the n-gram statistics layer of
+    corpus analysis (perplexity filtering, contamination probes,
+    classical LM baselines). Probabilities are exact count ratios in
+    double (one division, engine-identical), so even the conditional
+    distribution hash-matches; log-space smoothing is deliberately out
+    of the checked surface (ln() differs across libm builds).
+
+    Scale: bigram fan-out is partition-local (zero-shuffle transform),
+    then two partial-agg shuffles (bigram counts, unigram totals —
+    second derived FROM the first, not a rescan) and a per-w1 rank
+    bounded to 3 rows before anything downstream. Vocabulary-sized
+    output regardless of corpus size."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    wr = Window.partitionBy("w1").orderBy(F.desc("n"), "w2")
+    return (
+        cnt.join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_w1",
+            (F.col("n").cast("double") / F.col("n_w1")).alias("p_next"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle="""
+    WITH blobs AS (
+        SELECT source,
+               encode(text) AS payload,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 13))::BIGINT AS DECIMAL(38,0)))
+                AS VARCHAR) AS content_digest,
+           MIN(h) AS min_hash,
+           MAX(h) AS max_hash
+    FROM blobs GROUP BY source
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release manifest per shard (source): item count, payload
+    bytes, and an order-independent content digest — what a WebDataset/
+    tar-shard publisher writes next to each shard so a consumer can
+    verify integrity without re-reading payloads, and what makes a
+    100 TB dataset release reproducible (same digest ⇒ same shard,
+    regardless of row order or the cluster that built it). Payloads
+    here are the documents' UTF-8 bytes standing in for image/audio
+    blobs (multimodal_metadata's convention); the digest is the
+    cdc_table_checksum sum-of-md5-prefixes contract applied to content
+    addressing.
+
+    Scale: zero-shuffle projection + one partial-agg reduce keyed by
+    shard; every statistic is mergeable, so manifests of file-level
+    sub-shards roll up to the shard manifest by addition."""
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select(
+        "source",
+        F.col("text").cast("binary").alias("payload"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    return blobs.groupBy("source").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.sum(
+            F.conv(F.substring("h", 1, 13), 16, 10)
+            .cast("long")
+            .cast("decimal(38,0)")
+        )
+        .cast("string")
+        .alias("content_digest"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )
