@@ -334,3 +334,39 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bit5"),
         F.bitwise_not(F.col("event_id")).alias("id_not"),
     )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                  AS h_md5,
+           sha256(text)                               AS h_sha256,
+           substr(md5(text), 1, 8)                    AS h_md5_8,
+           md5(concat(lang, ':', CAST(doc_id AS VARCHAR))) AS h_keyed
+    FROM documents
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash scalar family — the primitives every
+    content-addressing operator in this repo builds on (dedup keys,
+    split assignment, sketch seeds, checksums), pinned as a checked
+    surface of their own: md5 and sha256 over UTF-8 bytes, prefix
+    truncation, and keyed (salted-concat) hashing. Engines agree
+    because both hash the raw bytes — the ONLY cross-engine contract
+    is the input byte encoding, which cast-to-binary makes explicit.
+    xxhash64/crc32 exist Spark-side but have no DuckDB counterpart, so
+    they stay outside the checked registry (same policy as ln())."""
+    d = t(spark, sf_dir, "documents")
+    as_bin = lambda c: F.col(c).cast("binary")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.md5(as_bin("text")).alias("h_md5"),
+        F.sha2(as_bin("text"), 256).alias("h_sha256"),
+        F.substring(F.md5(as_bin("text")), 1, 8).alias("h_md5_8"),
+        F.md5(
+            F.concat(
+                F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ).alias("h_keyed"),
+    )
