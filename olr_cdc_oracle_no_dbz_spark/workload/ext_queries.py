@@ -2672,3 +2672,47 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_hash"),
         F.max("h").alias("max_hash"),
     )
+
+
+@register(
+    "sample_fixed_k_per_group",
+    oracle="""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('evalk:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-K sample per group (5 docs per language) —
+    the eval-set carve-out op ("K examples per domain"), complementing
+    sample_stratified's RATE-based keep: ranking by a salted md5 makes
+    the choice uniform, reproducible across engines/clusters/runs, and
+    stable under corpus growth ONLY in distribution (adding docs can
+    rotate members — by design; pin membership by persisting doc_ids,
+    not by hoping hash ranks stay put). The salt ('evalk:') decorrelates
+    this sample from dataset_split and corpus_mix_weighted buckets, so
+    the eval carve-out is independent of split assignment.
+
+    Scale: per-group window rank = one shuffle on the group key; the
+    rank filter bounds every group to K rows immediately. This is
+    distributed reservoir sampling made deterministic — a true
+    streaming reservoir needs randomness that would break the
+    differential contract."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(
+            F.concat(F.lit("evalk:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        "doc_id",
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
