@@ -99,3 +99,52 @@ def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l2_norm"),
         )
     )
+
+
+@register(
+    "udtf_chunk_rows",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(ws[(i - 1) * 40 + 1 : i * 40], ' ') AS chunk,
+           i - 1 AS chunk_idx,
+           LEAST(40, len(ws) - (i - 1) * 40) AS n_words
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE lang = 'en'),
+         LATERAL unnest(generate_series(1, (len(ws) + 39) // 40)) AS u(i)
+    """,
+)
+def udtf_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF on the gate (§2.9 upgraded from pytest-only to a
+    differentially-checked row): one doc in, N 40-word chunks out, via
+    a LATERAL table-function join — the ksqlDB UDTF registration
+    analog, and the imperative twin of text_chunking's declarative
+    explode (same contract, different execution surface: rows cross the
+    Arrow boundary into Python and back). The oracle is pure SQL, so
+    the check proves the Python generator and DuckDB's unnest agree
+    byte-for-byte on chunk text, indices, and word counts.
+
+    Scale: the UDTF runs per input partition (no shuffle introduced);
+    the fan-out stays Arrow-batched. Still the slow path vs explode —
+    use it when chunking logic needs real Python (tokenizers,
+    sentence segmenters), which is exactly what this row pins as
+    possible without losing checkability."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk: string, chunk_idx: long, n_words: long")
+    class ChunkRows:
+        def eval(self, text: str):
+            words = text.split(" ")
+            k = 40
+            for i in range((len(words) + k - 1) // k):
+                part = words[i * k : (i + 1) * k]
+                yield " ".join(part), i, len(part)
+
+    spark.udtf.register("chunk_rows", ChunkRows)
+    d = t(spark, sf_dir, "documents")
+    d.filter(F.col("lang") == "en").select("doc_id", "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk, c.chunk_idx, c.n_words "
+        "FROM _udtf_docs d, LATERAL chunk_rows(d.text) c"
+    )
