@@ -180,6 +180,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           first(e.value ORDER BY e.ts, e.event_id)  AS next_event_value,
+           strftime(min(e.ts), '%Y-%m-%d %H:%M:%S')  AS next_event_ts,
+           (count(e.event_id) > 0)                   AS matched
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each order picks its customer's FIRST event
+    at-or-after the order date — the reaction-matching direction (order
+    placed → next observed activity), mirror of join_asof's backward
+    lookup. Same plan shape: equi+range join, then min_by with the
+    unique (ts, event_id) tie-break. The two directions together cover
+    the trade-matching / sensor-alignment as-of family.
+
+    Scale note shared with join_asof: the equi component keys the
+    shuffle; the range predicate filters matched pairs. When one key's
+    event history is huge, pre-bucket events by (user, coarse time) so
+    the range scan per order touches one bucket — the batch analog of
+    a state-store range scan."""
+    o = t(spark, sf_dir, "orders")
+    ev = t(spark, sf_dir, "events")
+    j = o.join(
+        ev,
+        (ev["user_id"] == o["o_custkey"]) & (ev["ts"] >= o["o_orderdate"]),
+        "left",
+    )
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("next_event_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("next_event_ts"),
+        (F.count("event_id") > 0).alias("matched"),
+    )
+
+
+@register(
     "join_bloom_prune",
     oracle="""
     WITH build AS (
