@@ -2716,3 +2716,59 @@ def sample_fixed_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+_MIX_TARGET_TOKENS = 50000
+
+
+@register(
+    "corpus_mix_plan",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM per_source)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST({_MIX_TARGET_TOKENS} AS DOUBLE) / s.n_sources AS target_tokens,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 (CAST({_MIX_TARGET_TOKENS} AS DOUBLE) / s.n_sources)
+                     / p.n_tokens) AS keep_rate,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 (CAST({_MIX_TARGET_TOKENS} AS DOUBLE) / s.n_sources)
+                     / p.n_tokens) * p.n_tokens AS expected_tokens
+    FROM per_source p, ns s
+    """,
+)
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing-PLAN computation — the step before corpus_mix_weighted's
+    execution: given a token budget and an equal-share-per-source
+    policy, derive each source's keep rate (capped at 1.0 where a
+    source is smaller than its share, leaving budget unclaimed — the
+    honest under-run a real mixer then redistributes iteratively).
+    Budget arithmetic is exact counts + one double division, so the
+    whole plan is hash-checkable; feed keep_rate into the
+    corpus_mix_weighted md5-bucket filter to execute it.
+
+    Scale: one partial-agg pass over documents (token counts are
+    size(split) — zero-shuffle until the 20-row source rollup); the
+    1-row source-count aggregate broadcasts onto the 20-row plan
+    relation (allowlisted bounded BNLJ, the dedup_clusters shape)."""
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    ns = per_source.agg(F.count("*").alias("n_sources"))
+    share = F.lit(float(_MIX_TARGET_TOKENS)) / F.col("n_sources")
+    rate = F.least(F.lit(1.0), share / F.col("n_tokens"))
+    return per_source.crossJoin(F.broadcast(ns)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("target_tokens"),
+        rate.alias("keep_rate"),
+        (rate * F.col("n_tokens")).alias("expected_tokens"),
+    )

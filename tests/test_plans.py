@@ -96,6 +96,7 @@ _BNLJ_ALLOWED = {
     # Composes ann_topk_bruteforce + ann_topk_ivf verbatim, inheriting
     # their allowlisted bounded BNLJ scans (10-row / K=8 broadcast sides).
     "ann_recall_report",
+    "corpus_mix_plan",  # 1-row source-count broadcast × 20-row plan rows
 }
 
 
