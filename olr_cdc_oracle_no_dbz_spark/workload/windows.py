@@ -383,3 +383,41 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value").over(w)
         ).alias("mov_avg_1h"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT event_id, event_type,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           nth_value(value, 3) OVER w AS third_v
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full
+    frame — the remaining analytic-function surface after
+    window_rank_frames (rank/lag/lead) and window_distribution
+    (ntile/percent_rank/cume_dist). The UNBOUNDED..UNBOUNDED frame is
+    spelled out because last_value's DEFAULT frame ends at CURRENT ROW
+    (returning the row itself — the classic silent bug); the unique
+    (ts, event_id) ordering makes all three picks deterministic.
+
+    Scale: one shuffle on the partition key; full-frame aggregates
+    evaluate once per partition, not per row."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )
