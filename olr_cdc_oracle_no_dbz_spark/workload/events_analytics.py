@@ -716,3 +716,129 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).alias("covered_seconds"),
         F.max(dur).alias("longest_seconds"),
     )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    click AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN signup s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > s.t_signup
+          AND e.ts <= s.t_signup + INTERVAL '30 minutes'
+        GROUP BY e.user_id
+    ),
+    purchase AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN click c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL '24 hours'
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM signup)   AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM click)    AS n_click_30m,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM purchase) AS n_purchase_24h
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel — events_funnel with conversion windows
+    (click within 30 min of signup, purchase within 24 h of that
+    click), the shape product analytics actually ships ("conversion
+    within X"). Each stage is a per-user conditional MIN constrained
+    by the previous stage's timestamp: three stage aggregates chained
+    by broadcast-joining the (small) converted-user set onto the fact
+    — never a fact×fact self-join, and each stage's input shrinks
+    monotonically. The three 1-row stage counts zip via literal-key
+    joins (constant-folded to bounded 1×1 BNLJs, the
+    graph_triangle_count shape, allowlisted).
+
+    Scale: 1 shuffle per stage on user_id + broadcast of converted
+    users; stage windows keep state bounded in the streaming analog
+    (watermark = longest stage window)."""
+    ev = t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(signup), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(click), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    k = lambda df, name: df.agg(F.count("*").alias(name)).withColumn(  # noqa: E731
+        "k", F.lit(1)
+    )
+    return (
+        k(signup, "n_signup")
+        .join(k(click, "n_click_30m"), "k")
+        .join(k(purchase, "n_purchase_24h"), "k")
+        .select("n_signup", "n_click_30m", "n_purchase_24h")
+    )
+
+
+@register(
+    "events_key_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_key_rows,
+           (SELECT MIN(user_id) FROM counts
+            WHERE n = (SELECT MAX(n) FROM counts)) AS hottest_key,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_rows,
+           CAST(MAX(n) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_factor
+    FROM counts
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic — the report that decides whether a join or
+    aggregation key needs salting (agg_two_phase_skew / scale.py
+    salted_join) BEFORE the job that would have stalled on it: key
+    count, row count, the hottest key and its row share, and the skew
+    factor (hottest key's rows ÷ mean rows per key; >10 means one
+    reducer does 10× the average work and AQE skew handling or salt-16
+    is warranted). One groupBy + one global aggregate, no joins —
+    deterministic hottest-key tie-break by lowest id via arg_max on a
+    composite.
+
+    Scale: the per-key count IS the potentially-skewed shuffle — but
+    counts partial-aggregate map-side, so even the hot key ships one
+    row per input partition, never its raw rows; the diagnostic is
+    safe to run on the exact workload it diagnoses."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    mean = F.sum("n").cast("double") / F.count("*")
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.expr("max_by(user_id, struct(n, -user_id))").alias("hottest_key"),
+        mean.alias("mean_rows"),
+        (F.max("n").cast("double") / mean).alias("skew_factor"),
+    )

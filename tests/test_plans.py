@@ -97,6 +97,7 @@ _BNLJ_ALLOWED = {
     # their allowlisted bounded BNLJ scans (10-row / K=8 broadcast sides).
     "ann_recall_report",
     "corpus_mix_plan",  # 1-row source-count broadcast × 20-row plan rows
+    "events_funnel_windowed",  # three 1-row stage counts zipped (1×1)
 }
 
 
