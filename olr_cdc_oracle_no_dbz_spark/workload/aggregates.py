@@ -806,3 +806,76 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_correlation",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (sxy - sx * sy / n) / (n - 1) AS cov_xy,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+             AS corr_xy
+    FROM sums
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + Pearson correlation per group (does
+    activity hour correlate with event value?) from exact decimal
+    power sums — the agg_stats pattern extended to the cross moment.
+    Spark's covar_samp/corr accumulate doubles in visit order
+    (partition-dependent results); the power-sum form is one
+    partial-agg shuffle AND bit-deterministic: both engines apply
+    sqrt/divide to identical inputs, and IEEE sqrt is correctly
+    rounded everywhere.
+
+    Scale: identical cost to agg_basic — 5 decimal sums + count per
+    group, map-side combined; no second pass, no per-group buffers
+    (contrast percentile-style operators). The numerically-stable
+    centered form matters for |r| near 1 with huge means; here means
+    are small and the decimal sums are EXACT, so cancellation is the
+    oracle's problem too — identically."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+        d(F.col("y") * F.col("y")).alias("syy"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    return sums.select(
+        "event_type",
+        "n",
+        (num / (F.col("n") - 1)).alias("cov_xy"),
+        (
+            num
+            / (
+                F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            )
+        ).alias("corr_xy"),
+    )
