@@ -46,6 +46,23 @@ HEADLINE = [
     "embedding_quantize_sq8",      # ext: int8 vector quantization
 ]
 
+# Opt-in second tier (SPARK_GRAFT_BENCH_EXTENDED=1): the round-4
+# operator families. Kept OUT of the default headline so
+# BENCH_r{N}.json stays comparable round-over-round; the extended run
+# emits a SEPARATE JSON line with metric "extended_total".
+EXTENDED = [
+    "agg_distinct_hll",        # sketch cardinality (partial-agg registers)
+    "agg_heavy_hitters_cms",   # count-min frequency sketch
+    "graph_triangle_count",    # degree-oriented triangles, checkpointed edges
+    "text_boilerplate_removal",  # cross-doc segment dedup
+    "join_bloom_prune",        # runtime-filter semi-join reduction
+    "cdc_table_checksum",      # zero-shuffle content digest
+    "embedding_pq_codes",      # product quantization encode
+    "agg_percentiles_exact",   # rank-bracket exact quantiles
+    "events_gap_islands",      # interval merge (gaps-and-islands)
+    "layout_zorder",           # Morton bucketing report
+]
+
 
 def main() -> int:
     import re
@@ -69,7 +86,9 @@ def main() -> int:
     )
 
     qs = queries()
-    names = [n for n in HEADLINE if n in qs]
+    extended = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1"
+    roster = HEADLINE + EXTENDED if extended else HEADLINE
+    names = [n for n in roster if n in qs]
 
     # JVM/codegen warmup on the smallest table so q1 isn't taxed for it
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -87,19 +106,34 @@ def main() -> int:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
     timings = {n: round(sorted(ts)[runs // 2], 3) for n, ts in samples.items()}
-    total = round(sum(timings.values()), 3)
+    head = {n: t for n, t in timings.items() if n in HEADLINE}
+    total = round(sum(head.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": head,
                 "sf": sf,
                 "runs": runs,
             }
         )
     )
+    if extended:
+        ext = {n: t for n, t in timings.items() if n in EXTENDED}
+        print(
+            json.dumps(
+                {
+                    "metric": "extended_total",
+                    "value": round(sum(ext.values()), 3),
+                    "unit": "sec",
+                    "queries": ext,
+                    "sf": sf,
+                    "runs": runs,
+                }
+            )
+        )
     spark.stop()
     return 0
 
