@@ -879,3 +879,73 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_xy"),
     )
+
+
+@register(
+    "agg_linear_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope_per_day,
+           sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+               AS intercept
+    FROM sums
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (is event value drifting over time?):
+    slope and intercept from the SAME exact decimal power sums as
+    agg_correlation — the single-pass closed form (slope = cov/var_x),
+    deterministic where an iterative or double-accumulating regression
+    is not. X is INTEGER days since a fixed epoch: readable slope units
+    AND every decimal cast stays in the exact regime (x, x*x integral;
+    x*y ≤ ~1e5 — the scale-6 emission contract needs ≲10 significant
+    digits, see embedding_dim_stats for the boundary).
+
+    Scale: one partial-agg shuffle, constant state per group — the
+    drift monitor runs on the full 100 TB fact at agg_basic cost. For
+    multi-feature regression the same pattern yields the normal
+    equations (X'X, X'y as decimal sums) with a tiny driver-side
+    solve."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n"))).alias(
+            "intercept"
+        ),
+    )
