@@ -949,3 +949,57 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "agg_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               {sql_dsum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, revenue,
+           lag(revenue) OVER (PARTITION BY priority ORDER BY month)
+               AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (PARTITION BY priority ORDER BY month)
+                     IS NULL THEN NULL
+                ELSE revenue
+                     / lag(revenue) OVER (PARTITION BY priority ORDER BY month)
+                     - 1.0
+           END AS mom_growth
+    FROM monthly
+    """,
+)
+def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth per priority — the period-comparison
+    analytic (lag on an AGGREGATED series, not on the fact): monthly
+    exact-decimal revenue, then a lag window over the tiny series.
+    The growth ratio divides two exact-sum-derived doubles, so even
+    the percentage hash-matches.
+
+    Scale: the fact contributes one partial-agg shuffle (months ×
+    priorities groups); the lag window runs over the aggregated series
+    — |months|·|priorities| rows — whose per-partition size is months,
+    never fact rows. The lag-on-aggregate shape is what makes period
+    comparisons free at 100 TB: comparing periods on the fact (self-
+    join on month-12) would shuffle the fact twice."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "priority",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("revenue") / prev - 1.0)
+        .alias("mom_growth"),
+    )
