@@ -315,3 +315,102 @@ def agg_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_est"),
         (F.lit(_HLL_M) - F.col("n_present")).alias("n_zero_registers"),
     )
+
+
+@register(
+    "agg_rolling_distinct_hll",
+    oracle=f"""
+    WITH h AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13))::BIGINT AS v
+        FROM events
+    ),
+    daily AS (
+        SELECT day_num, bucket,
+               MAX(CASE WHEN v = 0 THEN {_HLL_W + 1}
+                        ELSE {_HLL_W + 1} - len(bin(v)) END) AS m_j
+        FROM h GROUP BY day_num, bucket
+    ),
+    contrib AS (
+        SELECT u.d AS day_num, bucket, m_j
+        FROM daily,
+             LATERAL unnest(generate_series(day_num, day_num + 6)) AS u(d)
+    ),
+    merged AS (
+        SELECT day_num, bucket, MAX(m_j) AS m_j
+        FROM contrib GROUP BY day_num, bucket
+    ),
+    sk AS (
+        SELECT day_num,
+               CAST(SUM(1::BIGINT << ({_HLL_W + 1} - m_j)) AS BIGINT)
+                   AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM merged GROUP BY day_num
+    )
+    SELECT day_num,
+           CAST({_HLL_ALPHA_M2!r} AS DOUBLE)
+             * ({_HLL_SCALE!r} / CAST(s_present
+                  + ({_HLL_M} - n_present) * CAST({_HLL_SCALE!r} AS BIGINT)
+                  AS DOUBLE)) AS rolling_7d_users_est,
+           n_present
+    FROM sk
+    """,
+)
+def agg_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the sliding-window
+    cardinality that is EXACTLY the query sketches exist for: exact
+    windowed COUNT(DISTINCT) must either re-scan 7 days per day or
+    keep per-day user sets; HLL registers merge by MAX (the law pinned
+    in test_sketches.py), so each day's registers are built once and
+    CONTRIBUTED FORWARD to the 7 windows they fall in (explode of a
+    7-element sequence — pure equi shuffles on (day, bucket), no
+    densified grid, no range self-join). Trailing 6 phantom days past
+    the last event day carry partial windows — rolling-edge semantics,
+    identical on both engines and therefore still hash-checked.
+
+    Scale: register rows are |days|·m regardless of user count; the
+    fan-out is ×7 on those register rows, NOT on events. The same
+    shape computes any sliding horizon by changing the sequence
+    length; for month-over-hour grids it is the only affordable exact-
+    sketch path."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("hh"),
+    ).select(
+        "day_num",
+        F.substring("hh", 1, 2).alias("bucket"),
+        F.conv(F.substring("hh", 3, 13), 16, 10).cast("long").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin("v"))
+    )
+    daily = h.groupBy("day_num", "bucket").agg(F.max(rho).alias("m_j"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day_num"), F.col("day_num") + 6)
+        ).alias("day_num"),
+        "bucket",
+        "m_j",
+    )
+    merged = contrib.groupBy("day_num", "bucket").agg(F.max("m_j").alias("m_j"))
+    sk = merged.groupBy("day_num").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(
+        int(_HLL_SCALE)
+    )
+    return sk.select(
+        "day_num",
+        (
+            F.lit(_HLL_ALPHA_M2).cast("double")
+            * (F.lit(_HLL_SCALE) / s_total.cast("double"))
+        ).alias("rolling_7d_users_est"),
+        "n_present",
+    )
