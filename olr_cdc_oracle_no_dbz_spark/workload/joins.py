@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.workload import register
-from olr_cdc_oracle_no_dbz_spark.workload.util import t
+from olr_cdc_oracle_no_dbz_spark.workload.util import dsum, sql_dsum, t
 
 
 @register(
@@ -304,4 +304,41 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o.o_totalprice")} AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale.salted_join on the differential gate: the orders→customer
+    enrich runs through the salt-16 path (fact rows salted by a
+    deterministic whole-row hash, dimension exploded 16×, join key
+    (key, salt)) and must hash-match the PLAIN-join oracle — proving
+    that salting changes only the execution shape, never the result,
+    under the same order-insensitive value-hash the driver applies to
+    every operator. The pytest hypothesis property (test_scale.py)
+    proves the law on arbitrary multisets; this row proves it on the
+    real tables through the real gate.
+
+    Scale: the pattern for the hot-customer join AQE skew-split can't
+    fix (e.g. when the skew is in the aggregate after the join): a key
+    owning 20% of the fact spreads over 16 reducers; the dimension
+    pays 16× replication — the standard price, on the small side."""
+    from olr_cdc_oracle_no_dbz_spark.scale import salted_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = salted_join(o, c, on="o_custkey", n_salts=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
     )
