@@ -87,8 +87,6 @@ def main() -> int:
 
     qs = queries()
     extended = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1"
-    roster = HEADLINE + EXTENDED if extended else HEADLINE
-    names = [n for n in roster if n in qs]
 
     # JVM/codegen warmup on the smallest table so q1 isn't taxed for it
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -98,15 +96,26 @@ def main() -> int:
     # interleaved (run 1 of every query, then run 2, ...) so a transient
     # load spike lands on ONE sample of many queries — which the
     # per-query median then discards — rather than on all samples of one.
+    #
+    # ADVICE r4: the extended tier runs as a SEPARATE timing pass AFTER
+    # all headline runs complete, so extended-tier cache/GC pressure
+    # cannot shift headline medians — headline samples are collected
+    # under the identical schedule whether or not EXTENDED=1.
     runs = 3
-    samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(runs):
-        for name in names:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(time.time() - t0)
-    timings = {n: round(sorted(ts)[runs // 2], 3) for n, ts in samples.items()}
-    head = {n: t for n, t in timings.items() if n in HEADLINE}
+
+    def measure(roster: list[str]) -> dict[str, float]:
+        names = [n for n in roster if n in qs]
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(runs):
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(time.time() - t0)
+        return {n: round(sorted(ts)[runs // 2], 3) for n, ts in samples.items()}
+
+    head = measure(HEADLINE)
     total = round(sum(head.values()), 3)
     print(
         json.dumps(
@@ -121,7 +130,7 @@ def main() -> int:
         )
     )
     if extended:
-        ext = {n: t for n, t in timings.items() if n in EXTENDED}
+        ext = measure(EXTENDED)
         print(
             json.dumps(
                 {

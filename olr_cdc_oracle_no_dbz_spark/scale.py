@@ -125,6 +125,28 @@ def write_partitioned(
     df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)
 
 
+def _partition_cols_of(path: str) -> list[str]:
+    """Hive partition columns of a parquet directory, inferred from the
+    ``col=value`` directory segments on the path to the first data file
+    (exactly the inference spark.read.parquet itself performs)."""
+    import glob as _glob
+    import os
+
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, path)
+        cols = [
+            seg.split("=", 1)[0]
+            for seg in rel.split(os.sep)[:-1]
+            if "=" in seg
+        ]
+        if cols:
+            return cols
+        return []
+    return []
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -136,10 +158,25 @@ def compact_small_files(
     touched partition; a month of 30 s triggers yields ~90k tiny files
     whose open/footer overhead dominates scans long before data volume
     does). Sizing uses the CURRENT on-disk bytes, so compressed size —
-    not row count — decides the file count. coalesce() avoids a
-    shuffle (it only glues existing partitions); the rewrite goes
-    through a temp directory so a crash mid-compaction never leaves
-    the table truncated."""
+    not row count — decides the file count.
+
+    Hive-partitioned layouts (``path/col=value/...``) are preserved:
+    partition directories are detected from the on-disk layout and the
+    rewrite goes through ``partitionBy`` on the same columns after a
+    ``repartition`` on them, collapsing each partition directory to one
+    file (a single partition-value larger than the target stays one
+    file — per-directory splitting would need a salt and is not worth
+    losing 1-file-per-dir pruning for). Unpartitioned layouts use
+    ``coalesce`` (glues existing partitions, no shuffle).
+
+    Crash safety is swap-via-rename, never delete-then-rename: the new
+    table is written to ``.compact.tmp``, the live directory is renamed
+    aside to ``.compact.old``, the tmp renamed into place, and only
+    then the old data removed — at every instant a crash leaves either
+    the old or the new complete table reachable (the one non-atomic
+    window renames the live dir away for the microseconds between the
+    two ``os.replace`` calls; readers mid-listing can race that, but no
+    crash point loses data)."""
     import glob as _glob
     import os
     import shutil
@@ -151,12 +188,25 @@ def compact_small_files(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
+    part_cols = _partition_cols_of(path)
     tmp = path.rstrip("/") + ".compact.tmp"
-    spark.read.parquet(path).coalesce(int(n_out)).write.format("parquet").mode(
-        "overwrite"
-    ).save(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale leftovers from a crash
+    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
+    if part_cols:
+        (
+            df.repartition(*[F.col(c) for c in part_cols])
+            .write.format("parquet")
+            .mode("overwrite")
+            .partitionBy(*part_cols)
+            .save(tmp)
+        )
+    else:
+        df.coalesce(int(n_out)).write.format("parquet").mode("overwrite").save(tmp)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     return len(
         [
             f
@@ -177,20 +227,48 @@ def write_zorder_sorted(
     mode: str = "overwrite",
 ) -> None:
     """Persist clustered on the Morton z-value of TWO dimensions
-    (workload.layout.zvalue over the low 16 bits of each) — the layout
-    for tables filtered by either or both of two keys, where
+    (workload.layout.zvalue over 16-bit range-quantized keys) — the
+    layout for tables filtered by either or both of two keys, where
     write_range_sorted can serve only one: every output file becomes a
     small rectangle in (x, y) space, so parquet min/max footers stay
     tight for BOTH columns and file skipping works two-dimensionally.
-    The z column is dropped after partitioning — the layout is the
-    artifact, not the key."""
+
+    Each column is quantized into its 16 z-bits by LINEAR RANGE
+    scaling, ``(v - min) * 65535 / (max - min)`` — not by masking the
+    low 16 bits (ADVICE r4): truncation makes rows that differ only in
+    high bits collide in z-space for any domain wider than 2^16, which
+    silently destroys min/max tightness on the REAL columns. Min/max
+    come from one tiny all-column aggregate (a driver-side 1-row
+    collect — the same stats pass any clustering write needs; at
+    100 TB this adds one columnar scan of two columns, amortized into
+    the rewrite itself). Monotone per column, so footer tightness on
+    the original values is preserved for arbitrary domains. Heavily
+    skewed domains fill the 16-bit grid unevenly (rank-based
+    quantization would fix that at the cost of two global sorts) —
+    locality still holds, cells are just unequal in population. The z
+    column is dropped after partitioning — the layout is the artifact,
+    not the key."""
     from olr_cdc_oracle_no_dbz_spark.workload.layout import zvalue
+
+    stats = df.agg(
+        F.min(x_col).alias("xmin"),
+        F.max(x_col).alias("xmax"),
+        F.min(y_col).alias("ymin"),
+        F.max(y_col).alias("ymax"),
+    ).collect()[0]
+
+    def quant(col: str, lo, hi):
+        span = (hi - lo) or 1  # constant column -> all rows in cell 0
+        return (
+            (F.col(col).cast("double") - F.lit(float(lo)))
+            * F.lit(65535.0 / float(span))
+        ).cast("bigint")
 
     zdf = df.withColumn(
         "__z",
         zvalue(
-            F.col(x_col).bitwiseAND(F.lit(65535)),
-            F.col(y_col).bitwiseAND(F.lit(65535)),
+            quant(x_col, stats["xmin"], stats["xmax"]),
+            quant(y_col, stats["ymin"], stats["ymax"]),
         ),
     )
     (

@@ -381,12 +381,13 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_latest_n_by_offset",
     oracle="""
     SELECT user_id,
-           list_transform(list_slice(list_sort(
+           array_to_string(list_transform(list_slice(list_sort(
                list({'k': event_id, 'v': event_type}), 'DESC'), 1, 3),
-               x -> x.v) AS latest_3_types,
-           list_transform(list_slice(list_sort(
+               x -> x.v), '|') AS latest_3_types,
+           array_to_string(list_transform(list_slice(list_sort(
                list({'k': event_id, 'v': value}), 'DESC'), 1, 3),
-               x -> x.v) AS latest_3_values
+               x -> CAST(CAST(x.v AS DECIMAL(28,6)) AS VARCHAR)), '|')
+               AS latest_3_values
     FROM events GROUP BY user_id
     """,
 )
@@ -397,18 +398,26 @@ def agg_latest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct (offset leads, unique → total order), sliced to 3, and
     projected — one shuffle, bounded per-group state. DuckDB mirrors it
     with list()/list_sort('DESC')/list_slice over the same (offset,
-    value) structs (this build's arg_max has no N-ary form)."""
+    value) structs (this build's arg_max has no N-ary form).
+
+    Gate note: the result lists are projected through array_join into
+    '|'-separated strings (doubles first pinned via the decimal cast of
+    util.dsum's strategy) because the driver's canonicalizer sorts the
+    result frame with pandas, which cannot hash list cells — the same
+    array→string flattening that fixed the r2 multimodal gates."""
     ev = t(spark, sf_dir, "events")
 
-    def latest3(col: str):
+    def latest3(col: str, proj: str):
         return F.expr(
-            "transform(slice(sort_array(collect_list(struct(event_id,"
-            f" {col})), false), 1, 3), s -> s.{col})"
+            "array_join(transform(slice(sort_array(collect_list("
+            f"struct(event_id, {col})), false), 1, 3), s -> {proj}), '|')"
         )
 
     return ev.groupBy("user_id").agg(
-        latest3("event_type").alias("latest_3_types"),
-        latest3("value").alias("latest_3_values"),
+        latest3("event_type", "s.event_type").alias("latest_3_types"),
+        latest3(
+            "value", "cast(cast(s.value as decimal(28,6)) as string)"
+        ).alias("latest_3_values"),
     )
 
 
@@ -416,30 +425,34 @@ def agg_latest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_earliest_n_by_offset",
     oracle="""
     SELECT user_id,
-           list_transform(list_slice(list_sort(
+           array_to_string(list_transform(list_slice(list_sort(
                list({'k': event_id, 'v': event_type}), 'ASC'), 1, 3),
-               x -> x.v) AS earliest_3_types,
-           list_transform(list_slice(list_sort(
+               x -> x.v), '|') AS earliest_3_types,
+           array_to_string(list_transform(list_slice(list_sort(
                list({'k': event_id, 'v': value}), 'ASC'), 1, 3),
-               x -> x.v) AS earliest_3_values
+               x -> CAST(CAST(x.v AS DECIMAL(28,6)) AS VARCHAR)), '|')
+               AS earliest_3_values
     FROM events GROUP BY user_id
     """,
 )
 def agg_earliest_n_by_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EARLIEST_BY_OFFSET(col, N) — the symmetric twin of
     agg_latest_n_by_offset: first 3 values per key in offset order
-    (ascending struct sort, slice, project)."""
+    (ascending struct sort, slice, project; same array_join gate
+    flattening)."""
     ev = t(spark, sf_dir, "events")
 
-    def earliest3(col: str):
+    def earliest3(col: str, proj: str):
         return F.expr(
-            "transform(slice(sort_array(collect_list(struct(event_id,"
-            f" {col})), true), 1, 3), s -> s.{col})"
+            "array_join(transform(slice(sort_array(collect_list("
+            f"struct(event_id, {col})), true), 1, 3), s -> {proj}), '|')"
         )
 
     return ev.groupBy("user_id").agg(
-        earliest3("event_type").alias("earliest_3_types"),
-        earliest3("value").alias("earliest_3_values"),
+        earliest3("event_type", "s.event_type").alias("earliest_3_types"),
+        earliest3(
+            "value", "cast(cast(s.value as decimal(28,6)) as string)"
+        ).alias("earliest_3_values"),
     )
 
 

@@ -42,6 +42,30 @@ def test_history_parse_produces_known_rounds():
     assert all(r >= 1 for r in last.values())
 
 
+def test_no_complex_typed_output_columns(spark):
+    """VERDICT r4 gate-harness invariant: the driver canonicalizes
+    results by sorting the pandas frame, which raises ``unhashable
+    type: 'list'`` on any ArrayType/MapType (and ambiguity on
+    StructType) output column — agg_latest_n_by_offset and
+    agg_earliest_n_by_offset were red in r4 for exactly this. Every
+    registered query must therefore flatten complex columns (array_join
+    / to_json) before returning. This sweep builds each query's plan
+    (schema only, nothing executed) and fails on any complex-typed
+    field so the trap cannot recur as new queries register."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert offenders == [], (
+        "complex-typed output columns break the driver's canonicalizer; "
+        f"flatten with array_join/to_json: {offenders}"
+    )
+
+
 def test_hash_fail_rows_do_not_count_as_green():
     """Review r4 finding: the r2 history contains rows with
     rows_match=true but hash_match=false (real hash FAILs). Those must

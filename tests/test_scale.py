@@ -215,6 +215,88 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     )
 
 
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """ADVICE r4: compaction of a hive-partitioned table must keep the
+    ``col=value`` directory layout (and thus planning-time partition
+    pruning), not inline the partition column into the data files."""
+    from olr_cdc_oracle_no_dbz_spark.scale import (
+        compact_small_files,
+        write_partitioned,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("day"),
+    ).repartition(16)
+    path = str(tmp_path / "pfrag")
+    write_partitioned(df, path, ["day"])
+    import glob
+
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    assert before >= 16
+    sum_before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    n_after = compact_small_files(spark, path)
+    assert n_after == 4  # one file per partition directory
+    for d in range(4):
+        assert (tmp_path / "pfrag" / f"day={d}").exists()
+    back = spark.read.parquet(path)
+    assert back.agg(F.sum("id")).collect()[0][0] == sum_before
+    plan = (
+        back.filter(F.col("day") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan  # pruning still planning-time
+    # no stale swap directories left behind
+    assert not (tmp_path / "pfrag.compact.tmp").exists()
+    assert not (tmp_path / "pfrag.compact.old").exists()
+
+
+def test_write_zorder_wide_domain_footers_tight(spark, tmp_path):
+    """ADVICE r4: columns with domains far beyond 2^16 must still get
+    tight per-file footers — range quantization, not low-bit masking
+    (masking collides rows that differ only in high bits, so every
+    file's real-column span approaches the full domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from olr_cdc_oracle_no_dbz_spark.scale import write_zorder_sorted
+
+    n = 1 << 13
+    wide = 1 << 40  # domain ~2^40 — truncation to 16 bits would shred it
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % wide).alias("x"),
+        ((F.col("id") * 40503) % wide).alias("y"),
+    )
+    out = str(tmp_path / "zwide")
+    write_zorder_sorted(df, out, "x", "y", n_partitions=16)
+
+    def spans(col):
+        res = []
+        for f in glob.glob(out + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            st = [
+                md.row_group(g).column(ci).statistics
+                for g in range(md.num_row_groups)
+            ]
+            res.append(max(s.max for s in st) - min(s.min for s in st))
+        return res
+
+    xs, ys = spans("x"), spans("y")
+    assert len(xs) >= 8
+    half = (wide // 2) + (wide // 16)
+    tight = sum(1 for xd, yd in zip(xs, ys) if xd <= half and yd <= half)
+    assert tight >= (3 * len(xs)) // 4
+    assert spark.read.parquet(out).count() == n
+
+
 def test_write_zorder_sorted_two_dimensional_footers(spark, tmp_path):
     """Z-order layout receipt: after write_zorder_sorted, every file's
     footer bounding box is tight in BOTH dimensions (≤ 1/4 of each
