@@ -1334,6 +1334,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_dedup_apply_oracle() -> str:
+    """Compose from the REGISTERED dedup_clusters oracle verbatim (same
+    contract as ann_recall_report / dedup_overlap_report: the applied
+    dedup must drop exactly the docs the shipping cluster report
+    labels as non-keepers)."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    clusters = _ORACLES["dedup_clusters"]
+    return f"""
+    WITH labels AS (
+        SELECT doc_id, cluster_id FROM ({clusters}) t
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'cluster_keeper'
+                ELSE 'unique' END AS kept_reason
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+    """
+
+
+@register("corpus_dedup_apply", oracle=_corpus_dedup_apply_oracle())
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED near-dedup (VERDICT r5 item 6): the deduplicated corpus
+    itself, not the pair/cluster reports — what a training-data
+    pipeline actually ships. Keep rule: every document outside any
+    near-dup cluster survives as 'unique'; inside a cluster only the
+    canonical member (min doc_id == its cluster_id label from
+    dedup_clusters' connected components) survives as
+    'cluster_keeper'; all other members are dropped.
+
+    Scale design: the cluster labeling runs on the verified-duplicate
+    pair graph only (tiny vs the corpus); applying it is one broadcast-
+    friendly left join of the label table onto the corpus followed by a
+    row-local filter — no new shuffle of the documents beyond that
+    join, and the output is immediately writable as the deduplicated
+    dataset. The oracle replays the keep rule over the same registered
+    cluster oracle, so report and application can never disagree."""
+    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+    labels = connected_components(
+        pairs.selectExpr("a_id AS s", "b_id AS d")
+    ).select("doc_id", "cluster_id")
+    d = t(spark, sf_dir, "documents")
+    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    return joined.filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("cluster_id").isNotNull(), "cluster_keeper")
+        .otherwise("unique")
+        .alias("kept_reason"),
+    )
+
+
 @register(
     "corpus_pipeline",
     oracle="""
