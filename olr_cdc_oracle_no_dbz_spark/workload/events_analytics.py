@@ -842,3 +842,70 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_rows"),
         (F.max("n").cast("double") / mean).alias("skew_factor"),
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per_user AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE))
+               AS recency_days,
+           frequency,
+           monetary,
+           CASE
+             WHEN date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE)) <= 0
+                  AND frequency >= 70 THEN 'champion'
+             WHEN date_diff('day', CAST(last_ts AS DATE), CAST(gmax AS DATE)) <= 0
+                  THEN 'recent'
+             WHEN frequency >= 70 THEN 'loyal_lapsed'
+             ELSE 'dormant'
+           END AS segment
+    FROM per_user CROSS JOIN g
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic continuous-analytics cut over an event stream: days since
+    last activity relative to the corpus horizon, event count, and
+    exact-decimal value total per user, bucketed into named segments.
+
+    Segments use ABSOLUTE thresholds, not ntile/percent_rank: quantile
+    scoring needs a global sort (single-partition window — the
+    100 TB anti-pattern this repo pins tests against), while absolute
+    business thresholds are row-local. The one global input — the
+    corpus max timestamp — is a 1-row aggregate broadcast onto the
+    per-user rows (the same bounded-BNLJ shape as dedup_clusters'
+    count), so the whole query is two partial-agg passes and a
+    constant-size join. Recency is whole-day integer arithmetic on
+    DATE casts — identical on both engines, no interval floats."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    glob = ev.agg(F.max("ts").alias("gmax"))
+    recency = F.datediff(F.to_date("gmax"), F.to_date("last_ts"))
+    segment = (
+        F.when((recency <= 0) & (F.col("frequency") >= 70), "champion")
+        .when(recency <= 0, "recent")
+        .when(F.col("frequency") >= 70, "loyal_lapsed")
+        .otherwise("dormant")
+    )
+    return per_user.crossJoin(F.broadcast(glob)).select(
+        "user_id",
+        recency.alias("recency_days"),
+        "frequency",
+        "monetary",
+        segment.alias("segment"),
+    )

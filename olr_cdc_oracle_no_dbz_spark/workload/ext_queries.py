@@ -2908,3 +2908,273 @@ def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("keep_rate"),
         (rate * F.col("n_tokens")).alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# applied corpus operations (round 5): decontaminate, perplexity filter,
+# kNN graph, applied semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _corpus_decontaminate_oracle() -> str:
+    """Compose from the REGISTERED dedup_minhash_lsh oracle verbatim —
+    the applied decontamination must drop exactly the train docs the
+    shipping near-dup detector links to an eval doc."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    mh = _ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH dups AS (
+        SELECT a_id, b_id FROM ({mh}) t WHERE is_dup
+    ),
+    sym AS (
+        SELECT a_id AS x, b_id AS y FROM dups
+        UNION ALL
+        SELECT b_id AS x, a_id AS y FROM dups
+    ),
+    contaminated AS (
+        SELECT DISTINCT x AS doc_id FROM sym
+        WHERE {_SQL_SPLIT_OF.format(c="x")} = 'train'
+          AND {_SQL_SPLIT_OF.format(c="y")} <> 'train'
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE {_SQL_SPLIT_OF.format(c="d.doc_id")} = 'train'
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+@register("corpus_decontaminate_apply", oracle=_corpus_decontaminate_oracle())
+def corpus_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED decontamination: the training split with every document
+    that near-duplicates a val/test document REMOVED — the action the
+    dedup_cross_split_leakage audit calls for, shipped as the actual
+    train set. Keep rule: doc is in the md5-bucket train split
+    (dataset_split's assignment) and no verified MinHash-LSH duplicate
+    pair links it to a doc outside train.
+
+    Scale design: the contaminated set is derived from the verified
+    pair relation only (tiny vs the corpus; both directions of each
+    pair checked with row-local split tags), then removed with one
+    left-anti join — broadcastable, since |contaminated| ≤ 2·|pairs|.
+    The corpus-side split tag is a zero-shuffle hash expression, so the
+    dominant cost stays the LSH pipeline itself."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+
+    def split_of(c: str):
+        bucket = F.expr(
+            f"conv(substring(md5(cast({c} AS string)), 1, 8), 16, 10)"
+        ).cast("bigint") % 100
+        return (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        )
+
+    sym = pairs.select(
+        F.col("a_id").alias("x"), F.col("b_id").alias("y")
+    ).unionAll(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
+    contaminated = (
+        sym.filter((split_of("x") == "train") & (split_of("y") != "train"))
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(split_of("doc_id") == "train")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "text_perplexity_filter",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    cnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2
+    ),
+    tot AS (
+        SELECT w1, CAST(SUM(n) AS BIGINT) AS n_w1 FROM cnt GROUP BY w1
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(CAST(c.n AS DOUBLE) / t2.n_w1
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                   AS avg_next_p
+        FROM bg b
+        JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+        JOIN tot t2 ON t2.w1 = b.w1
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_next_p,
+           avg_next_p >= 0.034 AS keep
+    FROM scored
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filter (the CCNet/Gopher-style 'perplexity'
+    gate): score every document by the average next-word probability of
+    its bigrams under the corpus's own count-based bigram LM
+    (text_bigram_lm's statistics), and flag low-fluency docs for
+    removal. The score is the MEAN PROBABILITY, not mean log-prob —
+    ln() is deliberately outside the checked surface (libm builds
+    differ; text_bigram_lm's contract), and the probability-space mean
+    ranks documents identically enough for a fixed-threshold gate while
+    staying bit-deterministic: each P(w2|w1) is one exact count ratio,
+    summed via the decimal-cast dsum strategy (scale 12: within the
+    double's shortest decimal repr on both engines — scale 18 exposed
+    Spark's repr-based vs DuckDB's full-binary double->decimal
+    rounding, a 1-ulp-per-cast divergence), divided by the exact
+    bigram count.
+
+    Scale design: LM statistics are vocabulary-sized aggregates; the
+    per-doc pass is a partition-local bigram fan-out joined against
+    those stats (broadcast when the vocabulary fits, shuffle-hash
+    otherwise — Catalyst's call) and one partial-agg groupBy(doc_id).
+    No global sort: the keep decision is an absolute threshold, so the
+    filter composes with any corpus size without a ranking pass."""
+    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    p_next = (F.col("n").cast("double") / F.col("n_w1")).cast("decimal(28,12)")
+    scored = (
+        bg.join(cnt, ["w1", "w2"])
+        .join(tot, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(p_next).cast("double") / F.count("*")).alias("avg_next_p"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_next_p",
+        (F.col("avg_next_p") >= 0.034).alias("keep"),
+    )
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                    AS DECIMAL(16,8)) AS cos_sim
+        FROM e a JOIN e b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
+        SELECT vec_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3) over the whole vector table — the
+    substrate for graph-based clustering, label propagation, and
+    connectivity-based semantic dedup. Unlike ann_topk_lsh (a few
+    query points), EVERY vector gets its top-k within its sign-LSH
+    bucket, so the graph is built with a bucket equi-self-join — cost
+    is the sum of squared bucket sizes, never N² — followed by a
+    per-vector bounded rank.
+
+    Scale design: the join shuffles on the bucket hash (both sides
+    partition-pruned to the same buckets); a skewed bucket is the only
+    hazard and is exactly what AQE skew-join splitting handles. The
+    rank window partitions by vec_id — full parallelism, ≤ bucket-size
+    rows per partition."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
+    ).cast("decimal(16,8)")
+    scored = a.join(
+        b,
+        (F.col("b.bucket") == F.col("a.bucket"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+def _dedup_semantic_apply_oracle() -> str:
+    """Compose from the REGISTERED dedup_semantic oracle verbatim — the
+    applied dedup must drop exactly the vectors the shipping SemDeDup
+    report marks as having an earlier in-cluster near-neighbor."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    sem = _ORACLES["dedup_semantic"]
+    return f"""
+    WITH dropped AS (
+        SELECT vec_id FROM ({sem}) t
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@register("dedup_semantic_apply", oracle=_dedup_semantic_apply_oracle())
+def dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED SemDeDup: the deduplicated vector table — every vector
+    except those the dedup_semantic report marks as semantic duplicates
+    of an EARLIER (lower-id) same-cluster vector. Keep-first-drop-rest,
+    materialized: what the training pipeline actually feeds downstream,
+    with the keep rule guaranteed identical to the report because the
+    drop set IS the registered report (same k-means assignment, same
+    threshold) on both engines.
+
+    Scale design: one left-anti join of the drop list (a fraction of
+    the corpus) against the vector table — broadcastable; all heavy
+    lifting is inside the already-bounded SemDeDup skeleton."""
+    dropped = dedup_semantic(spark, sf_dir).select("vec_id")
+    e = t(spark, sf_dir, "embeddings")
+    return e.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )

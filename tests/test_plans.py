@@ -98,6 +98,10 @@ _BNLJ_ALLOWED = {
     "ann_recall_report",
     "corpus_mix_plan",  # 1-row source-count broadcast × 20-row plan rows
     "events_funnel_windowed",  # three 1-row stage counts zipped (1×1)
+    # Composes dedup_semantic verbatim (its K=8 coarse-assignment BNLJ);
+    # the applied anti-join itself is a broadcast hash join.
+    "dedup_semantic_apply",
+    "events_rfm_segmentation",  # 1-row corpus-max-ts broadcast × per-user rows
 }
 
 
