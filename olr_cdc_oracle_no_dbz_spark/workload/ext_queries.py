@@ -555,18 +555,37 @@ _IVF_K = 8  # centroid count (coarse-quantizer cells)
 _KMEANS_T = 2  # Lloyd iterations refining the deterministic first-K seed
 
 
-def _nearest_cent(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, v, nsq, cent_id): each vector's nearest centroid by
-    decimal(16,8) cosine (ties → lowest cent_id). Broadcast K×N pass."""
-    sim = (
-        _dot("v", "cv") / (F.sqrt(F.col("nsq")) * F.sqrt(F.col("cnsq")))
-    ).cast("decimal(16,8)")
-    w = Window.partitionBy("vec_id").orderBy(sim.desc(), "cent_id")
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "nsq", "cent_id")
+def _array_sql_literal(values: list[float]) -> str:
+    """SQL double-array literal that round-trips each value exactly
+    (repr is the shortest decimal that parses back to the same IEEE
+    double — in Python and in Spark's Double.parseDouble alike)."""
+    return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
+
+
+def _nearest_cent_inline(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(vec_id, v, nsq, cent_id): nearest centroid by decimal(16,8)
+    cosine (ties → lowest cent_id), with the K centroids inlined as
+    LITERALS — assignment is a pure per-row projection, zero shuffle,
+    zero join. ``greatest`` over (sim, -cent_id) structs reproduces the
+    oracle's ``ORDER BY sim DESC, cent_id`` rank exactly (struct
+    comparison is lexicographic; the centroid-norm factor constant-
+    folds at plan time)."""
+    structs = []
+    for cid, cv in cents:
+        lit = _array_sql_literal(cv)
+        sim = F.expr(
+            f"CAST({_DOT.format(a='v', b=lit)}"
+            f" / (sqrt(nsq) * sqrt({_DOT.format(a=lit, b=lit)}))"
+            f" AS DECIMAL(16,8))"
+        )
+        structs.append(
+            F.struct(sim.alias("s"), F.lit(-cid).alias("nci"))
+        )
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return e.select(
+        "vec_id", "v", "nsq", (-best["nci"]).cast("long").alias("cent_id")
     )
 
 
@@ -588,44 +607,51 @@ def _kmeans_assign(
     position-sorted. A centroid that loses every member simply drops
     out — identically in both engines, since assignment is identical.
 
-    Scale design: per round, one broadcast K×N assignment (no shuffle
-    of the vectors beyond the per-vec_id rank, which AQE handles as a
-    local top-1) plus a posexplode→groupBy(cent_id, dim) partial-agg
-    whose output is K×dims rows — centroid recompute traffic is
-    independent of N. ``iters`` is a constant: the classic 2-3 rounds
-    of refinement, not run-to-convergence (k-means|| does the same)."""
-    cent = (
+    Scale design — Spark ML's own Lloyd shape, driver-coordinated: the
+    K×dims centroids are collected to the driver each round (a bounded,
+    kilobyte-scale action — the legitimate collect) and inlined as
+    literals, so nearest-centroid assignment is a ZERO-SHUFFLE
+    projection over the vector scan; the only shuffle per round is the
+    posexplode→groupBy(cent_id, dim) partial-agg whose output is
+    K×dims rows, independent of N. (The first implementation broadcast
+    the centroid TABLE and ranked with a per-vec_id window — that
+    re-shuffled the full vector table once per round, ~3 full-table
+    exchanges this version eliminates; receipt in PLANS.md.) ``iters``
+    is a constant: the classic 2-3 rounds of refinement, not
+    run-to-convergence (k-means|| does the same)."""
+    seed = (
         e.filter(F.col("vec_id") < k)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.expr("transform(v, x -> cast(x as double))").alias("cv"),
         )
-        .withColumn("cnsq", _dot("cv", "cv"))
+        .collect()
     )
+    cents = sorted((r["cent_id"], list(r["cv"])) for r in seed)
     for _ in range(iters):
-        assign = _nearest_cent(e, cent)
-        pos = assign.select(
-            "cent_id", F.posexplode("v").alias("p", "x")
-        )
-        means = pos.groupBy("cent_id", "p").agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(30,15)")).cast(
-                    "double"
-                )
-                / F.count("*")
-            ).alias("m")
-        )
-        cent = (
-            means.groupBy("cent_id")
+        assign = _nearest_cent_inline(e, cents)
+        pos = assign.select("cent_id", F.posexplode("v").alias("p", "x"))
+        means = (
+            pos.groupBy("cent_id", "p")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(30,15)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("cent_id")
             .agg(
                 F.expr(
                     "transform(sort_array(collect_list(struct(p, m))),"
                     " s -> s.m)"
                 ).alias("cv")
             )
-            .withColumn("cnsq", _dot("cv", "cv"))
+            .collect()
         )
-    return _nearest_cent(e, cent)
+        cents = sorted((r["cent_id"], list(r["cv"])) for r in means)
+    return _nearest_cent_inline(e, cents)
 
 
 def _sql_kmeans_ctes(k: int = _IVF_K, iters: int = _KMEANS_T) -> str:

@@ -83,8 +83,9 @@ def test_lsh_candidate_joins_never_cartesian(spark, q):
 #: set by design, never N×N)
 _BNLJ_ALLOWED = {
     "ann_topk_bruteforce",  # 10-row query set × N candidates
-    "ann_topk_ivf",  # K=8 centroids × N vectors: the coarse-assignment pass
-    "dedup_semantic",  # same K=8 coarse-assignment pass as ann_topk_ivf
+    # (ann_topk_ivf / dedup_semantic / dedup_semantic_apply no longer
+    # appear here: the k-means coarse assignment inlines collected
+    # centroids as literals, so their plans carry NO BNLJ at all)
     "tpch_q22_inactive_customers",  # 1-row scalar AVG threshold × customers
     "dedup_clusters",  # 1-row cluster-count aggregate broadcast × labels
     "graph_pagerank_transitions",  # 1-row node-count aggregate broadcast × nodes
@@ -93,14 +94,11 @@ _BNLJ_ALLOWED = {
     # the literal join key constant-folds away, so Catalyst plans 1×1
     # BNLJs. Bounded by construction.
     "graph_triangle_count",
-    # Composes ann_topk_bruteforce + ann_topk_ivf verbatim, inheriting
-    # their allowlisted bounded BNLJ scans (10-row / K=8 broadcast sides).
+    # Composes ann_topk_bruteforce verbatim, inheriting its allowlisted
+    # bounded BNLJ scan (10-row broadcast side).
     "ann_recall_report",
     "corpus_mix_plan",  # 1-row source-count broadcast × 20-row plan rows
     "events_funnel_windowed",  # three 1-row stage counts zipped (1×1)
-    # Composes dedup_semantic verbatim (its K=8 coarse-assignment BNLJ);
-    # the applied anti-join itself is a broadcast hash join.
-    "dedup_semantic_apply",
     "events_rfm_segmentation",  # 1-row corpus-max-ts broadcast × per-user rows
 }
 
