@@ -414,3 +414,85 @@ def agg_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_7d_users_est"),
         "n_present",
     )
+
+
+_QS_W = 8.0  # bucket width: the sketch's absolute error bound on values
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_QS_W}) AS BIGINT) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bkt, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM b
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bkt END) * {_QS_W}
+               AS p50_est,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bkt END) * {_QS_W}
+               AS p90_est,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bkt END) * {_QS_W}
+               AS p99_est
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the fourth classic sketch family
+    next to HLL/KMV (cardinality), CMS (frequency), and the bloom
+    semi-join (membership): per-group equi-width bucket counts with
+    quantiles read off the cumulative distribution. The sketch state is
+    just (bucket, count) pairs, so it merges by ADDITION — partial-agg
+    friendly, shard/window composable, and its absolute error is the
+    bucket width W={_QS_W} by construction (the t-digest/KLL trade more
+    code for adaptive error; the fixed grid keeps both engines
+    bit-identical, which engine-private sketch seeds never are).
+
+    Scale design: one partial-agg shuffle on (group, bucket) — state
+    per group is range/W buckets regardless of row count; the
+    cumulative pass is a window over those few bucket rows, never over
+    raw data. Exactly the shape a 100 TB percentile dashboard
+    pre-aggregates into minute/shard sketches and merges at read time.
+    agg_percentiles_exact is the exact-rank counterpart when a full
+    shuffle of the column is affordable."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_QS_W)).cast("bigint").alias("bkt"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = counts.select(
+        "event_type",
+        "bkt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q_est(q: float):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bkt"))
+            )
+            * _QS_W
+        )
+
+    return c.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        q_est(0.5).alias("p50_est"),
+        q_est(0.9).alias("p90_est"),
+        q_est(0.99).alias("p99_est"),
+    )

@@ -116,3 +116,49 @@ def test_zorder_bucket_prefix_locality(spark):
         .collect()[0]["mx"]
     )
     assert combos == 1
+
+
+def test_quantile_sketch_merge_law_and_error_bound(spark):
+    """agg_quantile_sketch is distributable because bucket counts merge
+    by ADDITION: building (bucket, count) states on two disjoint halves
+    and summing them must equal the whole-input state. And the quantile
+    read off the merged sketch must sit within one bucket width of the
+    exact quantile — the sketch's advertised absolute error bound."""
+    from olr_cdc_oracle_no_dbz_spark.workload.sketches import _QS_W
+
+    ev = _events(spark)
+    bkt = F.floor(F.col("value") / F.lit(_QS_W)).cast("bigint").alias("bkt")
+
+    def state(df):
+        return df.groupBy("event_type", bkt).agg(F.count("*").alias("cnt"))
+
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        state(half_a)
+        .unionAll(state(half_b))
+        .groupBy("event_type", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = state(ev)
+    sa = sorted(map(tuple, merged.collect()))
+    sb = sorted(map(tuple, whole.collect()))
+    assert sa == sb
+
+    # error bound: sketch p50 within W of the exact p50, per group
+    from olr_cdc_oracle_no_dbz_spark.workload.sketches import (
+        agg_quantile_sketch,
+    )
+
+    est = {
+        r["event_type"]: r["p50_est"]
+        for r in agg_quantile_sketch(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= _QS_W, (k, est[k], e)
