@@ -632,3 +632,167 @@ def cdc_table_checksum_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum"),
         )
     )
+
+
+@register(
+    "cdc_join_view_maintenance",
+    oracle=f"""
+    SELECT o.o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum("l.l_extendedprice")} AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the continuously-
+    maintained joined table at the heart of the reference's query path
+    (a ksqlDB table-table join, SURVEY §2.5 J3), proven by the delta
+    algebra instead of recomputation: for the view V = γ(O ⋈ L),
+    splitting both bases into (base, delta) halves gives
+
+        Δ(O ⋈ L) = ΔO⋈L_b  ∪  O_b⋈ΔL  ∪  ΔO⋈ΔL
+
+    so the refreshed view is merge(partial(O_b⋈L_b), partial(Δ-terms)).
+    This query computes the view THAT WAY — base-join partials merged
+    with the three delta-join partials — while the oracle computes the
+    direct full join-aggregate; the differential gate certifies
+    incremental == recompute bit-for-bit (decimal partial states, the
+    agg_incremental_merge contract extended across a join).
+
+    Scale design: at 100 TB the base⋈base term is the stored view (read
+    back, |groups| rows — never re-joined); refresh cost is the three
+    delta joins, each bounded by |Δ| on one side. Here all four terms
+    are computed live (no stored state in a gate query), but each is
+    the partial-aggregation shape Spark would persist: one shuffle per
+    term on the join key, merge shuffle on |groups|."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # deterministic base/delta split on the ORDER key — both relations
+    # split consistently, so every join pair lands in exactly one term
+    is_delta_o = (F.col("o_orderkey") % 5) == 0
+    is_delta_l = (F.col("l_orderkey") % 7) == 0
+    o_b, o_d = o.filter(~is_delta_o), o.filter(is_delta_o)
+    l_b, l_d = li.filter(~is_delta_l), li.filter(is_delta_l)
+
+    def partial(odf: DataFrame, ldf: DataFrame) -> DataFrame:
+        return (
+            odf.join(ldf, odf["o_orderkey"] == ldf["l_orderkey"])
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias(
+                    "s_price"
+                ),
+            )
+        )
+
+    merged = (
+        partial(o_b, l_b)
+        .unionAll(partial(o_d, l_b))
+        .unionAll(partial(o_b, l_d))
+        .unionAll(partial(o_d, l_d))
+        .groupBy("custkey")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("s_price").cast("double").alias("total_price"),
+        )
+    )
+    return merged
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+               AS n_violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity IS NULL OR l_quantity < 0
+                    OR l_quantity > 1000) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           CAST((SELECT COUNT(*) FROM events WHERE value IS NULL) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation audit (the Deequ-style expectations gate a
+    pipeline runs before publishing a table): primary-key uniqueness,
+    two referential-integrity checks, a domain-range check, and a
+    not-null check, each reported as (check, violations, rows checked).
+    The CDC angle: after materializing change streams into tables,
+    these are exactly the invariants the sink must uphold (PK unique ⇔
+    LWW collapsed correctly; FK present ⇔ parent/child topics applied
+    consistently).
+
+    Scale design: each check is one aggregate or one left-anti-shaped
+    count — no row-level violation lists in the gate output (bounded
+    result regardless of violation count); FK checks are anti-joins
+    that broadcast the smaller parent key set. The five rows union
+    after aggregation, so the plan is five independent bounded jobs."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+
+    def row(name: str, viol: DataFrame, checked: DataFrame) -> DataFrame:
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("n").cast("bigint").alias("n_checked"),
+        )
+
+    pk_dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("v"))
+    )
+    fk_o = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    fk_l = (
+        li.join(
+            o.select("o_orderkey").distinct(),
+            li["l_orderkey"] == o["o_orderkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    rng = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 0)
+        | (F.col("l_quantity") > 1000)
+    ).agg(F.count("*").alias("v"))
+    nn = ev.filter(F.col("value").isNull()).agg(F.count("*").alias("v"))
+    n_o = o.agg(F.count("*").alias("n"))
+    n_l = li.agg(F.count("*").alias("n"))
+    n_e = ev.agg(F.count("*").alias("n"))
+    return (
+        row("orders_pk_unique", pk_dups, n_o)
+        .unionAll(row("orders_fk_customer", fk_o, n_o))
+        .unionAll(row("lineitem_fk_orders", fk_l, n_l))
+        .unionAll(row("lineitem_qty_range", rng, n_l))
+        .unionAll(row("events_value_nonnull", nn, n_e))
+    )

@@ -100,6 +100,7 @@ _BNLJ_ALLOWED = {
     "corpus_mix_plan",  # 1-row source-count broadcast × 20-row plan rows
     "events_funnel_windowed",  # three 1-row stage counts zipped (1×1)
     "events_rfm_segmentation",  # 1-row corpus-max-ts broadcast × per-user rows
+    "data_quality_checks",  # five 1-row (violations × checked) zips (1×1)
 }
 
 
