@@ -61,6 +61,14 @@ EXTENDED = [
     "agg_percentiles_exact",   # rank-bracket exact quantiles
     "events_gap_islands",      # interval merge (gaps-and-islands)
     "layout_zorder",           # Morton bucketing report
+    # round-5 operator families
+    "ann_topk_ivf",            # Lloyd-trained coarse quantizer (inline centroids)
+    "corpus_dedup_apply",      # applied near-dedup (pairs → CC → keep-first)
+    "embedding_knn_graph",     # all-vector kNN via sign-bucket self-join
+    "text_perplexity_filter",  # bigram-LM quality gate
+    "agg_quantile_sketch",     # mergeable bucket-count quantiles
+    "cdc_join_view_maintenance",  # delta-algebra join-view refresh
+    "join_band_bucketed",      # band join as bucketed equi-join
 ]
 
 

@@ -3204,3 +3204,72 @@ def dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(dropped), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(5)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS DOUBLE) / least(za.n, zb.n) AS containment,
+           CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a_id
+    JOIN sizes zb ON zb.doc_id = i.b_id
+    WHERE CAST(i.n_common AS DOUBLE) / least(za.n, zb.n) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup (asymmetric overlap): score pairs by
+    |A∩B| / min(|A|,|B|) instead of Jaccard — the measure that catches
+    a short document EMBEDDED in a longer one (quote-plus-commentary,
+    boilerplate-wrapped reposts), where Jaccard stays low because the
+    union is dominated by the longer doc. Reported next to the Jaccard
+    so the asymmetric hits (high containment, low jaccard) are visible
+    — those are exactly the pairs the other dedup passes miss.
+
+    Scale design: same inverted-shingle-index blocking as
+    dedup_ngram_jaccard (5-word shingles are selective, so the
+    shingle-equality self-join IS the candidate filter); scoring adds
+    only the least() denominator, so cost is identical to the Jaccard
+    pass. At 100 TB the known hazard is a super-frequent shingle
+    creating a hot block — the same mitigation as LSH (drop shingles
+    with document-frequency above a cap) applies unchanged."""
+    sh = _shingles(spark, sf_dir, 5)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("za.n"), F.col("zb.n")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("a_id"))
+        .join(zb, F.col("zb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            containment.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )

@@ -342,3 +342,69 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+_BAND_EPS = 0.05  # value-band half-width
+
+
+@register(
+    "join_band_bucketed",
+    oracle=f"""
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(a.event_id) AS example_a,
+           MIN(b.event_id) AS example_b
+    FROM events a JOIN events b
+      ON b.event_type = a.event_type
+     AND b.event_id > a.event_id
+     AND abs(a.value - b.value) <= {_BAND_EPS}
+    GROUP BY a.event_type
+    """,
+)
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAND JOIN (|a.value − b.value| ≤ ε) executed as a BUCKETED
+    equi-join — the standard rewrite that turns a non-equi range
+    predicate Catalyst would otherwise plan as a nested-loop into
+    shuffle-hash work: quantize one side to ε-width buckets, explode
+    the OTHER side to its bucket and both neighbors (a band of width ε
+    can only span adjacent buckets), equi-join on (key, bucket), then
+    apply the exact band predicate as a residual filter. Every
+    qualifying pair matches exactly once because the non-exploded side
+    keeps its single home bucket. The oracle runs the naive theta join
+    — affordable at gate scale — so the gate proves the rewrite is
+    EXACTLY the theta join.
+
+    Scale design: the shuffle key is (event_type, bucket); cost is the
+    sum over buckets of |A_b|×|B_b±1| — the band's true selectivity —
+    instead of |A|×|B| per type. The ×3 explode is on one side only.
+    This is the same binning idea range-join optimizers (and the
+    interval join in workload/streaming) apply to time bands, here on
+    an arbitrary numeric column."""
+    ev = t(spark, sf_dir, "events")
+    bkt = F.floor(F.col("value") / F.lit(_BAND_EPS)).cast("bigint")
+    a = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn(
+            "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+        )
+        .alias("a")
+    )
+    b = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("bkt", bkt)
+        .alias("b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.bkt") == F.col("a.bkt"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+        & (
+            F.abs(F.col("a.value") - F.col("b.value")) <= F.lit(_BAND_EPS)
+        ),
+    )
+    return pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("a.event_id").alias("example_a"),
+        F.min("b.event_id").alias("example_b"),
+    )

@@ -496,3 +496,93 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_est(0.9).alias("p90_est"),
         q_est(0.99).alias("p99_est"),
     )
+
+
+@register(
+    "agg_rolling_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+               CAST(FLOOR(value / {_QS_W}) AS BIGINT) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT u.d AS day_num, bkt, cnt
+        FROM b, LATERAL unnest(generate_series(day_num, day_num + 6)) AS u(d)
+    ),
+    merged AS (
+        SELECT day_num, bkt, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM contrib GROUP BY day_num, bkt
+    ),
+    c AS (
+        SELECT day_num, bkt, cnt,
+               SUM(cnt) OVER (PARTITION BY day_num ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY day_num) AS n
+        FROM merged
+    )
+    SELECT day_num,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bkt END) * {_QS_W}
+               AS p50_est,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN bkt END) * {_QS_W}
+               AS p90_est
+    FROM c GROUP BY day_num
+    """,
+)
+def agg_rolling_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p90 of event value per day — the sliding-
+    window quantile that pairs with agg_rolling_distinct_hll: exact
+    windowed percentiles would re-shuffle 7 days of raw values per
+    day, while the additive bucket sketch (agg_quantile_sketch's
+    state) is built once per day and CONTRIBUTED FORWARD to the 7
+    windows it falls in, then merged by SUM — the addition-merge law
+    pinned in test_sketches.py, which is precisely what makes this
+    affordable. Trailing 6 phantom days carry partial windows
+    (rolling-edge semantics, identical on both engines).
+
+    Scale: daily sketch rows are |days|×(range/W) regardless of event
+    count; the ×7 fan-out and all later passes run on those sketch
+    rows, never on events."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.floor(F.col("value") / F.lit(_QS_W)).cast("bigint").alias("bkt"),
+    ).agg(F.count("*").alias("cnt"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day_num"), F.col("day_num") + 6)).alias(
+            "day_num"
+        ),
+        "bkt",
+        "cnt",
+    )
+    merged = contrib.groupBy("day_num", "bkt").agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("day_num")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("day_num")
+    c = merged.select(
+        "day_num",
+        "bkt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q_est(q: float):
+        return (
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bkt"))
+            )
+            * _QS_W
+        )
+
+    return c.groupBy("day_num").agg(
+        F.max("n").cast("bigint").alias("n"),
+        q_est(0.5).alias("p50_est"),
+        q_est(0.9).alias("p90_est"),
+    )
