@@ -90,7 +90,14 @@ def _pandas_rows(pdf) -> list[tuple]:
 
 
 def main() -> int:
-    name_filter = sys.argv[1:]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    name_filter = args
+    results: dict[str, dict] = {}
     import __spark_entry__ as entry_mod
     from olr_cdc_oracle_no_dbz_spark.session import get_spark
 
@@ -114,11 +121,13 @@ def main() -> int:
             srows = _pandas_rows(sdf.toPandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {type(e).__name__}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -127,6 +136,7 @@ def main() -> int:
             orows = _pandas_rows(res.fetchdf())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {type(e).__name__}"}
             n_fail += 1
             continue
         problems = []
@@ -152,11 +162,30 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(f"      {p}")
+            results[name] = {"status": "fail", "err": problems[0]}
             n_fail += 1
         else:
             print(f"pass  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        import json as _json
+
+        payload = {
+            "sf_dir": SF_DIR,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rowsonly,
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -1,0 +1,61 @@
+"""Determinism laws for the k-means coarse quantizer
+(workload/ext_queries._kmeans_assign).
+
+The quantizer collects centroids to the driver each Lloyd round and
+inlines them as literals; these tests pin that the collected state —
+and therefore every downstream assignment — is independent of
+partitioning and row order, which is what lets the DuckDB oracle
+replay the rounds and what makes the operator safe under AQE re-plans
+and retries at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+    _dot,
+    _kmeans_assign,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _base(spark, reshape=None):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if reshape is not None:
+        e = reshape(e)
+    return e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+
+
+def test_assignment_invariant_under_repartition_and_order(spark):
+    """Same (vec_id -> cent_id) mapping whether the input arrives in
+    one partition, seven hash partitions, or reverse-sorted — the
+    centroid recompute is an exact aggregate and the seed is selected
+    by value (vec_id < K), so no step can observe physical layout."""
+    ref = dict(
+        _kmeans_assign(_base(spark)).select("vec_id", "cent_id").collect()
+    )
+    for reshape in (
+        lambda df: df.repartition(7, "vec_id"),
+        lambda df: df.coalesce(1),
+        lambda df: df.orderBy(F.desc("vec_id")),
+    ):
+        got = dict(
+            _kmeans_assign(_base(spark, reshape))
+            .select("vec_id", "cent_id")
+            .collect()
+        )
+        assert got == ref
+
+
+def test_every_vector_assigned_exactly_once(spark):
+    e = _base(spark)
+    n = e.count()
+    assign = _kmeans_assign(e)
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
