@@ -1016,3 +1016,41 @@ def agg_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("revenue") / prev - 1.0)
         .alias("mom_growth"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count FROM (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM c
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per key — the categorical summary
+    ksqlDB's agg catalog lacks and SQL's MODE() leaves tie-broken
+    implementation-defined; here the tie-break is explicit (highest
+    count, then lexicographically first value) so both engines agree.
+    Two-level shape: count per (key, value) — a partial-agg shuffle —
+    then a per-key top-1, which Spark 4 executes as WindowGroupLimit
+    (rank pushdown: only the running best row per key is buffered,
+    never the whole group)."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )

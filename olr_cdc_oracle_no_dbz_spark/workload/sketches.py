@@ -586,3 +586,243 @@ def agg_rolling_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_est(0.5).alias("p50_est"),
         q_est(0.9).alias("p90_est"),
     )
+
+
+_PROFILE_HLL_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+@register(
+    "profile_table_hll",
+    oracle=f"""
+    WITH melted AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val "
+            f"FROM orders WHERE {c} IS NOT NULL"
+            for c in _PROFILE_HLL_COLS
+        )}
+    ),
+    h AS (
+        SELECT column_name,
+               substr(md5(val), 1, 2) AS bucket,
+               ('0x' || substr(md5(val), 3, 13))::BIGINT AS v,
+               val
+        FROM melted
+    ),
+    reg AS (
+        SELECT column_name, bucket,
+               MAX(CASE WHEN v = 0 THEN {_HLL_W + 1}
+                        ELSE {_HLL_W + 1} - len(bin(v)) END) AS m_j
+        FROM h GROUP BY column_name, bucket
+    ),
+    sk AS (
+        SELECT column_name,
+               CAST(SUM(1::BIGINT << ({_HLL_W + 1} - m_j)) AS BIGINT)
+                   AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM reg GROUP BY column_name
+    ),
+    nn AS (
+        SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_nonnull
+        FROM melted GROUP BY column_name
+    )
+    SELECT sk.column_name,
+           nn.n_nonnull,
+           CAST({_HLL_ALPHA_M2!r} AS DOUBLE)
+             * ({_HLL_SCALE!r} / CAST(s_present
+                  + ({_HLL_M} - n_present) * CAST({_HLL_SCALE!r} AS BIGINT)
+                  AS DOUBLE)) AS ndv_est
+    FROM sk JOIN nn ON nn.column_name = sk.column_name
+    """,
+)
+def profile_table_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection, the 100 TB path
+    profile_table's docstring promises: per-column NDV estimated from
+    the deterministic HLL registers (agg_distinct_hll's sketch) in ONE
+    scan with CONSTANT per-column state — exact COUNT(DISTINCT) per
+    column expands the scan and shuffles every distinct value, which is
+    exactly what a CBO stats pass over a 100 TB table cannot afford.
+    The melt (stack) expands the scan |columns| ways, but the state
+    after the partial agg is |columns|×m registers, independent of row
+    count; the estimates feed join-ordering and broadcast decisions.
+
+    The sketch is md5-derived and integer-scaled, so even the
+    ESTIMATES hash-match DuckDB — the engine's differential-checkable-
+    approximation contract."""
+    o = t(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_HLL_COLS
+    )
+    melted = o.selectExpr(
+        f"stack({len(_PROFILE_HLL_COLS)}, {stack_args})"
+        " AS (column_name, val)"
+    ).filter(F.col("val").isNotNull())
+    h = melted.select(
+        "column_name",
+        F.md5(F.col("val").cast("binary")).alias("hh"),
+    ).select(
+        "column_name",
+        F.substring("hh", 1, 2).alias("bucket"),
+        F.conv(F.substring("hh", 3, 13), 16, 10).cast("long").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin("v"))
+    )
+    reg = h.groupBy("column_name", "bucket").agg(F.max(rho).alias("m_j"))
+    sk = reg.groupBy("column_name").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_W + 1} - m_j)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    nn = melted.groupBy("column_name").agg(
+        F.count("*").cast("long").alias("n_nonnull")
+    )
+    s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(
+        int(_HLL_SCALE)
+    )
+    return sk.join(nn, "column_name").select(
+        "column_name",
+        "n_nonnull",
+        (
+            F.lit(_HLL_ALPHA_M2).cast("double")
+            * (F.lit(_HLL_SCALE) / s_total.cast("double"))
+        ).alias("ndv_est"),
+    )
+
+
+@register(
+    "join_size_estimate_kmv",
+    oracle=f"""
+    WITH ka AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    kb AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    ku AS (SELECT k FROM ka UNION SELECT k FROM kb),
+    hu AS (
+        SELECT k, md5(CAST(k AS VARCHAR)) AS h_full,
+               ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT
+                   AS h_int
+        FROM ku
+    ),
+    ranked AS (
+        SELECT k, h_int, ROW_NUMBER() OVER (ORDER BY h_full) AS rn FROM hu
+    ),
+    sketch AS (SELECT k, h_int, rn FROM ranked WHERE rn <= {_KMV_K}),
+    member AS (
+        SELECT s.rn, s.h_int,
+               CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                    THEN 1 ELSE 0 END AS in_both
+        FROM sketch s
+        LEFT JOIN ka a ON a.k = s.k
+        LEFT JOIN kb b ON b.k = s.k
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h_int END) AS kth,
+               CAST(SUM(in_both) AS BIGINT) AS n_both
+        FROM member
+    ),
+    exact AS (
+        SELECT CAST((SELECT COUNT(*) FROM ka) AS BIGINT) AS ndv_a,
+               CAST((SELECT COUNT(*) FROM kb) AS BIGINT) AS ndv_b,
+               CAST((SELECT COUNT(*) FROM ka JOIN kb ON kb.k = ka.k)
+                    AS BIGINT) AS exact_intersect,
+               CAST((SELECT COUNT(*)
+                     FROM orders o JOIN lineitem l
+                       ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+                   AS exact_join_rows
+    )
+    SELECT {_KMV_K} AS k,
+           e.n_both,
+           CASE WHEN e.n_kept < {_KMV_K} THEN CAST(e.n_kept AS DOUBLE)
+                ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                     / (CAST(e.kth AS DOUBLE) / {_KMV_DENOM!r})
+           END * (CAST(e.n_both AS DOUBLE) / {_KMV_K})
+               AS intersect_est,
+           x.exact_intersect,
+           x.exact_join_rows
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def join_size_estimate_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from KMV sketches — the optimizer-statistics
+    use case: before running orders ⋈ lineitem, estimate how many
+    distinct keys the sides share from two fixed-size sketches instead
+    of scanning either table. Method: the k smallest hashes of the key
+    UNION form an unbiased sample of A∪B; the fraction of that sample
+    present in BOTH sides estimates the Jaccard, and (k−1)/frac(k-th)
+    estimates |A∪B| — their product is |A∩B|. The exact intersection
+    and exact join cardinality are computed alongside (affordable at
+    gate scale) so the row documents the estimator's own error, the
+    same self-receipt contract as agg_distinct_kmv.
+
+    Scale: each side's sketch is k hashes built from one pass over
+    DISTINCT keys (mergeable map-side); the estimate itself touches 2k
+    rows. This is how a planner decides broadcast-vs-shuffle or
+    prunes a join order without reading 100 TB twice."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).distinct()
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    ).distinct()
+    ku = o.unionAll(li).distinct()
+    hu = ku.select(
+        "k",
+        F.md5(F.col("k").cast("string").cast("binary")).alias("h_full"),
+    ).select(
+        "k",
+        "h_full",
+        F.conv(F.substring("h_full", 1, _KMV_HEX), 16, 10)
+        .cast("long")
+        .alias("h_int"),
+    )
+    # k-smallest via orderBy+limit (TakeOrderedAndProject — distributed
+    # top-k, NOT a global-sort window); the rank needed by the estimator
+    # is then computed over the ≤k surviving rows, the post-tight-limit
+    # pattern test_plans.py allows
+    topk = hu.orderBy("h_full").limit(_KMV_K)
+    w = Window.orderBy("h_full")
+    sketch = topk.withColumn("rn", F.row_number().over(w))
+    member = (
+        sketch.join(o.withColumnRenamed("k", "ka"), F.col("ka") == F.col("k"), "left")
+        .join(li.withColumnRenamed("k", "kb"), F.col("kb") == F.col("k"), "left")
+        .select(
+            "rn",
+            "h_int",
+            (
+                F.col("ka").isNotNull() & F.col("kb").isNotNull()
+            ).cast("int").alias("in_both"),
+        )
+    )
+    est = member.agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h_int"))).alias("kth"),
+        F.sum("in_both").cast("long").alias("n_both"),
+    )
+    exact_intersect = o.join(li, "k").count()
+    exact_join = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    union_est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) / (F.col("kth").cast("double") / F.lit(_KMV_DENOM))
+    )
+    return est.select(
+        F.lit(_KMV_K).alias("k"),
+        "n_both",
+        (union_est * (F.col("n_both").cast("double") / F.lit(_KMV_K))).alias(
+            "intersect_est"
+        ),
+        F.lit(exact_intersect).cast("bigint").alias("exact_intersect"),
+        F.lit(exact_join).cast("bigint").alias("exact_join_rows"),
+    )

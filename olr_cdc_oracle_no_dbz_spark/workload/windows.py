@@ -347,8 +347,14 @@ def window_distribution_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
                / COUNT(value) OVER w AS mov_avg_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    -- order by FLOORED integer seconds, exactly Spark's
+    -- cast(timestamp AS long): with microsecond ordering a sub-second
+    -- fraction can push a boundary row in/out of the 1h frame relative
+    -- to the second-granularity key (caught by the sf0.1 sweep), and
+    -- same-second rows must be frame PEERS on both engines
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +364,11 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     with event density, and rows sharing a timestamp are peers (both
     engines include all peers in a RANGE frame, so ties are
     deterministic without a tiebreaker column). Spark expresses the
-    interval bound as rangeBetween(-3600, 0) over epoch seconds —
-    value-identical to the SQL INTERVAL bound, both ends inclusive.
+    interval bound as rangeBetween(-3600, 0) over FLOORED epoch
+    seconds (cast timestamp→long), and the oracle orders by the same
+    floored integer — ranging over native microsecond timestamps
+    instead diverges on boundary rows with sub-second fractions and on
+    same-second peer groups (a real sf0.1 sweep catch).
     The average is exact-decimal sum / count (util.py determinism
     contract: frame sums must not depend on intra-frame visit order).
 
