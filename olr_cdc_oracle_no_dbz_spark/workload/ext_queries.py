@@ -2158,7 +2158,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup paper's own complexity — which is exactly what trained
     (balanced) clusters minimize versus an arbitrary first-K seed.
     Reported per duplicate: its cluster, max similarity to an earlier
-    keeper-candidate, and how many earlier near-neighbors it has."""
+    keeper-candidate, and how many earlier near-neighbors it has.
+
+    Measured caveat (SCALING.md): with K FIXED the pairwise stage is
+    quadratic in N (the scale probe measured alpha=1.55 on 4x data) —
+    the gate pins K=8 for oracle parity, but a production caller MUST
+    size K ~ N/target_cell_size via _kmeans_assign's k parameter to
+    keep cluster sizes (and therefore cost) constant per row."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),

@@ -57,6 +57,12 @@ QUERIES = [
     "cdc_current_state",
     "text_pii_redact",
     "window_moving_avg_range",
+    # round-5 additions — every new candidate-generating operator
+    "embedding_knn_graph",
+    "join_band_bucketed",
+    "text_perplexity_filter",
+    "corpus_dedup_apply",
+    "dedup_containment",
 ]
 
 _VOWELS = "aeiou"
