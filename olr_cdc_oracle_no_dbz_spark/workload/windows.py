@@ -430,3 +430,43 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+@register(
+    "window_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 3 = 0 THEN value END AS sparse_v,
+           last_value(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_v
+    FROM events
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (last-observation-carried-forward) — the sparse
+    time-series imputation every sensor/metrics pipeline runs: carry
+    the last non-null observation forward within each key's ordered
+    history. A deterministic thinning (event_id % 3) creates the gaps
+    so the fill provably fires on every row, and ``last(...,
+    ignorenulls=True)`` over a growing frame is the one-pass Spark
+    idiom (DuckDB: ``last_value(... IGNORE NULLS)``) — no self-join,
+    no correlated subquery.
+
+    Scale: the same single key shuffle + sorted run as every per-key
+    window here; the frame state is ONE value (the running last),
+    independent of gap length."""
+    ev = t(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sparse.alias("sparse_v"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled_v"),
+    )
