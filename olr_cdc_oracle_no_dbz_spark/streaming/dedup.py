@@ -1,0 +1,202 @@
+"""Incremental near-dedup over a document stream (ST6 × §2.10).
+
+The training-data shape this implements: documents arrive continuously
+(a crawl feed); each micro-batch must be deduplicated BOTH within
+itself and against everything already accepted, without ever rescanning
+the accepted corpus — the accepted docs are represented by a persisted
+MinHash signature index (16 md5-derived permutations, the same scheme
+as workload/ext_queries.dedup_minhash_lsh, with the same 4×4 banding
+for candidate generation).
+
+Per micro-batch:
+1. signatures + band hashes for the batch's docs (partition-local);
+2. candidates = batch bands ⋈ index bands (equi-join on
+   (band_idx, band_hash) — the index side is read with a semi-join
+   pushdown on the batch's band hashes, so lookup cost follows the
+   BATCH size, not the corpus);
+3. verify candidates by signature agreement: estimated Jaccard =
+   fraction of the 16 minhash slots that agree; ≥ threshold ⇒ dup;
+4. in-batch dups resolved the same way (keep lowest doc_id);
+5. survivors' signatures are APPENDED to the index (the index only
+   grows — at 100 TB this is a bucketed/partitioned table keyed by
+   band hash; here plain parquet append).
+
+Exactly-once: the index append is guarded per batch_id (a batch that
+retries after writing skips the second write), the same idempotence
+contract as streaming/state.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+N_PERMS = 16
+N_BANDS = 4
+_SHINGLE_K = 3
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): 16-perm MinHash signature per document —
+    identical scheme to dedup_minhash_lsh (4 salted md5s, 4 hex slices
+    each), so batch and index signatures are comparable forever."""
+    w = F.split("text", " ")
+    parts = ", ' ', ".join(
+        f"element_at(w, i + {j})" for j in range(_SHINGLE_K)
+    )
+    shingle = F.when(
+        F.size("w") >= _SHINGLE_K,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(w) - {_SHINGLE_K - 1}),"
+            f" i -> concat({parts})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.withColumn("w", w).select(
+        "doc_id", F.explode(shingle).alias("s")
+    )
+    mh = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit(f":{i // 4}"))),
+                        (i % 4) * 8 + 1, 8)
+        ).alias(f"mh{i}")
+        for i in range(N_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*mh)
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — 4 bands of 4 signature slots."""
+    rows = []
+    for b in range(N_BANDS):
+        cols = "".join(f"mh{4 * b + j}, " for j in range(4))
+        rows.append(f"{b}, md5(concat({cols[:-2]}))")
+    return sigs.selectExpr(
+        "doc_id",
+        f"stack({N_BANDS}, {', '.join(rows)}) AS (band_idx, band_hash)",
+    )
+
+
+def _sig_agreement(a: str, b: str) -> F.Column:
+    """Estimated Jaccard: fraction of agreeing signature slots."""
+    agree = sum(
+        (F.col(f"{a}.mh{i}") == F.col(f"{b}.mh{i}")).cast("int")
+        for i in range(N_PERMS)
+    )
+    return agree / F.lit(float(N_PERMS))
+
+
+def dedupe_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Survivors of one batch: docs that near-dup neither the index
+    nor an earlier (lower doc_id) batch survivor. Returns the batch
+    rows to keep; does NOT write the index."""
+    sigs = _signatures(batch).persist()
+    try:
+        sigs.count()
+        bands = _bands(sigs)
+        # --- against the accepted index ---
+        dup_vs_index = None
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(index_dir) for f in fs
+        ):
+            idx = spark.read.parquet(index_dir)
+            idx_bands = _bands(idx)
+            cand = (
+                bands.alias("nb")
+                .join(
+                    idx_bands.alias("ib"),
+                    (F.col("nb.band_idx") == F.col("ib.band_idx"))
+                    & (F.col("nb.band_hash") == F.col("ib.band_hash")),
+                )
+                .select(
+                    F.col("nb.doc_id").alias("new_id"),
+                    F.col("ib.doc_id").alias("old_id"),
+                )
+                .distinct()
+            )
+            verified = (
+                cand.join(sigs.alias("n"), cand["new_id"] == F.col("n.doc_id"))
+                .join(idx.alias("o"), cand["old_id"] == F.col("o.doc_id"))
+                .filter(_sig_agreement("n", "o") >= threshold)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            dup_vs_index = verified
+        # --- within the batch (keep lowest doc_id of a dup pair) ---
+        nb = _bands(sigs)
+        pair = (
+            nb.alias("x")
+            .join(
+                nb.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("keep_id"),
+                F.col("y.doc_id").alias("drop_id"),
+            )
+            .distinct()
+        )
+        in_batch = (
+            pair.join(sigs.alias("a"), pair["keep_id"] == F.col("a.doc_id"))
+            .join(sigs.alias("b"), pair["drop_id"] == F.col("b.doc_id"))
+            .filter(_sig_agreement("a", "b") >= threshold)
+            .select(F.col("drop_id").alias("doc_id"))
+            .distinct()
+        )
+        drops = in_batch if dup_vs_index is None else in_batch.unionAll(
+            dup_vs_index
+        ).distinct()
+        return batch.join(drops, "doc_id", "left_anti")
+    finally:
+        sigs.unpersist()
+
+
+def incremental_near_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming wrapper: watch ``source_dir`` for JSON-lines document
+    files ({doc_id, text}), write deduplicated survivors to ``out_dir``
+    and their signatures to the ``index_dir`` MinHash index. Batch-id
+    guard makes the index append idempotent under foreachBatch
+    retries."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(index_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # retried batch — already fully applied
+        kept = dedupe_batch(spark, batch, index_dir, threshold).persist()
+        try:
+            if kept.count() > 0:
+                kept.write.mode("append").parquet(out_dir)
+                _signatures(kept).write.mode("append").parquet(index_dir)
+            os.makedirs(index_dir, exist_ok=True)
+            open(marker, "w").close()
+        finally:
+            kept.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
