@@ -69,6 +69,7 @@ EXTENDED = [
     "agg_quantile_sketch",     # mergeable bucket-count quantiles
     "cdc_join_view_maintenance",  # delta-algebra join-view refresh
     "join_band_bucketed",      # band join as bucketed equi-join
+    "dedup_simhash",           # int-signature popcount hamming (r5 6.7x fix)
 ]
 
 
