@@ -3292,3 +3292,306 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.5)
     )
+
+
+# (word, weight) sentiment lexicon — fixed and tiny, the broadcast side
+_LEXICON = (
+    ("fast", 2), ("small", 1), ("merge", 1),
+    ("slow", -2), ("big", -1), ("filter", -1),
+)
+
+
+@register(
+    "text_lexicon_sentiment",
+    oracle=f"""
+    WITH lex(word, weight) AS (VALUES {", ".join(
+        f"('{w}', {x})" for w, x in _LEXICON
+    )}),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id,
+               CAST(SUM(l.weight) AS BIGINT) AS score_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tok t JOIN lex l ON l.word = t.tk
+        GROUP BY t.doc_id
+    )
+    SELECT n.doc_id, n.n_tokens,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.score_sum, 0) AS score_sum,
+           CAST(COALESCE(h.score_sum, 0) AS DOUBLE) / n.n_tokens
+               AS sentiment
+    FROM n LEFT JOIN hits h ON h.doc_id = n.doc_id
+    """,
+)
+def text_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based document scoring — the broadcast-dictionary join
+    pattern of "Large Scale Sentiment Analysis with Spark" (EDBT 2016,
+    PAPERS.md; the §2.10 text-analysis anchor): tokens equi-join a
+    tiny (word, weight) lexicon, per-doc score = Σ weight / token
+    count. The lexicon here keys off the corpus's own vocabulary
+    (fast/slow/small/big/...) so the join provably fires; a real
+    deployment swaps in SentiWordNet-style lists — the plan is
+    unchanged.
+
+    Scale design: the lexicon is the broadcast side (kilobytes); the
+    token fan-out is partition-local explode; one partial-agg per doc.
+    Docs with zero lexicon hits survive via the LEFT join with
+    score 0 — the filter must see every document."""
+    d = t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(list(_LEXICON), "word string, weight int")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    n = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    hits = (
+        tok.join(F.broadcast(lex), tok["tk"] == lex["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("bigint").alias("score_sum"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+    return n.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+        (
+            F.coalesce("score_sum", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("sentiment"),
+    )
+
+
+@register(
+    "agg_topk_incremental",
+    oracle="""
+    SELECT event_type, rk, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def agg_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT 2020 interactive-top-k
+    motif, PAPERS.md): the top-k of a union is contained in the union
+    of the per-part top-ks, so a maintained top-k view refreshes by
+    re-ranking merge(topk(base), topk(delta)) — |2k| rows per group —
+    never by rescanning the base. This query computes the per-type
+    top-5 THAT WAY (split on an arbitrary predicate, per-part top-5,
+    merge, re-rank) while the oracle ranks the full input directly;
+    the gate certifies incremental == recompute exactly (unique
+    (value, event_id) tie-break makes the cut deterministic).
+
+    Scale: each part's top-k is a WindowGroupLimit (running k-buffer
+    per group, map-side prunable); the merge re-rank touches 2k rows
+    per group regardless of data size — the same O(delta) refresh
+    contract as agg_incremental_merge, extended to ordered state."""
+    ev = t(spark, sf_dir, "events")
+    k = 5
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), "event_id"
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+
+    base = ev.filter(F.col("event_id") % 4 != 0).select(
+        "event_type", "event_id", "value"
+    )
+    delta = ev.filter(F.col("event_id") % 4 == 0).select(
+        "event_type", "event_id", "value"
+    )
+    merged = topk(base).unionAll(topk(delta))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "rk", "event_id", "value")
+    )
+
+
+_TS_T2 = 360000.0  # similarity threshold T^2 (T=600 on this corpus)
+_TS_W = 270  # seg-0 blocking band width; sound because W >= T/sqrt(5)
+
+
+@register(
+    "timeseries_paa_similarity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT user_id,
+               CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS DOUBLE) AS nsq
+        FROM daily GROUP BY user_id
+    ),
+    paa AS (
+        SELECT user_id, CAST(FLOOR(d / 5) AS BIGINT) AS seg,
+               CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / 5 AS m
+        FROM daily GROUP BY 1, 2
+    ),
+    block AS (
+        SELECT n.user_id,
+               CAST(FLOOR(COALESCE(p.m, 0) / {_TS_W}) AS BIGINT) AS b
+        FROM norms n LEFT JOIN paa p
+          ON p.user_id = n.user_id AND p.seg = 0
+    ),
+    cand AS (
+        SELECT x.user_id AS ua, y.user_id AS ub
+        FROM (SELECT user_id, b + o AS b
+              FROM block, LATERAL unnest([-1, 0, 1]) AS t(o)) x
+        JOIN block y ON y.b = x.b AND y.user_id > x.user_id
+    ),
+    lb AS (
+        SELECT c.ua, c.ub,
+               5 * CAST(SUM(CAST((pa.m - pb.m) * (pa.m - pb.m)
+                                 AS DECIMAL(30,8))) AS DOUBLE) AS lb2
+        FROM cand c
+        JOIN paa pa ON pa.user_id = c.ua
+        JOIN paa pb ON pb.user_id = c.ub AND pb.seg = pa.seg
+        GROUP BY c.ua, c.ub
+    ),
+    pruned AS (SELECT ua, ub, lb2 FROM lb WHERE lb2 <= {_TS_T2!r}),
+    cx AS (
+        SELECT p.ua, p.ub, p.lb2,
+               CAST(SUM(CAST(da.v * db.v AS DECIMAL(30,8))) AS DOUBLE) AS cross_t
+        FROM pruned p
+        JOIN daily da ON da.user_id = p.ua
+        JOIN daily db ON db.user_id = p.ub AND db.d = da.d
+        GROUP BY p.ua, p.ub, p.lb2
+    )
+    SELECT user_a, user_b, paa_lb2, dist2 FROM (
+        SELECT c.ua AS user_a, c.ub AS user_b,
+               c.lb2 AS paa_lb2,
+               na.nsq + nb.nsq - 2 * c.cross_t AS dist2
+        FROM cx c
+        JOIN norms na ON na.user_id = c.ua
+        JOIN norms nb ON nb.user_id = c.ub
+    ) WHERE dist2 <= {_TS_T2!r}
+    """,
+)
+def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search with PAA lower-bound pruning (the
+    EDBT 2019 streaming-similarity motif, PAPERS.md): per-user daily
+    value series compared by Euclidean distance, with three
+    scale-critical refusals of the naive plan — (1) the series stay
+    SPARSE (missing days are implicit zeros; dist² = |a|² + |b|² −
+    2⟨a,b⟩ needs only a day-equi-join for the cross term, never a
+    densified 30-vector), (2) candidates come from a band join on the
+    first PAA segment (width W ≥ T/√5, so the GEMINI-style
+    lower-bound guarantee 5·Σ(Δpaa)² ≤ dist² makes the blocking
+    false-negative-free), and (3) the full distance is computed ONLY
+    for pairs whose PAA distance already passes the threshold — the
+    paper's filter-and-refine. Emitted per refined pair: the PAA lower
+    bound, the true distance, and the similarity verdict (the lb2 ≤
+    dist2 invariant is visible in every row).
+
+    Determinism: every sum is a decimal-cast fold; the final linear
+    combination is a fixed-shape double expression — hash-identical
+    across engines. Inner seg-join drops segments missing on either
+    side (both engines identically); dropped nonnegative terms only
+    lower the bound, so pruning stays sound.
+
+    Measured honesty: these synthetic per-user series are white noise —
+    PAA's literature worst case — so the lower bound is loose here
+    (lb2 ≈ 0.1-0.3·dist2; the prune removes only ~2% of pairs at this
+    T). The value of the operator is the PLAN: sparse representation,
+    sound banding, filter-and-refine; on real seasonal/smooth series
+    the identical plan prunes most pairs, which is the paper's
+    result."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v"))
+    norms = daily.groupBy("user_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("nsq")
+    )
+    paa = daily.groupBy(
+        "user_id", F.floor(F.col("d") / 5).cast("bigint").alias("seg")
+    ).agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / 5).alias("m")
+    )
+    block = norms.join(
+        paa.filter(F.col("seg") == 0).select("user_id", "m"), "user_id", "left"
+    ).select(
+        "user_id",
+        F.floor(F.coalesce("m", F.lit(0.0)) / _TS_W).cast("bigint").alias("b"),
+    )
+    x = block.withColumn(
+        "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+    ).alias("x")
+    y = block.alias("y")
+    cand = x.join(
+        y,
+        (F.col("y.b") == F.col("x.b"))
+        & (F.col("y.user_id") > F.col("x.user_id")),
+    ).select(
+        F.col("x.user_id").alias("ua"), F.col("y.user_id").alias("ub")
+    )
+    pa, pb = paa.alias("pa"), paa.alias("pb")
+    lb = (
+        cand.join(pa, F.col("pa.user_id") == F.col("ua"))
+        .join(
+            pb,
+            (F.col("pb.user_id") == F.col("ub"))
+            & (F.col("pb.seg") == F.col("pa.seg")),
+        )
+        .groupBy("ua", "ub")
+        .agg(
+            (
+                F.lit(5)
+                * F.sum(
+                    (
+                        (F.col("pa.m") - F.col("pb.m"))
+                        * (F.col("pa.m") - F.col("pb.m"))
+                    ).cast("decimal(30,8)")
+                ).cast("double")
+            ).alias("lb2")
+        )
+    )
+    pruned = lb.filter(F.col("lb2") <= _TS_T2)
+    da, db = daily.alias("da"), daily.alias("db")
+    cx = (
+        pruned.join(da, F.col("da.user_id") == F.col("ua"))
+        .join(
+            db,
+            (F.col("db.user_id") == F.col("ub"))
+            & (F.col("db.d") == F.col("da.d")),
+        )
+        .groupBy("ua", "ub", "lb2")
+        .agg(
+            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(30,8)"))
+            .cast("double")
+            .alias("cross_t")
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    dist2 = F.col("na.nsq") + F.col("nb.nsq") - 2 * F.col("cross_t")
+    return (
+        cx.join(na, F.col("na.user_id") == F.col("ua"))
+        .join(nb, F.col("nb.user_id") == F.col("ub"))
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            F.col("lb2").alias("paa_lb2"),
+            dist2.alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(_TS_T2))
+    )
