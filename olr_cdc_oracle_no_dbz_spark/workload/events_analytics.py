@@ -909,3 +909,84 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         segment.alias("segment"),
     )
+
+
+@register(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH seasonal AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value) AS mean_v,
+               sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS std_v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.dow, s.n AS n_baseline,
+           CAST(COUNT(*) AS BIGINT) AS n_anomalies,
+           MIN(e.event_id) AS example_event
+    FROM events e
+    JOIN seasonal s
+      ON s.event_type = e.event_type AND s.dow = dayofweek(e.ts) + 1
+    WHERE abs(e.value - s.mean_v) > 3 * s.std_v
+    GROUP BY s.event_type, s.dow, s.n
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL anomaly screen: the per-(type, day-of-week) baseline
+    replaces events_outliers' global per-type mean — an event is
+    anomalous relative to ITS seasonal slot, which is how monitoring
+    avoids flagging every weekend as an outlier of the weekday
+    distribution. Baselines come from the same exact decimal power
+    sums (deterministic mean/std); the flagged events reduce to a
+    per-slot count + example id, so the output is slot-bounded
+    regardless of anomaly volume.
+
+    Scale: one partial-agg pass for the |types|×7 baseline table
+    (broadcast), one zero-shuffle scan with a row-local 3-sigma test,
+    and a slot-keyed final count."""
+    ev = t(spark, sf_dir, "events")
+    dow = F.dayofweek("ts")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    s1 = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    seasonal = ev.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count("*").alias("n"),
+        (s1 / F.count("value")).alias("mean_v"),
+        F.sqrt(
+            (s2 - s1 * s1 / F.count("*")) / (F.count("*") - 1)
+        ).alias("std_v"),
+    )
+    e = ev.select(
+        "event_id",
+        "value",
+        F.col("event_type").alias("e_type"),
+        dow.alias("e_dow"),
+    )
+    joined = e.join(
+        F.broadcast(seasonal),
+        (F.col("e_type") == F.col("event_type"))
+        & (F.col("e_dow") == F.col("dow")),
+    )
+    return (
+        joined.filter(
+            F.abs(F.col("value") - F.col("mean_v")) > 3 * F.col("std_v")
+        )
+        .groupBy("event_type", "dow", "n")
+        .agg(
+            F.count("*").alias("n_anomalies"),
+            F.min("event_id").alias("example_event"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").alias("n_baseline"),
+            "n_anomalies",
+            "example_event",
+        )
+    )

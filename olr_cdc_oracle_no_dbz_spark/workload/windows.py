@@ -470,3 +470,65 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse.alias("sparse_v"),
         F.last(sparse, ignorenulls=True).over(w).alias("filled_v"),
     )
+
+
+@register(
+    "window_skyline_2d",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
+               MAX(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_orderdate, o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_before
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice
+    FROM ranked
+    WHERE best_before IS NULL OR o_totalprice > best_before
+    """,
+)
+def window_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto front) per group — the classic OLAP research
+    operator: per priority class, the orders not dominated on
+    (earlier-or-equal date, higher-or-equal price). The naive skyline
+    is an O(n²) dominance anti-join; in 2-D it collapses to ONE
+    partitioned window: sort by (date asc, price desc), and a row is
+    on the front iff its price strictly exceeds the running max of
+    everything before it (equal-(date,price) duplicates keep only the
+    first — the deduplicated skyline; the 1-PRECEDING frame plus the
+    price-desc tie-order makes that rule explicit and identical on
+    both engines).
+
+    Scale: one shuffle on the group key, one sorted pass per group,
+    running-max state of ONE value — versus the quadratic dominance
+    join the operator's textbook definition implies. Higher dimensions
+    need the BNL/divide-and-conquer algorithms; 2-D is the common
+    dashboard case (cost vs freshness, price vs rating)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(
+            F.col("o_orderdate").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = F.max("o_totalprice").over(w)
+    return (
+        o.withColumn("best_before", best)
+        .filter(
+            F.col("best_before").isNull()
+            | (F.col("o_totalprice") > F.col("best_before"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+    )
