@@ -1054,3 +1054,49 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "agg_gini_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS m FROM c GROUP BY 1)
+    SELECT c.user_id,
+           MAX(t.m) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           1.0 - CAST(SUM(n * n) AS DOUBLE) / (MAX(t.m) * MAX(t.m))
+               AS gini_diversity
+    FROM c JOIN tot t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical DIVERSITY per key as Gini impurity, 1 − Σ pᵢ² — the
+    behavioral-diversity measure entropy usually serves, chosen over
+    Shannon entropy deliberately: ln() is outside this engine's checked
+    surface (libm builds round differently; the text_bigram_lm
+    contract), while Gini is pure integer counts and one double
+    division — bit-deterministic everywhere, same ranking behavior.
+
+    Scale: two stacked partial-agg shuffles on (key, category) then
+    (key); per-key state is the category histogram, bounded by the
+    category domain."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("m"))
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("m").cast("bigint").alias("n_events"),
+            F.count("*").alias("n_types"),
+            (
+                F.lit(1.0)
+                - F.sum(F.col("n") * F.col("n")).cast("double")
+                / (F.max("m") * F.max("m"))
+            ).alias("gini_diversity"),
+        )
+    )

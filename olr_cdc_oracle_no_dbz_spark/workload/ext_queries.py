@@ -3595,3 +3595,95 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, md5(gram) AS h, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id, substr(text, i, 4) AS gram
+            FROM documents,
+                 LATERAL unnest(generate_series(1, len(text) - 3, 4)) AS u(i)
+        )
+        GROUP BY doc_id, md5(gram)
+    ),
+    sums AS (SELECT doc_id, {{sums}} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({{sig}} AS BIGINT) AS sig FROM sums),
+    halves AS (
+        SELECT doc_id, sig, 0 AS half_idx, sig & 255 AS half FROM sig
+        UNION ALL
+        SELECT doc_id, sig, 1 AS half_idx, sig >> 8 AS half FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, x.sig AS xsig,
+                        y.doc_id AS b_id, y.sig AS ysig
+        FROM halves x JOIN halves y
+          ON x.half_idx = y.half_idx AND x.half = y.half
+         AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(xsig, ysig)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(xsig, ysig)) <= 2
+    """.replace("{{sums}}", "{sums}").replace("{{sig}}", "{sig}").format(
+        sums=_simhash_sql(), sig=_SQL_SIG_INT
+    ),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup for BINARY payloads (the multimodal
+    dedup step): a pHash-style 16-bit signature built from strided
+    4-byte chunks of the payload — robust to small payload edits the
+    way word-level simhash is to small text edits — with the same
+    half-band candidate join and popcount hamming. The documents'
+    UTF-8 bytes stand in for image/audio blobs (this container has no
+    codecs — the multimodal_* convention); with a real decoder the
+    chunking runs over decoded pixel blocks and NOTHING downstream
+    changes, which is the point: signature, banding, and verify are
+    modality-independent.
+
+    Scale: strided chunking caps the fan-out at |payload|/4 rows;
+    everything after is the int-signature simhash path (mask/shift
+    banding, popcount-xor hamming — the r5 6.7x form)."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 3, 4),"
+                    " i -> substring(text, i, 4))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", F.md5(F.col("gram").cast("binary")).alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    sums = tok.groupBy("doc_id").agg(*_simhash_cols())
+    sig = sums.selectExpr("doc_id", f"CAST({_SIG_INT} AS BIGINT) AS sig")
+    halves = sig.selectExpr(
+        "doc_id",
+        "sig",
+        "stack(2, 0, sig & 255, 1, shiftright(sig, 8)) AS (half_idx, half)",
+    )
+    x, y = halves.alias("x"), halves.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.half_idx") == F.col("y.half_idx"))
+            & (F.col("x.half") == F.col("y.half"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("x.sig").alias("xsig"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("y.sig").alias("ysig"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(xsig ^ ysig)")
+    return cand.select(
+        "a_id", "b_id", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 2)
