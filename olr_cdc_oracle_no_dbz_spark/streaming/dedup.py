@@ -194,6 +194,16 @@ def incremental_near_dedup(
         .option("maxFilesPerTrigger", 1)
         .json(source_dir)
     )
+    # Failure-window note: the batch marker makes RE-INVOCATIONS of a
+    # fully-applied batch no-ops (the common foreachBatch retry), but a
+    # crash BETWEEN the survivor write and the index write leaves the
+    # survivors present in out_dir while absent from the index — the
+    # retry then re-appends them (duplicate out rows; the index stays
+    # correct). Append-only dual-sink writes cannot be atomic without a
+    # transactional table format; downstream readers of out_dir should
+    # dropDuplicates('doc_id'), or the sink should be a keyed
+    # ParquetStateTable (whose SCN-guarded merge is exactly-once) when
+    # duplicates are unacceptable.
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
