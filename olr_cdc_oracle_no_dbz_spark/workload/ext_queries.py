@@ -3687,3 +3687,151 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "a_id", "b_id", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 2)
+
+
+@register(
+    "sample_quality_weighted",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(concat('0x', substr(md5('qw:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   AS bucket
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_chars, n_words, bucket,
+               LEAST(90, 30 + n_words / 2) AS keep_pct
+        FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN bucket < keep_pct THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < keep_pct THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars,
+           MIN(CASE WHEN bucket < keep_pct THEN doc_id END) AS example_kept
+    FROM kept GROUP BY lang
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED sampling — the curation step between hard
+    filtering and uniform sampling: each document's keep probability
+    scales with a quality proxy (here word count, capped into
+    [30%, 90%]), and the keep decision is the usual salted-md5 bucket
+    against that per-row threshold — deterministic across engines,
+    runs, and cluster sizes (never rand()), and independent of the
+    dataset_split/mix salts so the decisions compose. Longer/richer
+    docs are kept at up to 3x the rate of minimal ones, which is how
+    production mixes up-weight high-quality sources without dropping
+    the tail entirely.
+
+    Scale: the threshold and bucket are row-local expressions; the
+    only shuffle is the per-language report."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_words", F.size(F.split("text", " "))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qw:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep_pct = F.least(F.lit(90), F.lit(30) + F.col("n_words") / 2)
+    kept = bucket < keep_pct
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_input"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("example_kept"),
+    )
+
+
+@register(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT vec_id, embedding,
+               CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT cohort, u.i AS dim,
+               CAST(SUM(CAST(CAST(embedding[u.i] AS DOUBLE)
+                             AS DECIMAL(30,8))) AS DOUBLE)
+                 / COUNT(*) AS mean_v
+        FROM tagged, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY cohort, u.i
+    ),
+    wide AS (
+        SELECT dim,
+               MAX(CASE WHEN cohort = 'ref' THEN mean_v END) AS ref_mean,
+               MAX(CASE WHEN cohort = 'cur' THEN mean_v END) AS cur_mean
+        FROM dims GROUP BY dim
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CAST(abs(cur_mean - ref_mean) AS DECIMAL(30,8)))
+                AS DOUBLE) / COUNT(*) AS mean_abs_drift,
+           MAX(abs(cur_mean - ref_mean)) AS max_abs_drift,
+           -- ties on drift resolve to the LOWEST dim on both engines
+           -- (max of (drift, -dim) pairs), never arg_max's arbitrary pick
+           -(MAX({{'d': abs(cur_mean - ref_mean), 'nd': -dim}}).nd) AS worst_dim
+    FROM wide
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT detection — the model-monitoring cut of
+    embedding_dim_stats: split the table into a reference and a
+    current cohort (deterministic vec_id parity standing in for
+    yesterday/today), compare per-dimension means, and report the mean
+    and max absolute drift plus the worst-drifting dimension. At 100 TB
+    this runs as two constant-size (cohorts × dims) sketches compared
+    driver-side — the check that catches a silently retrained or
+    corrupted encoder before it poisons retrieval and dedup downstream.
+
+    Determinism: per-dim means are exact decimal sums over exact
+    counts; the drift aggregation re-enters decimal before the final
+    division; worst_dim uses max_by with the unique dim tie-break."""
+    e = t(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias(
+            "cohort"
+        ),
+        F.posexplode("embedding").alias("p", "x"),
+    ).select("cohort", (F.col("p") + 1).alias("dim"), "x")
+    dims = tagged.groupBy("cohort", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(30,8)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_v")
+    )
+    wide = dims.groupBy("dim").agg(
+        F.max(F.when(F.col("cohort") == "ref", F.col("mean_v"))).alias(
+            "ref_mean"
+        ),
+        F.max(F.when(F.col("cohort") == "cur", F.col("mean_v"))).alias(
+            "cur_mean"
+        ),
+    )
+    drift = F.abs(F.col("cur_mean") - F.col("ref_mean"))
+    return wide.agg(
+        F.count("*").alias("n_dims"),
+        (
+            F.sum(drift.cast("decimal(30,8)")).cast("double") / F.count("*")
+        ).alias("mean_abs_drift"),
+        F.max(drift).alias("max_abs_drift"),
+        (-F.max(F.struct(drift.alias("d"), (-F.col("dim")).alias("nd")))[
+            "nd"
+        ]).cast("bigint").alias("worst_dim"),
+    )
