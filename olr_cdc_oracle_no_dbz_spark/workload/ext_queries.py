@@ -3779,8 +3779,12 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dims GROUP BY dim
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
-           CAST(SUM(CAST(abs(cur_mean - ref_mean) AS DECIMAL(30,8)))
-                AS DOUBLE) / COUNT(*) AS mean_abs_drift,
+           -- dim-ordered sequential double fold (the _dot trick): the
+           -- drift doubles are engine-identical, so a FIXED-order sum is
+           -- too — where a decimal cast of arbitrary doubles can split
+           -- on an exact rounding tie (caught by the sf0.1 sweep)
+           list_reduce(list(abs(cur_mean - ref_mean) ORDER BY dim),
+                       (x, y) -> x + y) / COUNT(*) AS mean_abs_drift,
            MAX(abs(cur_mean - ref_mean)) AS max_abs_drift,
            -- ties on drift resolve to the LOWEST dim on both engines
            -- (max of (drift, -dim) pairs), never arg_max's arbitrary pick
@@ -3825,13 +3829,18 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     drift = F.abs(F.col("cur_mean") - F.col("ref_mean"))
-    return wide.agg(
+    return wide.select("dim", "ref_mean", "cur_mean", drift.alias("d")).agg(
         F.count("*").alias("n_dims"),
         (
-            F.sum(drift.cast("decimal(30,8)")).cast("double") / F.count("*")
+            F.expr(
+                "aggregate(transform(sort_array(collect_list("
+                "struct(dim, d))), s -> s.d), cast(0 as double),"
+                " (acc, v) -> acc + v)"
+            )
+            / F.count("*")
         ).alias("mean_abs_drift"),
-        F.max(drift).alias("max_abs_drift"),
-        (-F.max(F.struct(drift.alias("d"), (-F.col("dim")).alias("nd")))[
+        F.max("d").alias("max_abs_drift"),
+        (-F.max(F.struct(F.col("d"), (-F.col("dim")).alias("nd")))[
             "nd"
         ]).cast("bigint").alias("worst_dim"),
     )
