@@ -29,6 +29,7 @@ contract as streaming/state.py.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +89,19 @@ def _sig_agreement(a: str, b: str) -> F.Column:
     return agree / F.lit(float(N_PERMS))
 
 
+def _index_has_data(index_dir: str) -> bool:
+    """True iff the live index holds published signature files. Staged
+    (``_stage_*``) and marker (``_batch_*``) entries are underscore-
+    prefixed — hidden from Spark's reader and skipped here, so an
+    in-flight stage never counts as accepted corpus."""
+    if not os.path.isdir(index_dir):
+        return False
+    return any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for f in os.listdir(index_dir)
+    )
+
+
 def dedupe_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -103,9 +117,7 @@ def dedupe_batch(
         bands = _bands(sigs)
         # --- against the accepted index ---
         dup_vs_index = None
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(index_dir) for f in fs
-        ):
+        if _index_has_data(index_dir):
             idx = spark.read.parquet(index_dir)
             idx_bands = _bands(idx)
             cand = (
@@ -160,6 +172,75 @@ def dedupe_batch(
         sigs.unpersist()
 
 
+def apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    threshold: float = 0.5,
+    _fault=None,
+) -> None:
+    """Exactly-once apply of one micro-batch across BOTH sinks (the
+    survivor corpus in ``out_dir`` and the signature index in
+    ``index_dir``), closing the dual-sink crash window VERDICT r5
+    item 4 flagged. Stage-then-publish under one batch marker:
+
+    1. STAGE: survivors and their signatures are written to
+       ``index_dir/_stage_{batch_id}/{out,index}`` (underscore-prefixed
+       — invisible to the live index reader), then a ``_COMPLETE``
+       sentinel seals the stage. A crash here leaves the live sinks
+       untouched; the retry discards the partial stage and recomputes
+       (safe — ``dedupe_batch`` reads only the live, unmodified index).
+    2. PUBLISH: staged part files are MOVED into the live dirs. Names
+       are Spark's part-UUIDs (unique, never colliding with earlier
+       batches), and already-moved files are skipped, so re-running the
+       publish after a crash moves exactly the remainder — idempotent.
+       A sealed stage is never recomputed, so a crash mid-publish can
+       not produce a second copy of a survivor file under a new UUID.
+    3. MARK: the ``_batch_{batch_id}`` marker commits the batch; a
+       retried batch that finds it is a no-op (stale stage cleaned up).
+
+    ``_fault(point)`` is a test-only crash-injection hook
+    (tests/test_stream_dedup.py kills the apply at each window and
+    proves the retry yields no duplicate out_dir rows).
+    """
+    fault = _fault or (lambda point: None)
+    marker = os.path.join(index_dir, f"_batch_{batch_id}")
+    stage = os.path.join(index_dir, f"_stage_{batch_id}")
+    if os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)  # crashed post-commit
+        return
+    complete = os.path.join(stage, "_COMPLETE")
+    if not os.path.exists(complete):
+        shutil.rmtree(stage, ignore_errors=True)  # unsealed partial stage
+        kept = dedupe_batch(spark, batch, index_dir, threshold).persist()
+        try:
+            if kept.count() > 0:
+                kept.write.parquet(os.path.join(stage, "out"))
+                fault("between_stage_writes")
+                _signatures(kept).write.parquet(os.path.join(stage, "index"))
+            os.makedirs(stage, exist_ok=True)
+            fault("before_seal")
+            open(complete, "w").close()
+        finally:
+            kept.unpersist()
+    fault("before_publish")
+    for sub, dest in (("out", out_dir), ("index", index_dir)):
+        src = os.path.join(stage, sub)
+        if not os.path.isdir(src):
+            continue
+        os.makedirs(dest, exist_ok=True)
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            os.replace(os.path.join(src, f), os.path.join(dest, f))
+            fault(f"mid_publish_{sub}")
+    os.makedirs(index_dir, exist_ok=True)
+    open(marker, "w").close()
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def incremental_near_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -171,39 +252,20 @@ def incremental_near_dedup(
 ) -> StreamingQuery:
     """Streaming wrapper: watch ``source_dir`` for JSON-lines document
     files ({doc_id, text}), write deduplicated survivors to ``out_dir``
-    and their signatures to the ``index_dir`` MinHash index. Batch-id
-    guard makes the index append idempotent under foreachBatch
-    retries."""
+    and their signatures to the ``index_dir`` MinHash index.
+    ``apply_batch``'s stage/publish/mark protocol makes the dual-sink
+    append exactly-once under foreachBatch retries — every crash
+    window either recomputes from an untouched live state or resumes
+    an idempotent file-move publish."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(index_dir, f"_batch_{batch_id}")
-        if os.path.exists(marker):
-            return  # retried batch — already fully applied
-        kept = dedupe_batch(spark, batch, index_dir, threshold).persist()
-        try:
-            if kept.count() > 0:
-                kept.write.mode("append").parquet(out_dir)
-                _signatures(kept).write.mode("append").parquet(index_dir)
-            os.makedirs(index_dir, exist_ok=True)
-            open(marker, "w").close()
-        finally:
-            kept.unpersist()
+        apply_batch(spark, batch, batch_id, out_dir, index_dir, threshold)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .json(source_dir)
     )
-    # Failure-window note: the batch marker makes RE-INVOCATIONS of a
-    # fully-applied batch no-ops (the common foreachBatch retry), but a
-    # crash BETWEEN the survivor write and the index write leaves the
-    # survivors present in out_dir while absent from the index — the
-    # retry then re-appends them (duplicate out rows; the index stays
-    # correct). Append-only dual-sink writes cannot be atomic without a
-    # transactional table format; downstream readers of out_dir should
-    # dropDuplicates('doc_id'), or the sink should be a keyed
-    # ParquetStateTable (whose SCN-guarded merge is exactly-once) when
-    # duplicates are unacceptable.
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.streaming.dedup import (
+    apply_batch,
     dedupe_batch,
     incremental_near_dedup,
 )
@@ -114,3 +115,60 @@ def test_dedupe_batch_threshold_separates(spark, tmp_path):
     kept = dedupe_batch(spark, batch, idx)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == {1, 3}
+
+
+@pytest.mark.parametrize(
+    "point",
+    [
+        "between_stage_writes",
+        "before_seal",
+        "before_publish",
+        "mid_publish_out",
+        "mid_publish_index",
+    ],
+)
+def test_crash_injection_no_duplicate_survivors(spark, tmp_path, point):
+    """VERDICT r5 item 4: kill apply_batch at every crash window — the
+    retry must produce EXACTLY the same out_dir/index contents as an
+    uninterrupted run, with no duplicated survivor rows."""
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, _BASE), (3, _BASE + " extra")], "doc_id long, text string"
+    )
+
+    fired = {"n": 0}
+
+    def fault(p):
+        if p == point and fired["n"] == 0:
+            fired["n"] = 1
+            raise RuntimeError(f"injected crash at {p}")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_batch(spark, batch, 0, out, idx, _fault=fault)
+    assert fired["n"] == 1, f"fault point {point} never reached"
+    # foreachBatch retry: same batch, same batch_id, no fault
+    apply_batch(spark, batch, 0, out, idx)
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1]  # 3 in-batch-deduped, once
+    idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
+    assert idx_ids == [1]
+    assert os.path.exists(os.path.join(idx, "_batch_0"))
+    assert not os.path.exists(os.path.join(idx, "_stage_0"))
+
+    # a second retry after commit is a pure no-op
+    apply_batch(spark, batch, 0, out, idx)
+    assert spark.read.parquet(out).count() == 1
+
+    # and the NEXT batch still dedups against the recovered index
+    b2 = spark.createDataFrame(
+        [(10, _BASE + " tail"), (11, "totally new words about ships "
+                                     "sails anchors harbors and tides")],
+        "doc_id long, text string",
+    )
+    apply_batch(spark, b2, 1, out, idx)
+    rows2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert rows2 == [1, 11]
