@@ -176,7 +176,11 @@ def compact_small_files(
     the old or the new complete table reachable (the one non-atomic
     window renames the live dir away for the microseconds between the
     two ``os.replace`` calls; readers mid-listing can race that, but no
-    crash point loses data)."""
+    crash point loses data). Readers absorb that window by retrying
+    missing-path errors — ``catalog.read_parquet_retrying`` (used by
+    ``catalog.load_table``) backs off ~100 ms and re-reads, far longer
+    than the rename gap; readers that bypass the catalog should either
+    do the same or schedule compaction in a maintenance window."""
     import glob as _glob
     import os
     import shutil
