@@ -564,8 +564,20 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_K = 8  # centroid count (coarse-quantizer cells)
+_IVF_K_MIN = 8  # centroid-count floor (keeps tiny corpora trainable)
+_IVF_CELL = 128  # target vectors per cell; K = max(8, ceil(n / 128))
 _KMEANS_T = 2  # Lloyd iterations refining the deterministic first-K seed
+
+
+def _derive_k(n: int) -> int:
+    """Corpus-size-derived centroid count (VERDICT r5 item 2): K grows
+    with N so the per-cell population — and therefore the
+    sum-of-squared-cell-sizes cost of IVF search / SemDeDup — stays
+    CONSTANT per row instead of quadratic at fixed K (the one
+    super-linear row in SCALING_PROBE_r5, alpha=1.55). Integer ceil
+    (no float), replayed bit-identically by the oracle's
+    ``GREATEST(8, (COUNT(*) + 127) // 128)``."""
+    return max(_IVF_K_MIN, (n + _IVF_CELL - 1) // _IVF_CELL)
 
 
 def _array_sql_literal(values: list[float]) -> str:
@@ -603,7 +615,7 @@ def _nearest_cent_inline(
 
 
 def _kmeans_assign(
-    e: DataFrame, k: int = _IVF_K, iters: int = _KMEANS_T
+    e: DataFrame, k: int | None = None, iters: int = _KMEANS_T
 ) -> DataFrame:
     """Deterministic k-means coarse quantizer (VERDICT r5 item 5): seed
     with the first ``k`` vectors, run ``iters`` Lloyd rounds (assign to
@@ -631,7 +643,15 @@ def _kmeans_assign(
     re-shuffled the full vector table once per round, ~3 full-table
     exchanges this version eliminates; receipt in PLANS.md.) ``iters``
     is a constant: the classic 2-3 rounds of refinement, not
-    run-to-convergence (k-means|| does the same)."""
+    run-to-convergence (k-means|| does the same).
+
+    ``k=None`` (the default every gate consumer uses) derives K from
+    the corpus count via ``_derive_k`` — K ∝ N keeps cell populations
+    constant so downstream within-cell work is linear in N; the count
+    is one bounded action whose value the oracle reproduces exactly
+    (engine-identical COUNT(*))."""
+    if k is None:
+        k = _derive_k(e.count())
     seed = (
         e.filter(F.col("vec_id") < k)
         .select(
@@ -667,11 +687,24 @@ def _kmeans_assign(
     return _nearest_cent_inline(e, cents)
 
 
-def _sql_kmeans_ctes(k: int = _IVF_K, iters: int = _KMEANS_T) -> str:
+def _sql_kmeans_ctes(k: int | None = None, iters: int = _KMEANS_T) -> str:
     """DuckDB CTE chain mirroring _kmeans_assign exactly. Expects a CTE
     ``e(vec_id, v, nsq)`` to precede it; defines ``assign``. Iterations
     unroll to numbered CTEs (DuckDB needs no recursion for a constant
-    round count)."""
+    round count). ``k=None`` derives K from COUNT(*) with the same
+    integer-ceil formula as ``_derive_k`` — a scalar subquery, so the
+    oracle scales K with the corpus exactly like the engine."""
+    if k is None:
+        k_expr = "(SELECT k FROM kparam)"
+        kparam = f"""
+    kparam AS (
+        SELECT GREATEST({_IVF_K_MIN},
+                        (COUNT(*) + {_IVF_CELL - 1}) // {_IVF_CELL}) AS k
+        FROM e
+    ),"""
+    else:
+        k_expr = str(k)
+        kparam = ""
 
     def nearest(cent: str, out: str) -> str:
         return f"""
@@ -688,12 +721,12 @@ def _sql_kmeans_ctes(k: int = _IVF_K, iters: int = _KMEANS_T) -> str:
     )"""
 
     parts = [
-        f"""
+        f"""{kparam}
     cent0 AS (
         SELECT vec_id AS cent_id,
                list_transform(v, x -> CAST(x AS DOUBLE)) AS cv,
                {_sql_dot("v", "v")} AS cnsq
-        FROM e WHERE vec_id < {k}
+        FROM e WHERE vec_id < {k_expr}
     )"""
     ]
     prev = "cent0"
@@ -751,12 +784,13 @@ def _sql_kmeans_ctes(k: int = _IVF_K, iters: int = _KMEANS_T) -> str:
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (the other §2.10 scale path next to LSH): vectors
-    are assigned to their nearest of K=8 centroids TRAINED by two
-    deterministic Lloyd rounds over a first-K seed (_kmeans_assign —
-    the real coarse quantizer, differentially replayed by the oracle's
-    unrolled CTE chain), and each query searches only its own cell.
-    Assignment is a broadcast K×N pass; search cost scales with cell
-    size, which trained centroids balance toward the data's modes."""
+    are assigned to their nearest of K = max(8, ceil(N/128)) centroids
+    TRAINED by two deterministic Lloyd rounds over a first-K seed
+    (_kmeans_assign — the real coarse quantizer, differentially
+    replayed by the oracle's unrolled CTE chain, K derived from the
+    same COUNT(*) on both sides), and each query searches only its own
+    cell. Assignment is a broadcast K×N pass; search cost scales with
+    the ~128-vector cell size, constant per row as N grows."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -2163,11 +2197,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reported per duplicate: its cluster, max similarity to an earlier
     keeper-candidate, and how many earlier near-neighbors it has.
 
-    Measured caveat (SCALING.md): with K FIXED the pairwise stage is
-    quadratic in N (the scale probe measured alpha=1.55 on 4x data) —
-    the gate pins K=8 for oracle parity, but a production caller MUST
-    size K ~ N/target_cell_size via _kmeans_assign's k parameter to
-    keep cluster sizes (and therefore cost) constant per row."""
+    K is DERIVED from the corpus count (K = max(8, ceil(N/128)),
+    _derive_k — VERDICT r5 item 2): with K ∝ N the per-cell population
+    is bounded, so the pairwise stage is ~N·cell_size comparisons —
+    linear in N — where the old fixed K=8 measured alpha=1.55 on 4x
+    data (SCALING_PROBE_r5). The oracle derives the same K via
+    GREATEST(8, (COUNT(*)+127)//128), so parity holds at every N."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
