@@ -46,10 +46,11 @@ HEADLINE = [
     "embedding_quantize_sq8",      # ext: int8 vector quantization
 ]
 
-# Opt-in second tier (SPARK_GRAFT_BENCH_EXTENDED=1): the round-4
-# operator families. Kept OUT of the default headline so
-# BENCH_r{N}.json stays comparable round-over-round; the extended run
-# emits a SEPARATE JSON line with metric "extended_total".
+# Second tier, timed by default since r6 (VERDICT r5 item 6: an
+# untracked tier makes regressions invisible). Kept OUT of the headline
+# roster so "value" stays comparable round-over-round; its numbers ride
+# inside the same single JSON line under "extended". Set
+# SPARK_GRAFT_BENCH_EXTENDED=0 to skip the extra pass.
 EXTENDED = [
     "agg_distinct_hll",        # sketch cardinality (partial-agg registers)
     "agg_heavy_hitters_cms",   # count-min frequency sketch
@@ -95,7 +96,7 @@ def main() -> int:
     )
 
     qs = queries()
-    extended = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1"
+    extended = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
 
     # JVM/codegen warmup on the smallest table so q1 isn't taxed for it
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -126,32 +127,24 @@ def main() -> int:
 
     head = measure(HEADLINE)
     total = round(sum(head.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": head,
-                "sf": sf,
-                "runs": runs,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": head,
+        "sf": sf,
+        "runs": runs,
+    }
     if extended:
+        # a second timing pass AFTER all headline runs complete (ADVICE
+        # r4), embedded in the SAME single JSON line so the driver's
+        # one-line contract holds while the tier is tracked per round
         ext = measure(EXTENDED)
-        print(
-            json.dumps(
-                {
-                    "metric": "extended_total",
-                    "value": round(sum(ext.values()), 3),
-                    "unit": "sec",
-                    "queries": ext,
-                    "sf": sf,
-                    "runs": runs,
-                }
-            )
-        )
+        out["extended"] = {
+            "value": round(sum(ext.values()), 3),
+            "queries": ext,
+        }
+    print(json.dumps(out))
     spark.stop()
     return 0
 
