@@ -3458,6 +3458,7 @@ def agg_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_T2 = 360000.0  # similarity threshold T^2 (T=600 on this corpus)
 _TS_W = 270  # seg-0 blocking band width; sound because W >= T/sqrt(5)
+_TS_SALT = 32  # band-join salt fan-out (hot-band pair enumeration split)
 
 
 @register(
@@ -3569,13 +3570,32 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.coalesce("m", F.lit(0.0)) / _TS_W).cast("bigint").alias("b"),
     )
-    x = block.withColumn(
-        "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
-    ).alias("x")
-    y = block.alias("y")
+    # SALTED band self-join (r6, found by the scale probe): white-noise
+    # seg-0 means concentrate ~all users into band 0, so the plain
+    # equi-join on b put every candidate pair into ONE sort-merge task —
+    # and AQE's skew-join never fires because it detects input-byte
+    # skew, not join-EXPLOSION skew (the hot partition's input is a few
+    # KB; its output is |band|^2 pairs). The salt splits the y side by
+    # user-hash into _TS_SALT buckets and replicates the (already
+    # band-exploded, tiny) x side across them: identical pair set,
+    # |band|^2 enumeration spread over _TS_SALT parallel tasks.
+    x = (
+        block.withColumn(
+            "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+        )
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(_TS_SALT)])),
+        )
+        .alias("x")
+    )
+    y = block.withColumn(
+        "salt", F.pmod(F.xxhash64("user_id"), F.lit(_TS_SALT)).cast("int")
+    ).alias("y")
     cand = x.join(
         y,
         (F.col("y.b") == F.col("x.b"))
+        & (F.col("y.salt") == F.col("x.salt"))
         & (F.col("y.user_id") > F.col("x.user_id")),
     ).select(
         F.col("x.user_id").alias("ua"), F.col("y.user_id").alias("ub")
