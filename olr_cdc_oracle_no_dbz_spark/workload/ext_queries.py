@@ -2602,6 +2602,192 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    {_sql_kmeans_ctes()},
+    subs AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {s} AS sub_idx, "
+            f"embedding[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS sv "
+            f"FROM embeddings"
+            for s in range(_PQ_M)
+        )}
+    ),
+    cents AS (
+        SELECT sub_idx, vec_id AS c_idx, sv AS cv FROM subs
+        WHERE vec_id < {_PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id AS neighbor_id, sub_idx, c_idx FROM (
+            SELECT u.vec_id, u.sub_idx, c.c_idx,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.vec_id, u.sub_idx
+                       ORDER BY {_pq_sql_dist("u.sv", "c.cv")}, c.c_idx) AS rn
+            FROM subs u JOIN cents c ON c.sub_idx = u.sub_idx
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT * FROM assign WHERE vec_id >= 100 AND vec_id < 120),
+    qsubs AS (
+        SELECT s.vec_id AS query_id, s.sub_idx, s.sv
+        FROM subs s JOIN q ON q.vec_id = s.vec_id
+    ),
+    lut AS (
+        SELECT u.query_id, u.sub_idx, c.c_idx,
+               {_pq_sql_dist("u.sv", "c.cv")} AS qd
+        FROM qsubs u JOIN cents c ON c.sub_idx = u.sub_idx
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.qd) AS DECIMAL(20,8)) AS adc_d2
+        FROM q
+        JOIN assign c ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
+        JOIN codes b ON b.neighbor_id = c.vec_id
+        JOIN lut l ON l.query_id = q.vec_id AND l.sub_idx = b.sub_idx
+                   AND l.c_idx = b.c_idx
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id, adc_d2 FROM (
+            SELECT query_id, neighbor_id, adc_d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= 10
+    ),
+    refined AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_d2,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,8)) AS cos_sim
+        FROM shortlist s
+        JOIN q ON q.vec_id = s.query_id
+        JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(adc_d2 AS VARCHAR) AS adc_d2,
+           CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
+        SELECT query_id, neighbor_id, adc_d2, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM refined
+    ) WHERE rk <= 5
+    """,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ search with exact refine — the composed production ANN
+    path (Jégou et al. 2011) assembled from this engine's own stages:
+    the Lloyd-trained coarse quantizer restricts each query to its cell
+    (ann_topk_ivf), a per-query LUT of query-subvector-to-PQ-centroid
+    distances scores every cell member by ASYMMETRIC distance — a
+    4-row-per-vector join against a broadcast 320-row LUT, never a
+    full-dimension dot per candidate — the top-10 ADC shortlist is
+    then re-ranked by exact decimal cosine, and the top-5 emitted with
+    both the approximate and exact scores (so the ADC→exact reorder is
+    visible in-row).
+
+    Scale: at 100 TB the scan side touches ONLY m-byte codes plus the
+    KB-scale LUT (broadcast); full vectors are fetched for the 10-row
+    shortlist per query — the whole point of PQ. Every distance is a
+    DECIMAL(16,8)/(20,8) with id tie-breaks, so shortlist membership
+    and final ranks replay bit-identically in the oracle."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    assign = _kmeans_assign(e)
+    stack_args = ", ".join(
+        f"{s}, slice(v, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
+    )
+    subs = assign.selectExpr(
+        "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
+    )
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("c_idx"), F.col("sv").alias("cv")
+    )
+    pq_dist = F.expr(
+        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
+        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
+    )
+    w_code = Window.partitionBy("vec_id", "sub_idx").orderBy("d", "c_idx")
+    codes = (
+        subs.join(F.broadcast(cents), "sub_idx")
+        .select("vec_id", "sub_idx", "c_idx", pq_dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "sub_idx", "c_idx")
+    )
+    q = assign.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+        F.col("cent_id").alias("qcent"),
+    )
+    qstack = ", ".join(
+        f"{s}, slice(qv, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
+    )
+    qsubs = q.selectExpr(
+        "query_id", f"stack({_PQ_M}, {qstack}) AS (sub_idx, sv)"
+    )
+    lut = qsubs.join(F.broadcast(cents), "sub_idx").select(
+        "query_id", "sub_idx", "c_idx", pq_dist.alias("qd")
+    )
+    cell = (
+        F.broadcast(q.select("query_id", "qcent"))
+        .join(
+            assign,
+            (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cell.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub_idx", "c_idx"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("decimal(20,8)").alias("adc_d2"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nsq").alias("nnsq"),
+    )
+    cos = (
+        _dot("qv", "nv") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nnsq")))
+    ).cast("decimal(16,8)")
+    w_rk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        shortlist.join(F.broadcast(q.drop("qcent")), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", "adc_d2", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_d2").cast("string").alias("adc_d2"),
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
 def _dedup_overlap_oracle() -> str:
     """Compose from the three REGISTERED dedup oracles verbatim (same
     contract as ann_recall_report: measure what ships)."""
