@@ -71,6 +71,9 @@ EXTENDED = [
     "cdc_join_view_maintenance",  # delta-algebra join-view refresh
     "join_band_bucketed",      # band join as bucketed equi-join
     "dedup_simhash",           # int-signature popcount hamming (r5 6.7x fix)
+    # round-6 operator families
+    "ann_topk_ivfpq",          # IVF cell + PQ ADC shortlist + exact refine
+    "cdc_multi_table_routing", # filter.table array demux (P1 array form)
 ]
 
 
