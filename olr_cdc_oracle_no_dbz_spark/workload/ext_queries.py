@@ -3656,105 +3656,123 @@ _TS_SALT = 32  # band-join salt fan-out (hot-band pair enumeration split)
                CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2
     ),
-    norms AS (
+    mx AS (SELECT MAX(d) AS md FROM daily),
+    vec AS (
         SELECT user_id,
-               CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS DOUBLE) AS nsq
-        FROM daily GROUP BY user_id
+               list_transform(generate_series(0, (SELECT md FROM mx)),
+                              i -> COALESCE(map_extract(m, i)[1], 0.0)) AS dv
+        FROM (SELECT user_id,
+                     MAP(list(d ORDER BY d), list(v ORDER BY d)) AS m
+              FROM daily GROUP BY user_id)
     ),
-    paa AS (
-        SELECT user_id, CAST(FLOOR(d / 5) AS BIGINT) AS seg,
-               CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / 5 AS m
-        FROM daily GROUP BY 1, 2
+    feat AS (
+        SELECT user_id, dv,
+               list_transform(generate_series(0, (SELECT md // 5 FROM mx)),
+                   s -> list_reduce(dv[s * 5 + 1 : s * 5 + 5],
+                                    (a, b) -> a + b) / 5) AS pv,
+               list_reduce(list_transform(dv, x -> x * x),
+                           (a, b) -> a + b) AS nsq
+        FROM vec
     ),
     block AS (
-        SELECT n.user_id,
-               CAST(FLOOR(COALESCE(p.m, 0) / {_TS_W}) AS BIGINT) AS b
-        FROM norms n LEFT JOIN paa p
-          ON p.user_id = n.user_id AND p.seg = 0
+        SELECT user_id, CAST(FLOOR(pv[1] / {_TS_W}) AS BIGINT) AS b,
+               pv, dv, nsq
+        FROM feat
     ),
     cand AS (
-        SELECT x.user_id AS ua, y.user_id AS ub
-        FROM (SELECT user_id, b + o AS b
+        SELECT x.user_id AS ua, y.user_id AS ub, x.pv AS pa, y.pv AS pb,
+               x.dv AS dva, y.dv AS dvb, x.nsq AS na, y.nsq AS nb
+        FROM (SELECT user_id, b + o AS b, pv, dv, nsq
               FROM block, LATERAL unnest([-1, 0, 1]) AS t(o)) x
         JOIN block y ON y.b = x.b AND y.user_id > x.user_id
     ),
-    lb AS (
-        SELECT c.ua, c.ub,
-               5 * CAST(SUM(CAST((pa.m - pb.m) * (pa.m - pb.m)
-                                 AS DECIMAL(30,8))) AS DOUBLE) AS lb2
-        FROM cand c
-        JOIN paa pa ON pa.user_id = c.ua
-        JOIN paa pb ON pb.user_id = c.ub AND pb.seg = pa.seg
-        GROUP BY c.ua, c.ub
-    ),
-    pruned AS (SELECT ua, ub, lb2 FROM lb WHERE lb2 <= {_TS_T2!r}),
-    cx AS (
-        SELECT p.ua, p.ub, p.lb2,
-               CAST(SUM(CAST(da.v * db.v AS DECIMAL(30,8))) AS DOUBLE) AS cross_t
-        FROM pruned p
-        JOIN daily da ON da.user_id = p.ua
-        JOIN daily db ON db.user_id = p.ub AND db.d = da.d
-        GROUP BY p.ua, p.ub, p.lb2
+    scored AS (
+        SELECT ua, ub, na, nb, dva, dvb,
+               5 * list_reduce(list_transform(list_zip(pa, pb),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS lb2
+        FROM cand
     )
     SELECT user_a, user_b, paa_lb2, dist2 FROM (
-        SELECT c.ua AS user_a, c.ub AS user_b,
-               c.lb2 AS paa_lb2,
-               na.nsq + nb.nsq - 2 * c.cross_t AS dist2
-        FROM cx c
-        JOIN norms na ON na.user_id = c.ua
-        JOIN norms nb ON nb.user_id = c.ub
+        SELECT ua AS user_a, ub AS user_b, lb2 AS paa_lb2,
+               na + nb - 2 * list_reduce(list_transform(list_zip(dva, dvb),
+                   p -> p[1] * p[2]), (a, b) -> a + b) AS dist2
+        FROM scored WHERE lb2 <= {_TS_T2!r}
     ) WHERE dist2 <= {_TS_T2!r}
     """,
 )
 def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search with PAA lower-bound pruning (the
     EDBT 2019 streaming-similarity motif, PAPERS.md): per-user daily
-    value series compared by Euclidean distance, with three
-    scale-critical refusals of the naive plan — (1) the series stay
-    SPARSE (missing days are implicit zeros; dist² = |a|² + |b|² −
-    2⟨a,b⟩ needs only a day-equi-join for the cross term, never a
-    densified 30-vector), (2) candidates come from a band join on the
-    first PAA segment (width W ≥ T/√5, so the GEMINI-style
-    lower-bound guarantee 5·Σ(Δpaa)² ≤ dist² makes the blocking
-    false-negative-free), and (3) the full distance is computed ONLY
-    for pairs whose PAA distance already passes the threshold — the
-    paper's filter-and-refine. Emitted per refined pair: the PAA lower
-    bound, the true distance, and the similarity verdict (the lb2 ≤
-    dist2 invariant is visible in every row).
+    value series compared by Euclidean distance — candidates from a
+    band join on the first PAA segment (width W ≥ T/√5, so the
+    GEMINI-style guarantee 5·Σ(Δpaa)² ≤ dist² makes the blocking
+    false-negative-free), full distance only for pairs whose PAA
+    bound passes the threshold (filter-and-refine). Emitted per pair:
+    the PAA lower bound, the true distance (the lb2 ≤ dist2 invariant
+    is visible in every row).
 
-    Determinism: every sum is a decimal-cast fold; the final linear
-    combination is a fixed-shape double expression — hash-identical
-    across engines. Inner seg-join drops segments missing on either
-    side (both engines identically); dropped nonnegative terms only
-    lower the bound, so pruning stays sound.
+    r6 rewrite (was 26 s at sf0.1): each user's series is a DENSE
+    fixed-length array — the window is 30 days, so dv is ≤30 doubles
+    and pv ≤6, BOUNDED BY THE WINDOW, not the corpus (the r5 sparse
+    per-(pair,segment) join form re-shuffled every candidate pair
+    through two groupBy exchanges of decimal sums; at ~1 M pairs × 6
+    segments that dominated the query). After the salted band join the
+    ENTIRE refine is row-local whole-stage codegen: lb2 and the
+    cross-term are order-fixed zip_with folds over the carried arrays,
+    zero post-join exchanges. Missing days are explicit zeros now —
+    the zero-filled PAA bound is tighter than the old drop-missing
+    bound and still sound, and dist² is unchanged (zeros add nothing),
+    so the emitted pair set is identical.
+
+    Determinism: per-day sums stay exact-decimal (distributed,
+    order-free); all array folds are single-threaded sequential doubles
+    in fixed element order, the _dot/_sql_dot contract — bit-identical
+    across engines (mismatch-verified at sf0.1).
 
     Measured honesty: these synthetic per-user series are white noise —
-    PAA's literature worst case — so the lower bound is loose here
-    (lb2 ≈ 0.1-0.3·dist2; the prune removes only ~2% of pairs at this
-    T). The value of the operator is the PLAN: sparse representation,
-    sound banding, filter-and-refine; on real seasonal/smooth series
+    PAA's literature worst case — so the bound is loose here and the
+    prune removes few pairs at this T; on real seasonal/smooth series
     the identical plan prunes most pairs, which is the paper's
-    result."""
+    result. The salted band join (see inline note) is the r6 fix for
+    the hot-band skew the scale probe caught."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
     ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v"))
-    norms = daily.groupBy("user_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(30,8)"))
-        .cast("double")
-        .alias("nsq")
+    max_d = daily.agg(F.max("d")).first()[0]
+    n_seg = max_d // 5 + 1
+    vec = (
+        daily.groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("mp")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(sequence(0, {max_d}),"
+                " i -> coalesce(mp[i], cast(0 as double)))"
+            ).alias("dv"),
+        )
     )
-    paa = daily.groupBy(
-        "user_id", F.floor(F.col("d") / 5).cast("bigint").alias("seg")
-    ).agg(
-        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / 5).alias("m")
-    )
-    block = norms.join(
-        paa.filter(F.col("seg") == 0).select("user_id", "m"), "user_id", "left"
-    ).select(
+    feat = vec.select(
         "user_id",
-        F.floor(F.coalesce("m", F.lit(0.0)) / _TS_W).cast("bigint").alias("b"),
+        "dv",
+        F.expr(
+            f"transform(sequence(0, {n_seg - 1}),"
+            " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
+            " (acc, x) -> acc + x) / 5)"
+        ).alias("pv"),
+        F.expr(
+            "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
+        ).alias("nsq"),
+    )
+    block = feat.select(
+        "user_id",
+        F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b"),
+        "pv",
+        "dv",
+        "nsq",
     )
     # SALTED band self-join (r6, found by the scale probe): white-noise
     # seg-0 means concentrate ~all users into band 0, so the plain
@@ -3784,55 +3802,31 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("y.salt") == F.col("x.salt"))
         & (F.col("y.user_id") > F.col("x.user_id")),
     ).select(
-        F.col("x.user_id").alias("ua"), F.col("y.user_id").alias("ub")
+        F.col("x.user_id").alias("ua"),
+        F.col("y.user_id").alias("ub"),
+        F.col("x.pv").alias("pa"),
+        F.col("y.pv").alias("pb"),
+        F.col("x.dv").alias("dva"),
+        F.col("y.dv").alias("dvb"),
+        F.col("x.nsq").alias("na"),
+        F.col("y.nsq").alias("nb"),
     )
-    pa, pb = paa.alias("pa"), paa.alias("pb")
-    lb = (
-        cand.join(pa, F.col("pa.user_id") == F.col("ua"))
-        .join(
-            pb,
-            (F.col("pb.user_id") == F.col("ub"))
-            & (F.col("pb.seg") == F.col("pa.seg")),
-        )
-        .groupBy("ua", "ub")
-        .agg(
-            (
-                F.lit(5)
-                * F.sum(
-                    (
-                        (F.col("pa.m") - F.col("pb.m"))
-                        * (F.col("pa.m") - F.col("pb.m"))
-                    ).cast("decimal(30,8)")
-                ).cast("double")
-            ).alias("lb2")
-        )
+    lb2 = F.expr(
+        "5 * aggregate(zip_with(pa, pb, (p, q) -> (p - q) * (p - q)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
     )
-    pruned = lb.filter(F.col("lb2") <= _TS_T2)
-    da, db = daily.alias("da"), daily.alias("db")
-    cx = (
-        pruned.join(da, F.col("da.user_id") == F.col("ua"))
-        .join(
-            db,
-            (F.col("db.user_id") == F.col("ub"))
-            & (F.col("db.d") == F.col("da.d")),
-        )
-        .groupBy("ua", "ub", "lb2")
-        .agg(
-            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(30,8)"))
-            .cast("double")
-            .alias("cross_t")
-        )
+    cross = F.expr(
+        "aggregate(zip_with(dva, dvb, (p, q) -> p * q),"
+        " cast(0 as double), (acc, v) -> acc + v)"
     )
-    na, nb = norms.alias("na"), norms.alias("nb")
-    dist2 = F.col("na.nsq") + F.col("nb.nsq") - 2 * F.col("cross_t")
     return (
-        cx.join(na, F.col("na.user_id") == F.col("ua"))
-        .join(nb, F.col("nb.user_id") == F.col("ub"))
+        cand.withColumn("lb2", lb2)
+        .filter(F.col("lb2") <= _TS_T2)
         .select(
             F.col("ua").alias("user_a"),
             F.col("ub").alias("user_b"),
             F.col("lb2").alias("paa_lb2"),
-            dist2.alias("dist2"),
+            (F.col("na") + F.col("nb") - 2 * cross).alias("dist2"),
         )
         .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
