@@ -2788,6 +2788,122 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_K = 16  # projected dimensions (64 -> 16)
+_JL_D = 64  # source dimensions
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic Rademacher (±1) projection matrix: sign(j,i) from
+    the parity of the first md5 nibble of "j:i". Computed once in
+    Python and inlined as LITERALS into both the Spark expression and
+    the oracle SQL, so the two engines share the matrix by construction
+    (no cross-engine hash function needed)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def _jl_proj_sql(v: str) -> list[str]:
+    """Per-output-dim DuckDB fold expressions for the JL projection."""
+    out = []
+    for row in _jl_signs():
+        lit = "[" + ", ".join(f"{s}.0" for s in row) + "]"
+        out.append(
+            f"list_reduce(list_transform(list_zip({v}, {lit}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+            f" / sqrt({_JL_K})"
+        )
+    return out
+
+
+def _jl_proj_spark(v: str) -> list[F.Column]:
+    out = []
+    for row in _jl_signs():
+        lit = "array(" + ", ".join(f"{s}.0D" for s in row) + ")"
+        out.append(
+            F.expr(
+                f"aggregate(zip_with({v}, {lit},"
+                " (x, s) -> cast(x as double) * s),"
+                " cast(0 as double), (acc, p) -> acc + p)"
+                f" / sqrt({_JL_K})"
+            )
+        )
+    return out
+
+
+@register(
+    "embedding_jl_projection",
+    oracle=f"""
+    WITH r AS (
+        SELECT vec_id,
+               sqrt({_sql_dot("embedding", "embedding")}) AS onorm,
+               sqrt({" + ".join(
+                   f"(({p}) * ({p}))" for p in _jl_proj_sql("embedding")
+               )}) AS pnorm
+        FROM embeddings
+    ),
+    ratios AS (
+        SELECT vec_id, CAST(pnorm / onorm AS DECIMAL(16,8)) AS ratio
+        FROM r WHERE onorm > 0
+    )
+    SELECT CAST(FLOOR(ratio * 20) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(CAST(CAST(SUM(ratio) AS DOUBLE) / COUNT(*)
+                     AS DECIMAL(12,6)) AS VARCHAR) AS mean_ratio
+    FROM ratios GROUP BY 1
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 → 16 dims) with a
+    norm-distortion report — the dimensionality-reduction scale path
+    for the embedding stack (Achlioptas 2003, public result: a ±1
+    Rademacher matrix scaled by 1/√k preserves norms and pairwise
+    distances within (1±ε) w.h.p.). A 100 TB ANN/dedup pipeline runs
+    its candidate generation on the 4×-smaller projected vectors and
+    refines on the originals; this query is the projection pass plus
+    the distortion histogram that decides whether k is large enough.
+
+    Plan: the projection matrix is a compile-time literal (inlined
+    into codegen — zero joins, zero shuffles for the projection; the
+    only exchange is the final ~20-row histogram groupBy). Each
+    projected component is an order-fixed sequential double fold
+    (the _dot contract), so the ratio — and therefore every histogram
+    bucket boundary — is bit-identical in the oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    comps = _jl_proj_spark("embedding")
+    pnorm_sq = comps[0] * comps[0]
+    for c in comps[1:]:
+        pnorm_sq = pnorm_sq + c * c
+    r = e.select(
+        "vec_id",
+        F.sqrt(_dot("embedding", "embedding")).alias("onorm"),
+        F.sqrt(pnorm_sq).alias("pnorm"),
+    )
+    ratios = r.filter(F.col("onorm") > 0).select(
+        "vec_id",
+        (F.col("pnorm") / F.col("onorm")).cast("decimal(16,8)").alias("ratio"),
+    )
+    return (
+        ratios.groupBy(
+            F.floor(F.col("ratio") * 20).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("ratio").cast("double") / F.count("*"))
+            .cast("decimal(12,6)")
+            .cast("string")
+            .alias("mean_ratio"),
+        )
+    )
+
+
 def _dedup_overlap_oracle() -> str:
     """Compose from the three REGISTERED dedup oracles verbatim (same
     contract as ann_recall_report: measure what ships)."""
