@@ -59,24 +59,29 @@ class PipelineConfig:
     delete_mode: str = "drop"
     tables: tuple[tuple[str, str], ...] = ()
     sink_tables: tuple[str, ...] = ()
+    #: per-entry PK columns, parallel to ``tables``; () → every table
+    #: uses ``key_cols`` (single-connector shorthand)
+    table_keys: tuple[tuple[str, ...], ...] = ()
 
     @property
     def images(self) -> str:
         return "changed" if self.format_flags.get("column", 2) == 0 else "full"
 
     @property
-    def routes(self) -> tuple[tuple[str, str, str], ...]:
-        """(owner, table, sink_name) per captured table. The sink name
-        falls back to the table name lowercased — ksqlDB/Connect's
-        topic-per-table convention (README.md:791 ``${topic}``)."""
+    def routes(self) -> tuple[tuple[str, str, str, tuple[str, ...]], ...]:
+        """(owner, table, sink_name, key_cols) per captured table. The
+        sink name falls back to the table name lowercased —
+        ksqlDB/Connect's topic-per-table convention (README.md:791
+        ``${topic}``); keys fall back to the shared ``key_cols``."""
         tabs = self.tables or ((self.owner, self.table),)
         sinks = self.sink_tables or tuple(
             (self.sink_table or self.topic or tb.lower()) if i == 0
             else tb.lower()
             for i, (_, tb) in enumerate(tabs)
         )
+        keys = self.table_keys or tuple(self.key_cols for _ in tabs)
         return tuple(
-            (ow, tb, sinks[i]) for i, (ow, tb) in enumerate(tabs)
+            (ow, tb, sinks[i], keys[i]) for i, (ow, tb) in enumerate(tabs)
         )
 
 
@@ -163,6 +168,78 @@ def apply_sink_config(cfg: PipelineConfig, connector: dict) -> PipelineConfig:
     )
 
 
+def apply_sink_configs(cfg: PipelineConfig, connectors: list) -> PipelineConfig:
+    """Overlay ONE Connect sink connector spec PER captured table — the
+    reference's actual multi-table deployment shape (a Connect worker
+    runs N independent connectors, each subscribing to one table's
+    topic with its own ``pk.fields`` / ``table.name.format``;
+    README.md:775-798 is one such document). Each connector claims its
+    table by ``topics`` (the table name lowercased — the
+    topic-per-table convention); every captured table must be claimed
+    by exactly one connector. Per-table sink names and PRIMARY KEYS
+    come from the claiming connector; the stream-level settings
+    (delete mode) must agree across connectors, matching Connect where
+    they are per-connector but a single state pipeline needs one
+    policy."""
+    from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import sink_table_name
+
+    tabs = cfg.tables or ((cfg.owner, cfg.table),)
+    by_topic: dict[str, dict] = {}
+    for connector in connectors:
+        c = connector.get("config", connector)
+        if c.get("insert.mode", "upsert") != "upsert":
+            raise ValueError(
+                f"insert.mode must be upsert, got {c.get('insert.mode')!r}"
+            )
+        for topic in str(c.get("topics", "")).split(","):
+            topic = topic.strip()
+            if not topic:
+                continue
+            if topic in by_topic:
+                raise ValueError(f"topic {topic!r} claimed by two connectors")
+            by_topic[topic] = c
+    sink_tables, table_keys, delete_modes = [], [], set()
+    for _, tb in tabs:
+        c = by_topic.get(tb.lower())
+        if c is None:
+            raise ValueError(
+                f"captured table {tb!r} has no sink connector claiming "
+                f"topic {tb.lower()!r}"
+            )
+        sink_tables.append(
+            sink_table_name(tb.lower(), c.get("table.name.format", "${topic}"))
+        )
+        pk = c.get("pk.fields", "ID")
+        table_keys.append(tuple(f.strip().lower() for f in pk.split(",")))
+        handling = c.get(
+            "delete.handling.mode",
+            "drop"
+            if str(c.get("delete.enabled", "true")).lower() == "true"
+            else "none",
+        )
+        delete_modes.add("rewrite" if handling == "rewrite" else "drop")
+    if len(delete_modes) > 1:
+        raise ValueError(
+            "connectors disagree on delete.handling.mode; one pipeline "
+            "needs one policy"
+        )
+    if len(set(sink_tables)) != len(sink_tables):
+        raise ValueError(f"sink table names collide: {sink_tables}")
+    return PipelineConfig(
+        owner=cfg.owner,
+        table=cfg.table,
+        format_flags=cfg.format_flags,
+        max_files_per_trigger=cfg.max_files_per_trigger,
+        topic=cfg.topic,
+        sink_table=sink_tables[0],
+        key_cols=table_keys[0],
+        delete_mode=delete_modes.pop(),
+        tables=tabs,
+        sink_tables=tuple(sink_tables),
+        table_keys=tuple(table_keys),
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -208,16 +285,16 @@ def run_pipeline(
         return query, state
     states: dict[str, ParquetStateTable] = {}
     routes = []
-    for owner, table, sink in routes_cfg:
+    for owner, table, sink, keys in routes_cfg:
         st = ParquetStateTable(
-            spark, os.path.join(work_dir, f"state-{sink}"), key_cols=cfg.key_cols
+            spark, os.path.join(work_dir, f"state-{sink}"), key_cols=keys
         )
         states[sink] = st
         routes.append(
             (owner, table, st, schemas.get((owner, table), CHANGE_EVENT_SCHEMA))
         )
     ckpt = os.path.join(
-        work_dir, "ckpt-" + "-".join(sink for _, _, sink in routes_cfg)
+        work_dir, "ckpt-" + "-".join(sink for _, _, sink, _ in routes_cfg)
     )
     query = materialize_stream_tables(
         spark,

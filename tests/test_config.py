@@ -177,8 +177,8 @@ def test_capture_config_multi_table_mapping():
     sunk = apply_sink_config(cfg, CONNECTOR_MULTI)
     assert sunk.sink_tables == ("product_sink", "category_sink")
     assert sunk.routes == (
-        ("OLR_DB", "PRODUCT", "product_sink"),
-        ("OLR_DB", "CATEGORY", "category_sink"),
+        ("OLR_DB", "PRODUCT", "product_sink", ("id",)),
+        ("OLR_DB", "CATEGORY", "category_sink", ("id",)),
     )
     # a literal table.name.format cannot route two tables apart
     with pytest.raises(ValueError, match="topic"):
@@ -247,3 +247,80 @@ def test_multi_table_pipeline_end_to_end(spark, tmp_path):
     assert prod2 == {2}
     cats2 = {r["id"]: r["title"] for r in states2["category_sink"].current().collect()}
     assert cats2 == {7: "Hardware", 8: "Garden"}
+
+
+def test_per_table_connectors_composite_keys(spark, tmp_path):
+    """One sink connector PER table (the reference's real multi-table
+    deployment shape): per-table pk.fields — including a composite key
+    — flow into per-table state tables."""
+    from pyspark.sql import types as T
+
+    from olr_cdc_oracle_no_dbz_spark.config import apply_sink_configs
+    from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
+
+    capture = {
+        "source": [
+            {
+                "format": {"type": "json", "column": 2},
+                "filter": {
+                    "table": [
+                        {"owner": "OLR_DB", "table": "PRODUCT"},
+                        {"owner": "OLR_DB", "table": "LINES"},
+                    ]
+                },
+            }
+        ],
+    }
+    connectors = [
+        {"config": {"topics": "product", "pk.fields": "ID",
+                    "table.name.format": "${topic}_sink"}},
+        {"config": {"topics": "lines", "pk.fields": "ORDER_ID,LINE_NO",
+                    "table.name.format": "${topic}_sink"}},
+    ]
+    cfg = apply_sink_configs(load_capture_config(capture), connectors)
+    assert cfg.sink_tables == ("product_sink", "lines_sink")
+    assert cfg.table_keys == (("id",), ("order_id", "line_no"))
+
+    # every captured table must be claimed
+    with pytest.raises(ValueError, match="no sink connector"):
+        apply_sink_configs(load_capture_config(capture), connectors[:1])
+    # two connectors must not claim one topic
+    with pytest.raises(ValueError, match="claimed by two"):
+        apply_sink_configs(
+            load_capture_config(capture), connectors + [connectors[1]]
+        )
+
+    lines_schema = change_event_schema(
+        T.StructType(
+            [
+                T.StructField("order_id", T.IntegerType(), True),
+                T.StructField("line_no", T.IntegerType(), True),
+                T.StructField("qty", T.IntegerType(), True),
+            ]
+        )
+    )
+
+    def line(order_id, line_no, qty):
+        return {"order_id": order_id, "line_no": line_no, "qty": qty}
+
+    src = str(tmp_path / "src")
+    write_tx_file(src, "tx1.json", [
+        event(100, "c", after=product_row(1, "Widget")),
+        event(101, "c", after=line(1, 1, 5), table="LINES"),
+        event(102, "c", after=line(1, 2, 7), table="LINES"),
+    ])
+    write_tx_file(src, "tx2.json", [
+        event(200, "u", before=line(1, 1, 5), after=line(1, 1, 6),
+              table="LINES"),
+    ])
+    query, states = run_pipeline(
+        spark, cfg, src, str(tmp_path / "work"),
+        schemas={("OLR_DB", "LINES"): lines_schema},
+    )
+    query.awaitTermination(120)
+    rows = {
+        (r["order_id"], r["line_no"]): r["qty"]
+        for r in states["lines_sink"].current().collect()
+    }
+    assert rows == {(1, 1): 6, (1, 2): 7}  # composite-key LWW per line
+    assert {r["id"] for r in states["product_sink"].current().collect()} == {1}
