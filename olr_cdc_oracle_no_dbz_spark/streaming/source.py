@@ -43,6 +43,8 @@ def infer_evolved_schema(
     spark: SparkSession,
     path: str,
     base: T.StructType = CHANGE_EVENT_SCHEMA,
+    owner: str | None = None,
+    table: str | None = None,
 ) -> T.StructType:
     """K5 auto-evolve support: derive the current envelope schema from
     the files on disk, widening ``base`` with any new image columns.
@@ -56,39 +58,55 @@ def infer_evolved_schema(
     restart the stream with the widened schema. Existing columns keep
     their declared types (inference only ADDS columns, so a numeric
     column never silently degrades to the inferred string form).
+
+    ``owner``/``table`` restrict inference to ONE table's events — in a
+    multi-table feed (``filter.table`` array, r6) inferring over the
+    whole directory would leak every other table's columns into this
+    table's image. Both image structs evolve SYMMETRICALLY to the union
+    of new fields seen in either: the envelope has one row type, and an
+    ``after``-only widening (e.g. when the first evolved events are all
+    inserts with null ``before``) would make unwrap's
+    before/after CASE WHEN ill-typed.
     """
-    inferred = spark.read.json(path)
-
-    def merge_image(field: str) -> T.StructType | None:
-        base_img = base[field].dataType
-        if field not in inferred.columns:
-            return None
-        found = inferred.schema[field].dataType
-        if not isinstance(found, T.StructType) or not isinstance(
-            base_img, T.StructType
-        ):
-            return None
-        known = {f.name for f in base_img.fields}
-        extra = [f for f in found.fields if f.name not in known]
-        if not extra:
-            return None
-        return T.StructType(
-            [*base_img.fields, *[T.StructField(f.name, f.dataType, True) for f in extra]]
+    lines = spark.read.text(path)
+    if owner is not None:
+        lines = lines.filter(
+            F.get_json_object("value", "$.schema_owner") == owner
         )
+    if table is not None:
+        lines = lines.filter(
+            F.get_json_object("value", "$.schema_table") == table
+        )
+    inferred = spark.read.json(lines.rdd.map(lambda r: r.value))
 
-    evolved_before = merge_image("before")
-    evolved_after = merge_image("after")
-    if evolved_before is None and evolved_after is None:
+    base_img = base["after"].dataType
+    known = {f.name for f in base_img.fields}
+    extras: dict[str, T.DataType] = {}
+    for field in ("before", "after"):
+        if field not in inferred.columns:
+            continue
+        found = inferred.schema[field].dataType
+        if not isinstance(found, T.StructType):
+            continue
+        for f in found.fields:
+            if f.name not in known and f.name not in extras:
+                extras[f.name] = f.dataType
+    if not extras:
         return base
-    fields = []
-    for f in base.fields:
-        if f.name == "before" and evolved_before is not None:
-            fields.append(T.StructField("before", evolved_before, True))
-        elif f.name == "after" and evolved_after is not None:
-            fields.append(T.StructField("after", evolved_after, True))
-        else:
-            fields.append(f)
-    return T.StructType(fields)
+    img = T.StructType(
+        [
+            *base_img.fields,
+            *[T.StructField(n, t, True) for n, t in extras.items()],
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField(f.name, img, True)
+            if f.name in ("before", "after")
+            else f
+            for f in base.fields
+        ]
+    )
 
 
 def read_spooldir_stream(

@@ -324,3 +324,60 @@ def test_per_table_connectors_composite_keys(spark, tmp_path):
     }
     assert rows == {(1, 1): 6, (1, 2): 7}  # composite-key LWW per line
     assert {r["id"] for r in states["product_sink"].current().collect()} == {1}
+
+
+def test_multi_table_mid_stream_schema_evolution(spark, tmp_path):
+    """K5 × multi-table: one table's events gain a new column mid-stream
+    (schema:7 evolution); after a restart with the evolved envelope —
+    derived from the files by infer_evolved_schema — the evolved table
+    backfills nulls for old rows while the OTHER table's schema and
+    rows are untouched."""
+    from pyspark.sql import types as T
+
+    from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
+    from olr_cdc_oracle_no_dbz_spark.streaming.source import (
+        infer_evolved_schema,
+    )
+
+    cfg = apply_sink_config(load_capture_config(CAPTURE_MULTI), CONNECTOR_MULTI)
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    cat_v1 = change_event_schema(
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), True),
+                T.StructField("title", T.StringType(), True),
+            ]
+        )
+    )
+
+    write_tx_file(src, "tx1.json", [
+        event(100, "c", after=product_row(1, "Widget")),
+        event(101, "c", after=category_row(7, "Tools"), table="CATEGORY"),
+    ])
+    q1, s1 = run_pipeline(
+        spark, cfg, src, work, schemas={("OLR_DB", "CATEGORY"): cat_v1}
+    )
+    q1.awaitTermination(120)
+
+    # mid-stream: CATEGORY rows now carry a NEW column `descr`
+    write_tx_file(src, "tx2.json", [
+        event(200, "c", after={"id": 8, "title": "Garden", "descr": "plants"},
+              table="CATEGORY"),
+        event(201, "c", after=product_row(2, "Gadget")),
+    ])
+    cat_v2 = infer_evolved_schema(spark, src, cat_v1, owner="OLR_DB", table="CATEGORY")
+    after_fields = {f.name for f in cat_v2["after"].dataType.fields}
+    assert "descr" in after_fields  # evolution derived from the files
+
+    q2, s2 = run_pipeline(
+        spark, cfg, src, work, schemas={("OLR_DB", "CATEGORY"): cat_v2}
+    )
+    q2.awaitTermination(120)
+
+    cats = {r["id"]: r.asDict() for r in s2["category_sink"].current().collect()}
+    assert cats[8]["descr"] == "plants"
+    assert cats[7]["descr"] is None  # pre-evolution row null-backfilled
+    prod = {r["id"]: r.asDict() for r in s2["product_sink"].current().collect()}
+    assert set(prod) == {1, 2}
+    assert "descr" not in prod[1]  # the other table's schema untouched
