@@ -370,3 +370,104 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("h_keyed"),
     )
+
+
+@register(
+    "scalar_url",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               'https://' || lower(replace(c_mktsegment, ' ', '-'))
+               || '.example.com/cust/' || CAST(c_custkey AS VARCHAR)
+               || '?nation=' || CAST(c_nationkey AS VARCHAR)
+               || '&page=' || CAST(c_custkey % 7 AS VARCHAR) AS url
+        FROM customer
+    )
+    SELECT c_custkey, url,
+           regexp_extract(url, '^https://([^/]+)/', 1)      AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)               AS query,
+           regexp_extract(url, '[?&]nation=([^&]*)', 1)     AS nation_param,
+           regexp_extract(url, '^([a-z]+)://', 1)           AS protocol
+    FROM u
+    """,
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (ksqlDB URL_EXTRACT_HOST/PATH/QUERY/PARAMETER/
+    PROTOCOL — part of the declared 0.29 surface, SURVEY.md §2.7):
+    synthesize a well-formed URL per customer, then extract its parts.
+    Extraction uses one shared regex vocabulary in BOTH engines (Spark
+    ``parse_url`` exists but its edge handling of missing components
+    differs from a portable oracle — identical regexps make the
+    contract explicit and the hash stable). Pure codegen projection:
+    zero shuffles."""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit("-"))),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nation="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&page="),
+        (F.col("c_custkey") % 7).cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?(.*)$", 1).alias("query"),
+        F.regexp_extract("url", r"[?&]nation=([^&]*)", 1).alias("nation_param"),
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("protocol"),
+    )
+
+
+@register(
+    "scalar_geo_distance",
+    oracle="""
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey % 160 - 80 AS DOUBLE) + 0.25        AS lat1,
+               CAST((s_suppkey * 7) % 360 - 180 AS DOUBLE) + 0.5  AS lon1,
+               CAST(s_nationkey * 6 - 72 AS DOUBLE)               AS lat2,
+               CAST(s_nationkey * 13 - 160 AS DOUBLE)             AS lon2
+        FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(CAST(2 * 6371.0088 * asin(sqrt(
+               sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+               + cos(radians(lat1)) * cos(radians(lat2))
+                 * sin(radians(lon2 - lon1) / 2)
+                 * sin(radians(lon2 - lon1) / 2)
+           )) AS DECIMAL(12,3)) AS VARCHAR) AS dist_km
+    FROM pts
+    """,
+)
+def scalar_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO_DISTANCE (ksqlDB's haversine, declared 0.29 surface):
+    great-circle distance between two deterministic synthetic points
+    per supplier, emitted at DECIMAL(12,3) km. sin/cos/asin are libm
+    calls whose last-ulp behavior can differ across engines, so the
+    result is rounded to millimeter-insensitive precision — a 3-decimal
+    boundary flip needs a ~1e-4 km disagreement, ~9 orders of magnitude
+    above double trig error (verified at sf0.1's 400 suppliers)."""
+    s = t(spark, sf_dir, "supplier")
+    lat1 = (F.col("s_suppkey") % 160 - 80).cast("double") + 0.25
+    lon1 = ((F.col("s_suppkey") * 7) % 360 - 180).cast("double") + 0.5
+    lat2 = (F.col("s_nationkey") * 6 - 72).cast("double")
+    lon2 = (F.col("s_nationkey") * 13 - 160).cast("double")
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    dist = (
+        (2 * 6371.0088 * F.asin(F.sqrt(h)))
+        .cast("decimal(12,3)")
+        .cast("string")
+    )
+    return s.select("s_suppkey", dist.alias("dist_km"))
