@@ -11,15 +11,20 @@ for candidate generation).
 Per micro-batch:
 1. signatures + band hashes for the batch's docs (partition-local);
 2. candidates = batch bands ⋈ index bands (equi-join on
-   (band_idx, band_hash) — the index side is read with a semi-join
-   pushdown on the batch's band hashes, so lookup cost follows the
-   BATCH size, not the corpus);
+   (band_idx, band_hash)); the index stores bands PRECOMPUTED and
+   hash-partitioned by band-hash bucket (N_IDX_BUCKETS dirs), so the
+   lookup reads only the batch's touched buckets — directory-level
+   partition pruning for trickle batches, graceful full-scan +
+   broadcast semi-join for large ones — and never re-derives band
+   hashes over the corpus;
 3. verify candidates by signature agreement: estimated Jaccard =
-   fraction of the 16 minhash slots that agree; ≥ threshold ⇒ dup;
+   fraction of the 16 minhash slots that agree (signatures are INLINE
+   on the band rows — verification needs no second corpus lookup);
+   ≥ threshold ⇒ dup;
 4. in-batch dups resolved the same way (keep lowest doc_id);
-5. survivors' signatures are APPENDED to the index (the index only
-   grows — at 100 TB this is a bucketed/partitioned table keyed by
-   band hash; here plain parquet append).
+5. survivors' band rows are APPENDED to their bucket partitions (the
+   index only grows; compact_small_files handles file-count
+   maintenance per bucket).
 
 Exactly-once: the index append is guarded per batch_id (a batch that
 retries after writing skips the second write), the same idempotence
@@ -38,6 +43,13 @@ from pyspark.sql.streaming import StreamingQuery
 N_PERMS = 16
 N_BANDS = 4
 _SHINGLE_K = 3
+#: hash-partition fan-out of the persisted band index. Lookup cost per
+#: micro-batch is bounded by the batch's DISTINCT band-hash buckets:
+#: a trickle batch of ~20 docs touches ≤80 of 256 partitions, so the
+#: corpus scan prunes ~70% at the directory level; a huge batch
+#: degrades gracefully to a full scan feeding a broadcast semi-join
+#: (the corpus is never shuffled either way).
+N_IDX_BUCKETS = 256
 
 
 def _signatures(docs: DataFrame) -> DataFrame:
@@ -89,17 +101,40 @@ def _sig_agreement(a: str, b: str) -> F.Column:
     return agree / F.lit(float(N_PERMS))
 
 
+def _bucket_col(band_hash: str = "band_hash") -> F.Column:
+    return F.pmod(F.xxhash64(band_hash), F.lit(N_IDX_BUCKETS)).cast("int")
+
+
+def _index_rows(sigs: DataFrame) -> DataFrame:
+    """Persisted index rows: one row per (doc, band) carrying the band
+    key, its hash-bucket (the partition column), AND the full inline
+    signature. Storing bands precomputed kills the old per-batch
+    re-derivation of band hashes over the whole corpus, and inlining
+    the signature makes candidate verification a single pruned join —
+    no second lookup against a by-doc signature table (a 4× signature
+    duplication, bytes well spent at 100 TB)."""
+    return (
+        _bands(sigs)
+        .join(sigs, "doc_id")
+        .withColumn("bucket", _bucket_col())
+    )
+
+
 def _index_has_data(index_dir: str) -> bool:
-    """True iff the live index holds published signature files. Staged
-    (``_stage_*``) and marker (``_batch_*``) entries are underscore-
-    prefixed — hidden from Spark's reader and skipped here, so an
-    in-flight stage never counts as accepted corpus."""
+    """True iff the live index holds published band-partition dirs.
+    Staged (``_stage_*``) and marker (``_batch_*``) entries are
+    underscore-prefixed — hidden from Spark's reader and skipped here,
+    so an in-flight stage never counts as accepted corpus."""
     if not os.path.isdir(index_dir):
         return False
-    return any(
-        f.endswith(".parquet") and not f.startswith(("_", "."))
-        for f in os.listdir(index_dir)
-    )
+    for entry in os.listdir(index_dir):
+        if entry.startswith("bucket="):
+            sub = os.path.join(index_dir, entry)
+            if os.path.isdir(sub) and any(
+                f.endswith(".parquet") for f in os.listdir(sub)
+            ):
+                return True
+    return False
 
 
 def dedupe_batch(
@@ -118,25 +153,43 @@ def dedupe_batch(
         # --- against the accepted index ---
         dup_vs_index = None
         if _index_has_data(index_dir):
-            idx = spark.read.parquet(index_dir)
-            idx_bands = _bands(idx)
+            # the batch's distinct band buckets (bounded: ≤4·|batch|,
+            # capped at N_IDX_BUCKETS — the same bounded-collect shape
+            # as ParquetStateTable's touched-bucket prune) drive
+            # directory-level partition pruning of the index scan
+            touched = [
+                r[0]
+                for r in bands.select(_bucket_col().alias("bucket"))
+                .distinct()
+                .collect()
+            ]
+            idx = spark.read.parquet(index_dir).filter(
+                F.col("bucket").isin(touched)
+            )
             cand = (
                 bands.alias("nb")
                 .join(
-                    idx_bands.alias("ib"),
+                    idx.alias("ib"),
                     (F.col("nb.band_idx") == F.col("ib.band_idx"))
                     & (F.col("nb.band_hash") == F.col("ib.band_hash")),
                 )
                 .select(
                     F.col("nb.doc_id").alias("new_id"),
                     F.col("ib.doc_id").alias("old_id"),
+                    *[
+                        F.col(f"ib.mh{i}").alias(f"omh{i}")
+                        for i in range(N_PERMS)
+                    ],
                 )
                 .distinct()
             )
+            agree = sum(
+                (F.col(f"n.mh{i}") == F.col(f"omh{i}")).cast("int")
+                for i in range(N_PERMS)
+            ) / F.lit(float(N_PERMS))
             verified = (
                 cand.join(sigs.alias("n"), cand["new_id"] == F.col("n.doc_id"))
-                .join(idx.alias("o"), cand["old_id"] == F.col("o.doc_id"))
-                .filter(_sig_agreement("n", "o") >= threshold)
+                .filter(agree >= threshold)
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
@@ -219,7 +272,11 @@ def apply_batch(
             if kept.count() > 0:
                 kept.write.parquet(os.path.join(stage, "out"))
                 fault("between_stage_writes")
-                _signatures(kept).write.parquet(os.path.join(stage, "index"))
+                (
+                    _index_rows(_signatures(kept))
+                    .write.partitionBy("bucket")
+                    .parquet(os.path.join(stage, "index"))
+                )
             os.makedirs(stage, exist_ok=True)
             fault("before_seal")
             open(complete, "w").close()
@@ -231,11 +288,19 @@ def apply_batch(
         if not os.path.isdir(src):
             continue
         os.makedirs(dest, exist_ok=True)
-        for f in sorted(os.listdir(src)):
-            if not f.endswith(".parquet") or f.startswith(("_", ".")):
-                continue
-            os.replace(os.path.join(src, f), os.path.join(dest, f))
-            fault(f"mid_publish_{sub}")
+        # moves preserve the bucket=NN partition layout of the index;
+        # Spark part-file names are unique per batch, so each move is
+        # idempotent under a publish retry
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            rel = os.path.relpath(root, src)
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                dest_dir = dest if rel == "." else os.path.join(dest, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.replace(os.path.join(root, f), os.path.join(dest_dir, f))
+                fault(f"mid_publish_{sub}")
     os.makedirs(index_dir, exist_ok=True)
     open(marker, "w").close()
     shutil.rmtree(stage, ignore_errors=True)

@@ -152,8 +152,10 @@ def test_crash_injection_no_duplicate_survivors(spark, tmp_path, point):
 
     rows = spark.read.parquet(out).collect()
     assert sorted(r["doc_id"] for r in rows) == [1]  # 3 in-batch-deduped, once
-    idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
-    assert idx_ids == [1]
+    idx_rows = spark.read.parquet(idx).collect()
+    assert sorted({r["doc_id"] for r in idx_rows}) == [1]
+    # one index row per (doc, band), partitioned by band-hash bucket
+    assert len(idx_rows) == 4 and all(r["bucket"] is not None for r in idx_rows)
     assert os.path.exists(os.path.join(idx, "_batch_0"))
     assert not os.path.exists(os.path.join(idx, "_stage_0"))
 
