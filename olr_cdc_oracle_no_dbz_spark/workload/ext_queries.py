@@ -1470,6 +1470,92 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_dedup_keep_longest_oracle() -> str:
+    """Compose from the REGISTERED dedup_clusters oracle verbatim, with
+    the keep rule replayed as a per-cluster argmax."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    clusters = _ORACLES["dedup_clusters"]
+    return f"""
+    WITH labels AS (
+        SELECT doc_id, cluster_id FROM ({clusters}) t
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS keep_id FROM (
+            SELECT l.cluster_id, l.doc_id,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'longest_keeper'
+                ELSE 'unique' END AS kept_reason
+    FROM documents d
+    LEFT JOIN labels l ON l.doc_id = d.doc_id
+    LEFT JOIN best b ON b.keep_id = d.doc_id
+    WHERE l.doc_id IS NULL OR b.keep_id IS NOT NULL
+    """
+
+
+@register(
+    "corpus_dedup_keep_longest", oracle=_corpus_dedup_keep_longest_oracle()
+)
+def corpus_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED near-dedup with a CONTENT-AWARE keep rule: inside each
+    near-dup cluster, survive the LONGEST member (n_chars desc, doc_id
+    tie-break) instead of the arbitrary min-id canonical — the
+    RefinedWeb/C4-style policy (public recipe: among near-duplicates,
+    the longest version usually carries the most content, so dedup
+    should keep it, not whichever crawled first).
+
+    Scale design: identical skeleton to corpus_dedup_apply — clustering
+    on the tiny verified-pair graph, then ONE broadcast join onto the
+    corpus — plus a per-cluster argmax computed as a
+    partial-aggregatable ``max_by`` over (n_chars, -doc_id) structs on
+    the label table only (|clustered docs| rows, never the corpus).
+    The oracle replays the same rule over the registered cluster
+    oracle, so policy and application cannot diverge."""
+    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+    labels = connected_components(
+        pairs.selectExpr("a_id AS s", "b_id AS d")
+    ).select("doc_id", "cluster_id")
+    d = t(spark, sf_dir, "documents")
+    members = d.select("doc_id", "n_chars").join(
+        F.broadcast(labels), "doc_id"
+    )
+    keepers = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+        .withColumn("__keep", F.lit(True))
+    )
+    joined = d.join(F.broadcast(labels), "doc_id", "left").join(
+        F.broadcast(keepers), "doc_id", "left"
+    )
+    return joined.filter(
+        F.col("cluster_id").isNull() | F.col("__keep").isNotNull()
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("cluster_id").isNotNull(), "longest_keeper")
+        .otherwise("unique")
+        .alias("kept_reason"),
+    )
+
+
 @register(
     "corpus_pipeline",
     oracle="""
