@@ -333,6 +333,65 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_freshness_report",
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 'users' ELSE 'orders' END
+                   AS sink_table,
+               event_id, ts
+        FROM events
+    ),
+    g AS (SELECT MAX(ts) AS gmax FROM ev)
+    SELECT sink_table,
+           COUNT(*) AS n_events,
+           MAX(event_id) AS max_scn,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event_ts,
+           (epoch_us((SELECT gmax FROM g)) - epoch_us(MAX(ts))) // 1000000
+               AS lag_seconds
+    FROM ev GROUP BY sink_table
+    """,
+)
+def cdc_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring surface as a QUERY (ST7's batch-checkable face —
+    previously pytest-only via ``progress_summary``): per sink table,
+    the applied-event count, high-water SCN, last event time, and lag
+    behind the freshest table — the numbers a Kafka-UI / Connect-REST
+    operator dashboard shows (docker-compose-main.yml:204-235,
+    README.md:863-868), over the same two-table demux convention as
+    ``cdc_multi_table_routing``. The global freshness mark is a 1-row
+    broadcast aggregate (never an unpartitioned window)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "users")
+        .otherwise("orders")
+        .alias("sink_table"),
+        "event_id",
+        "ts",
+    )
+    per_table = ev.groupBy("sink_table").agg(
+        F.count("*").alias("n_events"),
+        F.max("event_id").alias("max_scn"),
+        F.max("ts").alias("_max_ts"),
+    )
+    gmax = ev.agg(F.max("ts").alias("_gmax"))
+    return (
+        per_table.crossJoin(F.broadcast(gmax))
+        .select(
+            "sink_table",
+            "n_events",
+            "max_scn",
+            F.date_format("_max_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_event_ts"
+            ),
+            # integer `div`, not double `/`: a float quotient can round
+            # across an integer boundary before the cast truncates
+            F.expr(
+                "(unix_micros(_gmax) - unix_micros(_max_ts)) div 1000000"
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+@register(
     "cdc_state_enriched",
     oracle=f"""
     WITH state AS ({_STATE_SQL}),
