@@ -101,6 +101,7 @@ _BNLJ_ALLOWED = {
     "events_funnel_windowed",  # three 1-row stage counts zipped (1×1)
     "events_rfm_segmentation",  # 1-row corpus-max-ts broadcast × per-user rows
     "data_quality_checks",  # five 1-row (violations × checked) zips (1×1)
+    "cdc_freshness_report",  # 1-row global-freshness-mark broadcast × 2 rows
 }
 
 
