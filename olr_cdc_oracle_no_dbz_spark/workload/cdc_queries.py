@@ -10,7 +10,7 @@ README.md:775-798 — in batch form so DuckDB can verify them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.cdc import decode_events, filter_source, unwrap
@@ -1050,4 +1050,94 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_fk_orders", fk_l, n_l))
         .unionAll(row("lineitem_qty_range", rng, n_l))
         .unionAll(row("events_value_nonnull", nn, n_e))
+    )
+
+
+@register(
+    "cdc_column_change_report",
+    oracle="""
+    WITH trans AS (
+        SELECT user_id,
+               event_type, value, props,
+               lag(event_type) OVER w AS p_type,
+               lag(value)      OVER w AS p_value,
+               lag(props)      OVER w AS p_props
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    diffs AS (
+        SELECT CAST(SUM(CASE WHEN event_type IS DISTINCT FROM p_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_type,
+               CAST(SUM(CASE WHEN value IS DISTINCT FROM p_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_value,
+               CAST(SUM(CASE WHEN props IS DISTINCT FROM p_props
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c_props,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM trans WHERE p_type IS NOT NULL OR p_value IS NOT NULL
+                      OR p_props IS NOT NULL
+    )
+    SELECT col_name, n_changed, n_transitions,
+           CAST(CAST(n_changed AS DECIMAL(18,6))
+                / n_transitions AS DECIMAL(9,6))::VARCHAR AS change_ratio
+    FROM (
+        SELECT 'event_type' AS col_name, c_type AS n_changed,
+               n_trans AS n_transitions FROM diffs
+        UNION ALL
+        SELECT 'value', c_value, n_trans FROM diffs
+        UNION ALL
+        SELECT 'props', c_props, n_trans FROM diffs
+    )
+    """,
+)
+def cdc_column_change_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level change-frequency report over the changelog — the
+    observability face of the reference's full before/after images
+    (``column: 2`` captures every column's before image on updates,
+    scripts/OpenLogReplicator.json:16; supplemental logging ALL COLUMNS
+    set-up-orl.sql:216). For each consecutive pair of events per key
+    (the update's before→after transition), count which "columns"
+    actually changed — what a schema-drift / hot-column dashboard
+    shows, and the input to deciding column-level capture filters.
+
+    Plan shape: one per-key window (the same single shuffle as the LWW
+    materialization) computes previous-row images via ``lag``; the
+    per-column IS DISTINCT FROM flags reduce in one partial agg to a
+    single row, then unpivot to one row per column — output is
+    column-count-bounded, never row-bounded."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "event_type",
+        "value",
+        "props",
+        F.lag("event_type").over(w).alias("p_type"),
+        F.lag("value").over(w).alias("p_value"),
+        F.lag("props").over(w).alias("p_props"),
+    ).filter(
+        F.col("p_type").isNotNull()
+        | F.col("p_value").isNotNull()
+        | F.col("p_props").isNotNull()
+    )
+    changed = lambda a, b: F.sum(  # noqa: E731
+        F.when(~F.col(a).eqNullSafe(F.col(b)), 1).otherwise(0)
+    )
+    diffs = trans.agg(
+        changed("event_type", "p_type").alias("c_type"),
+        changed("value", "p_value").alias("c_value"),
+        changed("props", "p_props").alias("c_props"),
+        F.count("*").alias("n_trans"),
+    )
+    unpivoted = diffs.selectExpr(
+        "stack(3, 'event_type', c_type, 'value', c_value,"
+        " 'props', c_props) AS (col_name, n_changed)",
+        "n_trans AS n_transitions",
+    )
+    ratio = (
+        F.col("n_changed").cast("decimal(18,6)") / F.col("n_transitions")
+    ).cast("decimal(9,6)")
+    return unpivoted.select(
+        "col_name",
+        "n_changed",
+        "n_transitions",
+        ratio.cast("string").alias("change_ratio"),
     )

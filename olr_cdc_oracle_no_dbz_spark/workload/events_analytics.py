@@ -990,3 +990,371 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "example_event",
         )
     )
+
+
+@register(
+    "timeseries_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value) AS avg_v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT d.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) d
+        CROSS JOIN (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM span
+        ) g
+    ),
+    joined AS (
+        SELECT g.event_type, g.h,
+               COALESCE(hy.n_obs, 0) AS n_obs, hy.avg_v,
+               epoch(g.h)::BIGINT // 3600 AS idx
+        FROM grid g LEFT JOIN hourly hy
+          ON hy.event_type = g.event_type AND hy.h = g.h
+    ),
+    filled AS (
+        SELECT *,
+               last_value(avg_v IGNORE NULLS) OVER w_fwd AS ff_v,
+               last_value(CASE WHEN avg_v IS NOT NULL THEN idx END
+                          IGNORE NULLS) OVER w_fwd AS ff_idx,
+               first_value(avg_v IGNORE NULLS) OVER w_bwd AS bf_v,
+               first_value(CASE WHEN avg_v IS NOT NULL THEN idx END
+                           IGNORE NULLS) OVER w_bwd AS bf_idx
+        FROM joined
+        WINDOW
+          w_fwd AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_bwd AS (PARTITION BY event_type ORDER BY idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           n_obs,
+           CASE
+             WHEN avg_v IS NOT NULL THEN CAST(avg_v AS DECIMAL(18,8))
+             WHEN ff_v IS NOT NULL AND bf_v IS NOT NULL THEN
+               CAST(ff_v + (bf_v - ff_v)
+                    * (CAST(idx - ff_idx AS DOUBLE)
+                       / CAST(bf_idx - ff_idx AS DOUBLE))
+                    AS DECIMAL(18,8))
+           END::VARCHAR AS value_interp,
+           (avg_v IS NULL AND ff_v IS NOT NULL AND bf_v IS NOT NULL)
+               AS is_interpolated
+    FROM filled
+    """,
+)
+def timeseries_resample_interpolate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series resampling onto a regular hourly grid with LINEAR
+    INTERPOLATION of the gaps — the telemetry/feature-engineering shape
+    (ksqlDB-style continuous series → model-ready regular series) the
+    windowed aggregates don't cover: missing buckets must be *created*
+    and imputed between their observed neighbours, not just aggregated.
+
+    Plan shape: one partial-agg pass builds the per-(type, hour)
+    averages; the grid is synthesized from a 1-row span aggregate with
+    ``sequence()`` + ``explode`` against the distinct-type dimension (a
+    broadcast of two tiny relations — never a scan-sized join); the
+    fill runs as two windows per type ordered by hour. Scale note: the
+    windowed relation is the RESAMPLED series — its size is
+    span_hours x n_types, set by the time range and grid step, not by
+    the raw event count, so the per-partition window is bounded no
+    matter how many raw events back it (the raw scan only feeds the
+    partial agg). Interpolation itself is row-local IEEE arithmetic on
+    deterministic decimal-sum averages, rendered DECIMAL(18,8)→VARCHAR
+    so the driver's pandas hash sees identical strings.
+
+    Reference anchor: the richest ksqlDB analog is a HOPPING window agg
+    (SURVEY §2.4 A6) — this operator is the batch completion of that
+    surface for downstream ML consumers (BASELINE.json north_star).
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "avg_v",
+            F.expr("unix_micros(h) div 3600000000").alias("idx"),
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("avg_v").isNotNull(), F.col("idx"))
+    filled = joined.select(
+        "*",
+        F.last("avg_v", ignorenulls=True).over(w_fwd).alias("ff_v"),
+        F.last(obs_idx, ignorenulls=True).over(w_fwd).alias("ff_idx"),
+        F.first("avg_v", ignorenulls=True).over(w_bwd).alias("bf_v"),
+        F.first(obs_idx, ignorenulls=True).over(w_bwd).alias("bf_idx"),
+    )
+    frac = (F.col("idx") - F.col("ff_idx")).cast("double") / (
+        F.col("bf_idx") - F.col("ff_idx")
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(
+            F.col("ff_v").isNotNull() & F.col("bf_v").isNotNull(),
+            F.col("ff_v") + (F.col("bf_v") - F.col("ff_v")) * frac,
+        )
+        .cast("decimal(18,8)")
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        "n_obs",
+        interp.cast("string").alias("value_interp"),
+        (
+            F.col("avg_v").isNull()
+            & F.col("ff_v").isNotNull()
+            & F.col("bf_v").isNotNull()
+        ).alias("is_interpolated"),
+    )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(value) AS avg_v
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(CAST(avg_v AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(avg_v) AS mean_v
+        FROM daily GROUP BY 1
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d,
+               SUM(CAST(d.avg_v - m.mean_v AS DECIMAL(28,6))) OVER (
+                   PARTITION BY d.event_type ORDER BY d.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cs
+        FROM daily d JOIN m ON m.event_type = d.event_type
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS changepoint_day,
+           CAST(abs(cs) AS VARCHAR) AS max_abs_cusum,
+           n_days
+    FROM (
+        SELECT event_type, d, cs,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cs) DESC, d) AS rk
+        FROM cusum
+    ) WHERE rk = 1
+    """,
+)
+def timeseries_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint screen per event type: the running sum of
+    (daily mean − series mean) peaks in magnitude at the most likely
+    level-shift day (classic CUSUM statistic). The monitoring
+    counterpart to ``events_anomaly_seasonal`` — that flags individual
+    outlier EVENTS, this locates a persistent REGIME CHANGE in the
+    series.
+
+    Determinism: the running sum is an ORDER-FIXED window (ordered by
+    day within type), so casting each addend to DECIMAL(28,6) makes the
+    partial sums exact and engine-identical; the argmax rank then
+    compares exact decimals (ties broken by earliest day). Scale: both
+    windows run over the DAILY series (span_days rows per type — time-
+    bounded, not event-bounded); the raw scan reduces in one partial
+    agg, and the per-type mean joins back as a broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
+    )
+    m = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("avg_v").cast("decimal(28,6)")).cast("double")
+            / F.count("avg_v")
+        ).alias("mean_v"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.sum(
+                (F.col("avg_v") - F.col("mean_v")).cast("decimal(28,6)")
+            )
+            .over(w_run)
+            .alias("cs"),
+        )
+    )
+    w_cnt = Window.partitionBy("event_type")
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cs")).desc(), "d"
+    )
+    return (
+        cusum.select(
+            "event_type",
+            "d",
+            "cs",
+            F.count("*").over(w_cnt).alias("n_days"),
+            F.row_number().over(w_rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
+            F.abs(F.col("cs")).cast("string").alias("max_abs_cusum"),
+            "n_days",
+        )
+    )
+
+
+@register(
+    "events_cooccurrence_affinity",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    per_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+            FROM events)
+    SELECT p.type_a, p.type_b, p.n_both,
+           pa.n_users AS n_a, pb.n_users AS n_b,
+           CAST(CAST(p.n_both AS DECIMAL(18,6))
+                / (pa.n_users + pb.n_users - p.n_both)
+                AS DECIMAL(9,6))::VARCHAR AS jaccard,
+           CAST(CAST(p.n_both * t.n_total AS DECIMAL(28,6))
+                / (pa.n_users * pb.n_users)
+                AS DECIMAL(12,6))::VARCHAR AS lift
+    FROM pairs p
+    JOIN per_type pa ON pa.event_type = p.type_a
+    JOIN per_type pb ON pb.event_type = p.type_b
+    CROSS JOIN tot t
+    """,
+)
+def events_cooccurrence_affinity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bipartite co-occurrence projection (market-basket affinity): the
+    user↔event_type bipartite relation projected onto type–type edges
+    weighted by shared-user count, Jaccard affinity, and lift — the
+    recommender / segmentation primitive ksqlDB users build downstream
+    of the event stream.
+
+    Scale: the self-join runs on the DISTINCT (user, type) relation, so
+    per-user output is bounded by the per-key attribute-set size
+    (≤ |types| per user — bipartite projections are safe exactly when
+    one side has bounded degree), never by raw event count; the raw
+    scan collapses in one dropDuplicates partial agg first. Per-type
+    totals and the global user count join back as broadcasts; ratios
+    are exact-decimal renders."""
+    ut = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    per_type = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    tot = t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_total")
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    jac = (
+        F.col("n_both").cast("decimal(18,6)")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+    ).cast("decimal(9,6)")
+    lift = (
+        (F.col("n_both") * F.col("n_total")).cast("decimal(28,6)")
+        / (F.col("n_a") * F.col("n_b"))
+    ).cast("decimal(12,6)")
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            jac.cast("string").alias("jaccard"),
+            lift.cast("string").alias("lift"),
+        )
+    )

@@ -4281,3 +4281,89 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nd"
         ]).cast("bigint").alias("worst_dim"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables
+        FROM documents
+    ),
+    seg AS (
+        SELECT *, (n_words + 14) // 15 AS n_sentences FROM base
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           (206835 * n_sentences * n_words
+            - 1015 * n_words * n_words
+            - 84600 * n_syllables * n_sentences)
+           // (n_sentences * n_words) AS flesch_milli,
+           CASE
+             WHEN (206835 * n_sentences * n_words
+                   - 1015 * n_words * n_words
+                   - 84600 * n_syllables * n_sentences)
+                  // (n_sentences * n_words) >= 90000 THEN 'very_easy'
+             WHEN (206835 * n_sentences * n_words
+                   - 1015 * n_words * n_words
+                   - 84600 * n_syllables * n_sentences)
+                  // (n_sentences * n_words) >= 60000 THEN 'standard'
+             ELSE 'difficult'
+           END AS band
+    FROM seg
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document — the classic
+    readability gate a pretraining-quality pipeline runs next to the
+    stopword/length heuristics (`text_quality`) and the perplexity
+    filter. Syllables are approximated by vowel-group count (the
+    standard fast estimator) and sentences by fixed 15-word
+    pseudo-segments (the synthetic corpus carries no punctuation; on
+    punctuated text swap in a `[.!?]+` count — the plan is identical).
+
+    The score is emitted in exact INTEGER MILLI-UNITS: multiplying the
+    Flesch formula through by 1000*S*W turns it into pure int64
+    arithmetic (206835*S*W - 1015*W^2 - 84600*Y*S over S*W), so no
+    double→decimal rounding tie can split the engines (the naive
+    double form flipped the 4th decimal at sf0.01 — a HALF_UP vs
+    round-to-nearest cast tie). Bands compare the same integers.
+
+    Scale: a pure zero-shuffle projection — two regexp/split counts and
+    row-local int64 arithmetic per document, whole-stage codegen all
+    the way down; no overflow below ~10^7-word docs (84600*Y*S <
+    2^63)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    ).withColumn("n_sentences", F.expr("(n_words + 14) div 15"))
+    flesch_milli = F.expr(
+        "(206835 * n_sentences * n_words"
+        " - 1015 * n_words * n_words"
+        " - 84600 * n_syllables * n_sentences)"
+        " div (n_sentences * n_words)"
+    )
+    base = base.withColumn("flesch_milli", flesch_milli)
+    band = (
+        F.when(F.col("flesch_milli") >= 90000, "very_easy")
+        .when(F.col("flesch_milli") >= 60000, "standard")
+        .otherwise("difficult")
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_milli",
+        band.alias("band"),
+    )

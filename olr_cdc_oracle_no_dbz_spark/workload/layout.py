@@ -104,3 +104,101 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(65536.0 * 65536.0)
         ).alias("bbox_frac"),
     )
+
+
+@register(
+    "layout_partition_advisor",
+    oracle="""
+    WITH cand AS (
+        SELECT 'event_type' AS candidate, event_type::VARCHAR AS pval
+        FROM events
+        UNION ALL
+        SELECT 'event_date', strftime(CAST(ts AS DATE), '%Y-%m-%d')
+        FROM events
+        UNION ALL
+        SELECT 'user_id', user_id::VARCHAR FROM events
+        UNION ALL
+        SELECT 'user_bucket_32', (user_id % 32)::VARCHAR FROM events
+    ),
+    per_part AS (
+        SELECT candidate, pval, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cand GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(n) AS BIGINT) AS total_rows,
+               CAST(MAX(n) AS BIGINT) AS max_partition_rows
+        FROM per_part GROUP BY 1
+    )
+    SELECT candidate, n_partitions, total_rows, max_partition_rows,
+           total_rows // n_partitions AS avg_partition_rows,
+           CAST(CAST(max_partition_rows AS DECIMAL(18,6)) / total_rows
+                AS DECIMAL(9,6))::VARCHAR AS top_share,
+           CASE
+             WHEN n_partitions < 4 THEN 'too_coarse'
+             WHEN n_partitions > 1000 THEN 'too_many_partitions'
+             WHEN CAST(CAST(max_partition_rows AS DECIMAL(18,6))
+                       / total_rows AS DECIMAL(9,6))
+                  > CAST(0.4 AS DECIMAL(9,6)) THEN 'skewed'
+             ELSE 'good'
+           END AS verdict
+    FROM stats
+    """,
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partition column of the
+    events table, measure the three facts that decide a 100 TB hive
+    layout — partition COUNT (too many ⇒ small-file explosion + listing
+    cost; too few ⇒ no pruning), MAX PARTITION SHARE (skew ⇒ straggler
+    tasks), and average partition size — and emit a verdict. This is
+    the design step behind `scale.write_partitioned`; making it a
+    registered QUERY turns layout guidance into a checked, repeatable
+    report instead of tribal knowledge.
+
+    Thresholds are deliberate: <4 partitions can't parallelize pruning,
+    >1000 (per this events table) explodes file counts, a >40 % top
+    share means one partition dominates runtime. Scale: each candidate
+    is one partial-agg pass over a single projected column (the union
+    is 4 independent agg pipelines, no self-join); per-partition counts
+    reduce to a candidate-bounded report before anything reaches the
+    driver. The exact-decimal share render keeps the verdict
+    engine-identical."""
+    ev = t(spark, sf_dir, "events")
+    candidates = [
+        ("event_type", F.col("event_type").cast("string")),
+        ("event_date", F.date_format(F.to_date("ts"), "yyyy-MM-dd")),
+        ("user_id", F.col("user_id").cast("string")),
+        ("user_bucket_32", (F.col("user_id") % 32).cast("string")),
+    ]
+    stats = None
+    for name, expr in candidates:
+        per_part = ev.groupBy(expr.alias("pval")).agg(
+            F.count("*").alias("n")
+        )
+        s = per_part.agg(
+            F.lit(name).alias("candidate"),
+            F.count("*").alias("n_partitions"),
+            F.sum("n").alias("total_rows"),
+            F.max("n").alias("max_partition_rows"),
+        )
+        stats = s if stats is None else stats.unionAll(s)
+    share = (
+        F.col("max_partition_rows").cast("decimal(18,6)")
+        / F.col("total_rows")
+    ).cast("decimal(9,6)")
+    verdict = (
+        F.when(F.col("n_partitions") < 4, "too_coarse")
+        .when(F.col("n_partitions") > 1000, "too_many_partitions")
+        .when(share > F.lit("0.4").cast("decimal(9,6)"), "skewed")
+        .otherwise("good")
+    )
+    return stats.select(
+        "candidate",
+        "n_partitions",
+        "total_rows",
+        "max_partition_rows",
+        F.expr("total_rows div n_partitions").alias("avg_partition_rows"),
+        share.cast("string").alias("top_share"),
+        verdict.alias("verdict"),
+    )
