@@ -102,6 +102,11 @@ _BNLJ_ALLOWED = {
     "events_rfm_segmentation",  # 1-row corpus-max-ts broadcast × per-user rows
     "data_quality_checks",  # five 1-row (violations × checked) zips (1×1)
     "cdc_freshness_report",  # 1-row global-freshness-mark broadcast × 2 rows
+    # 1-row (min_hour, max_hour) span aggregate broadcast × distinct
+    # event types (≤ |types| rows) before the sequence() explode.
+    "timeseries_resample_interpolate",
+    # 1-row distinct-user-count aggregate broadcast × type-pair rows.
+    "events_cooccurrence_affinity",
 }
 
 
