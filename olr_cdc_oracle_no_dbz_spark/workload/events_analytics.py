@@ -1358,3 +1358,139 @@ def events_cooccurrence_affinity(
             lift.cast("string").alias("lift"),
         )
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               lag(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS) OVER w AS touch_type,
+               lag(CASE WHEN event_type <> 'purchase' THEN ts END
+                   IGNORE NULLS) OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    conv AS (
+        SELECT CASE WHEN touch_ts IS NOT NULL
+                         AND touch_ts >= ts - INTERVAL 7 DAY
+                    THEN touch_type ELSE 'direct' END AS channel,
+               value
+        FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               AS attributed_value
+    FROM conv GROUP BY channel
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent NON-purchase event within a 7-day lookback window
+    (otherwise 'direct') — the standard marketing-attribution cut a
+    ksqlDB user materializes continuously from the event stream.
+
+    Plan shape: one per-key window pass; ``lag(... IGNORE NULLS)``
+    carries the latest preceding touch through purchase runs without a
+    self-join (the naive form — join purchases back against all prior
+    events per user — is quadratic per key; the windowed form is
+    single-pass and bounded by partition size). The lookback test and
+    channel bucketing are row-local, and the final agg is channel-
+    bounded with exact-decimal value sums."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+        F.col("touch_type"),
+    ).otherwise("direct")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trigrams AS (
+        SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n_occurrences, rk
+    FROM (
+        SELECT path, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, path) AS rk
+        FROM trigrams
+    ) WHERE rk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the 10 most frequent 3-step event-type
+    sequences (trigrams over each user's time-ordered stream) — the
+    path-analysis extension of ``events_transition_matrix`` (bigrams).
+    Funnels tell you conversion of a HYPOTHESIZED path; this MINES the
+    dominant paths.
+
+    Plan shape: one per-key window shuffle produces both lags; the
+    trigram count partial-aggregates map-side (key space ≤ |types|³ —
+    tiny); the global top-10 is a TakeOrderedAndProject (sort+limit),
+    and the rank recompute window runs strictly AFTER the limit — the
+    q3/q10 pattern the plan-sweep's limit-bounded window rule
+    enforces, so no unbounded single-partition funnel exists at any
+    corpus size."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    trigrams = (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    top = trigrams.orderBy(F.col("n_occurrences").desc(), "path").limit(10)
+    w_rk = Window.orderBy(F.col("n_occurrences").desc(), "path")
+    return top.select(
+        "path",
+        "n_occurrences",
+        F.row_number().over(w_rk).alias("rk"),
+    )
