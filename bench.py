@@ -74,6 +74,9 @@ EXTENDED = [
     # round-6 operator families
     "ann_topk_ivfpq",          # IVF cell + PQ ADC shortlist + exact refine
     "cdc_multi_table_routing", # filter.table array demux (P1 array form)
+    # late round-6 additions
+    "timeseries_resample_interpolate",  # grid synth + IGNORE NULLS fill
+    "events_attribution_last_touch",    # per-key window attribution
 ]
 
 

@@ -66,6 +66,11 @@ QUERIES = [
     # round-6 additions (VERDICT r5 item 3): the r5 newcomers
     "multimodal_phash_neardup",
     "timeseries_paa_similarity",
+    # late round-6 additions: the new per-key-window / self-join shapes
+    "events_cooccurrence_affinity",
+    "events_attribution_last_touch",
+    "cdc_column_change_report",
+    "timeseries_resample_interpolate",
 ]
 
 _VOWELS = "aeiou"
