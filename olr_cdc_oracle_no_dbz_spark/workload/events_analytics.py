@@ -1494,3 +1494,73 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w_rk).alias("rk"),
     )
+
+
+@register(
+    "events_user_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(ts AS DATE) AS d, user_id
+        FROM events
+    ),
+    daily AS (
+        SELECT month, d, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY month, d
+    ),
+    monthly AS (
+        SELECT month,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM ud GROUP BY month
+    ),
+    davg AS (
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS active_days,
+               CAST(SUM(dau) AS BIGINT) AS user_days
+        FROM daily GROUP BY month
+    )
+    SELECT m.month, d.active_days, d.user_days, m.mau,
+           CAST(CAST(d.user_days AS DECIMAL(18,6))
+                / (d.active_days * m.mau) AS DECIMAL(9,6))::VARCHAR
+               AS stickiness
+    FROM monthly m JOIN davg d ON d.month = m.month
+    """,
+)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product
+    teams watch continuously (mean daily active users over monthly
+    active users; 1.0 = every monthly user active every day). Computed
+    as user_days / (active_days × MAU) so the mean needs no float
+    intermediate — one exact-decimal division at the end.
+
+    Plan shape: one distinct pass over (month, day, user) — map-side
+    partial dedup, the only real shuffle — then two tiny month-keyed
+    aggs joined broadcast. Counts stay integers until the final
+    decimal render, so the ratio is engine-identical."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    ).distinct()
+    daily = ud.groupBy("month", "d").agg(F.count("*").alias("dau"))
+    monthly = ud.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    davg_m = daily.groupBy("month").agg(
+        F.count("*").alias("active_days"),
+        F.sum("dau").alias("user_days"),
+    )
+    stick = (
+        F.col("user_days").cast("decimal(18,6)")
+        / (F.col("active_days") * F.col("mau"))
+    ).cast("decimal(9,6)")
+    return monthly.join(F.broadcast(davg_m), "month").select(
+        "month",
+        "active_days",
+        "user_days",
+        "mau",
+        stick.cast("string").alias("stickiness"),
+    )

@@ -4367,3 +4367,199 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flesch_milli",
         band.alias("band"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(5)}),
+    first_seen AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+                / COUNT(*) AS DECIMAL(9,6))::VARCHAR AS novelty_ratio
+    FROM sh JOIN first_seen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score per document: the fraction of a doc's
+    distinct 5-word shingles whose FIRST corpus occurrence (lowest
+    doc_id — the ingestion-order proxy) is this document. Low novelty
+    flags documents that mostly restate earlier content — the
+    memorization/staleness metric that complements pairwise near-dup
+    detection (which only sees pairs, not cumulative repetition).
+
+    Plan shape: the standard inverted-index skeleton — distinct
+    shingles per doc (explode, map-side distinct), one groupBy(shingle)
+    partial agg for first-seen, one shuffle join back on shingle, one
+    doc-keyed count — everything linear in total shingle volume, the
+    same cost class as dedup_ngram_jaccard's blocking pass. The ratio
+    is an exact-decimal render."""
+    sh = _shingles(spark, sf_dir, 5)
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    ratio = (
+        novel.cast("decimal(18,6)") / F.count("*")
+    ).cast("decimal(9,6)")
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            ratio.cast("string").alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "embedding_label_separation",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS vv
+        FROM embeddings
+    ),
+    comps AS (
+        -- float -> DOUBLE before the decimal cast: the dim_stats
+        -- contract (Spark rounds float32 via shortest-repr, DuckDB
+        -- expands the exact binary value)
+        SELECT label, CAST(unnest(v) AS DOUBLE) AS x,
+               unnest(generate_series(1, len(v))) AS dim
+        FROM e
+    ),
+    dims AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM comps GROUP BY label, dim
+    ),
+    cents AS (
+        SELECT label, array_agg(m ORDER BY dim) AS c FROM dims
+        GROUP BY label
+    ),
+    intra AS (
+        SELECT e.label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(e.vv - 2 * {_sql_dot("e.v", "c.c")}
+                             + {_sql_dot("c.c", "c.c")}
+                        AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+                   AS msd
+        FROM e JOIN cents c ON c.label = e.label
+        GROUP BY e.label
+    ),
+    pairs AS (
+        SELECT a.label AS label, b.label AS other_label,
+               CAST({_sql_dot("a.c", "a.c")} - 2 * {_sql_dot("a.c", "b.c")}
+                    + {_sql_dot("b.c", "b.c")} AS DECIMAL(16,8)) AS dsq,
+               row_number() OVER (
+                   PARTITION BY a.label
+                   ORDER BY CAST({_sql_dot("a.c", "a.c")}
+                                 - 2 * {_sql_dot("a.c", "b.c")}
+                                 + {_sql_dot("b.c", "b.c")}
+                            AS DECIMAL(16,8)), b.label) AS rk
+        FROM cents a JOIN cents b ON a.label <> b.label
+    )
+    SELECT i.label, i.n_vectors,
+           CAST(CAST(i.msd AS DECIMAL(16,8)) AS VARCHAR) AS intra_msd,
+           p.other_label AS nearest_label,
+           CAST(p.dsq AS VARCHAR) AS nearest_centroid_dsq
+    FROM intra i JOIN pairs p ON p.label = i.label AND p.rk = 1
+    """,
+)
+def embedding_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-separability report over the labeled embedding table:
+    per label, the centroid (exact-decimal per-dimension means), the
+    mean squared distance of members to their own centroid (intra-
+    cluster spread), and the nearest OTHER label's centroid with its
+    squared distance — the silhouette-style health check an embedding-
+    quality pipeline runs after training or after a drift alarm
+    (complements ``embedding_drift_report``: drift says the encoder
+    moved, this says whether classes still separate).
+
+    Plan shape: one posexplode partial-agg pass builds |labels|×dims
+    centroid components (output is label-bounded); centroids re-
+    assemble via sort-by-dim collect and broadcast back onto the
+    vectors, so member distances use the v·v − 2v·c + c·c identity
+    with the order-fixed sequential fold (_dot) — zero extra shuffles
+    beyond the label agg. The |labels|² centroid pair matrix is
+    driver-trivial and ranked on exact DECIMAL(16,8)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("vv"),
+    )
+    comps = e.select(
+        "label", F.posexplode("v").alias("dim0", "xf")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    dims = comps.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    joined = e.join(F.broadcast(cents), "label")
+    dist = (
+        F.col("vv")
+        - 2 * _dot("v", "c")
+        + _dot("c", "c")
+    )
+    intra = joined.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum(dist.cast("decimal(28,6)")).cast("double")
+        ).alias("_sd"),
+    ).select(
+        "label",
+        "n_vectors",
+        (F.col("_sd") / F.col("n_vectors"))
+        .cast("decimal(16,8)")
+        .cast("string")
+        .alias("intra_msd"),
+    )
+    a = cents.select(
+        F.col("label").alias("label"), F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("other_label"), F.col("c").alias("cb")
+    )
+    dsq = (
+        _dot("ca", "ca") - 2 * _dot("ca", "cb") + _dot("cb", "cb")
+    ).cast("decimal(16,8)")
+    w_rk = Window.partitionBy("label").orderBy("dsq", "other_label")
+    pairs = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other_label"))
+        .select("label", "other_label", dsq.alias("dsq"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+    )
+    return intra.join(F.broadcast(pairs), "label").select(
+        "label",
+        "n_vectors",
+        "intra_msd",
+        F.col("other_label").alias("nearest_label"),
+        F.col("dsq").cast("string").alias("nearest_centroid_dsq"),
+    )

@@ -107,6 +107,9 @@ _BNLJ_ALLOWED = {
     "timeseries_resample_interpolate",
     # 1-row distinct-user-count aggregate broadcast × type-pair rows.
     "events_cooccurrence_affinity",
+    # |labels|×|labels| centroid pair matrix (class-label cardinality,
+    # not data volume) — the vectors themselves never nested-loop.
+    "embedding_label_separation",
 }
 
 
