@@ -1141,3 +1141,84 @@ def cdc_column_change_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         ratio.cast("string").alias("change_ratio"),
     )
+
+
+@register(
+    "cdc_key_lifecycle_report",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS p_type
+        FROM events
+    ),
+    per_key AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserts,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes,
+               CAST(SUM(CASE WHEN event_type NOT IN ('signup', 'error')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+               CAST(SUM(CASE WHEN p_type = 'error'
+                                  AND event_type <> 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrections
+        FROM seq GROUP BY user_id
+    )
+    SELECT CASE
+             WHEN n_deletes = 0 THEN 'never_deleted'
+             WHEN n_resurrections > 0 THEN 'resurrected'
+             ELSE 'deleted'
+           END AS lifecycle,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_inserts) AS BIGINT) AS inserts,
+           CAST(SUM(n_updates) AS BIGINT) AS updates,
+           CAST(SUM(n_deletes) AS BIGINT) AS deletes,
+           CAST(SUM(n_resurrections) AS BIGINT) AS resurrections
+    FROM per_key GROUP BY 1
+    """,
+)
+def cdc_key_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-lifecycle audit over the changelog: per key, count inserts /
+    updates / deletes (the FIXTURES.md op mapping: signup=c, error=d,
+    rest=u) and RESURRECTIONS — a non-delete op arriving after a delete
+    for the same key, the pattern that breaks naive
+    drop-on-delete sinks and motivates the reference's tombstone +
+    rewrite modes (README.md:793-795). Rolled up into lifecycle
+    cohorts, so the output is cohort-bounded.
+
+    Plan shape: the same single per-key window shuffle as the LWW
+    materialization (lag detects delete→live transitions), one per-key
+    partial agg, one cohort-bounded final agg — linear, no self-join."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("p_type"),
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    per_key = seq.groupBy("user_id").agg(
+        flag(F.col("event_type") == "signup").alias("n_inserts"),
+        flag(F.col("event_type") == "error").alias("n_deletes"),
+        flag(~F.col("event_type").isin("signup", "error")).alias(
+            "n_updates"
+        ),
+        flag(
+            (F.col("p_type") == "error") & (F.col("event_type") != "error")
+        ).alias("n_resurrections"),
+    )
+    lifecycle = (
+        F.when(F.col("n_deletes") == 0, "never_deleted")
+        .when(F.col("n_resurrections") > 0, "resurrected")
+        .otherwise("deleted")
+    )
+    return per_key.groupBy(lifecycle.alias("lifecycle")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_inserts").alias("inserts"),
+        F.sum("n_updates").alias("updates"),
+        F.sum("n_deletes").alias("deletes"),
+        F.sum("n_resurrections").alias("resurrections"),
+    )

@@ -1564,3 +1564,79 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         stick.cast("string").alias("stickiness"),
     )
+
+
+@register(
+    "events_activity_concentration",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    binned AS (
+        SELECT CAST(len(bin(n_events)) AS INTEGER) AS activity_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS events_in_bin
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_events FROM events)
+    SELECT activity_bin, n_users, events_in_bin,
+           CAST(CAST(events_in_bin AS DECIMAL(18,6)) / t.total_events
+                AS DECIMAL(9,6))::VARCHAR AS share,
+           CAST(CAST(SUM(events_in_bin) OVER (
+                    ORDER BY activity_bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DECIMAL(18,6)) / t.total_events
+                AS DECIMAL(9,6))::VARCHAR AS cum_share_from_top
+    FROM binned CROSS JOIN tot t
+    """,
+)
+def events_activity_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity-concentration (whale-curve) report: users bucketed into
+    power-of-two activity bins (bin = bit length of their event count —
+    the HLL ``bin()``-length idiom, zero floating point), with each
+    bin's share of total events and the cumulative share from the
+    heaviest bin down. Answers "do the top users dominate the
+    workload?" WITHOUT a global per-user sort: the classic Lorenz/
+    Pareto cut needs rank over ALL users (single-partition window — the
+    100 TB anti-pattern), while log₂ binning gives the same
+    concentration picture with a bin-bounded (≤64-row) output.
+
+    Plan shape: one per-user partial agg, one bin-bounded agg, and a
+    window over ≤64 bins; the 1-row total broadcasts. Shares are exact-
+    decimal renders of pure integer counts."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    binned = per_user.groupBy(
+        F.length(F.bin("n_events")).cast("int").alias("activity_bin")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("events_in_bin"),
+    ).limit(100)  # no-op bound (≤64 bins exist): pins the unpartitioned
+    # cumulative window to a provably limit-bounded input, the invariant
+    # test_plans' registry sweep enforces
+    tot = ev.agg(F.count("*").alias("total_events"))
+    w_cum = (
+        Window.orderBy(F.col("activity_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = (
+        F.col("events_in_bin").cast("decimal(18,6)")
+        / F.col("total_events")
+    ).cast("decimal(9,6)")
+    cum = (
+        F.sum("events_in_bin").over(w_cum).cast("decimal(18,6)")
+        / F.col("total_events")
+    ).cast("decimal(9,6)")
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "activity_bin",
+            "n_users",
+            "events_in_bin",
+            share.cast("string").alias("share"),
+            cum.cast("string").alias("cum_share_from_top"),
+        )
+    )

@@ -110,6 +110,8 @@ _BNLJ_ALLOWED = {
     # |labels|×|labels| centroid pair matrix (class-label cardinality,
     # not data volume) — the vectors themselves never nested-loop.
     "embedding_label_separation",
+    # 1-row total-events aggregate broadcast × ≤64 activity bins.
+    "events_activity_concentration",
 }
 
 
