@@ -55,6 +55,18 @@ SHOWCASE = {
     "dedup_semantic": "corpus-derived K: zero-shuffle inline-centroid assignment; within-cell pairs bounded by cell size",
     "embedding_jl_projection": "literal Rademacher matrix in codegen: zero-join projection, one ~20-row histogram shuffle",
     "corpus_dedup_keep_longest": "pair-graph clustering + per-cluster max_by argmax + one broadcast corpus join",
+    # late round-6 additions
+    "timeseries_resample_interpolate": "span-bounded grid via sequence/explode; IGNORE NULLS fill windows over the resampled series only",
+    "events_attribution_last_touch": "one per-key window pass (IGNORE NULLS last); channel-bounded final agg",
+    "events_cooccurrence_affinity": "self-join on the distinct bounded-degree relation; totals join back broadcast",
+    "cdc_column_change_report": "per-key lag window + single partial agg to a column-bounded unpivot",
+    "text_readability": "pure zero-shuffle int64 codegen projection",
+    "text_ngram_novelty": "inverted-index first-seen pass + shingle-keyed join back",
+    "embedding_label_separation": "label-bounded centroid agg, broadcast back; |labels|^2 pair matrix only",
+    "events_top_paths": "per-key lag trigrams; TakeOrderedAndProject then post-limit rank",
+    "events_user_stickiness": "one distinct pass; month-keyed aggs joined broadcast",
+    "cdc_key_lifecycle_report": "per-key lag window + cohort-bounded rollup",
+    "events_activity_concentration": "bin-bounded agg; cumulative window after explicit limit",
 }
 
 _KEEP = re.compile(
