@@ -408,3 +408,130 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("a.event_id").alias("example_a"),
         F.min("b.event_id").alias("example_b"),
     )
+
+
+@register(
+    "join_geo_neighbors",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100000 AS DOUBLE) / 5000 AS lat,
+               CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                         AS BIGINT) % 100000 AS DOUBLE) / 5000 AS lon,
+               (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100000) // 5000 AS celly,
+               (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                     AS BIGINT) % 100000) // 5000 AS cellx
+        FROM customer
+    ),
+    expanded AS (
+        SELECT p.*, p.cellx + dx.v AS ncellx, p.celly + dy.v AS ncelly
+        FROM pts p
+        CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+    ),
+    cand AS (
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.lat AS lat1, a.lon AS lon1,
+               b.lat AS lat2, b.lon AS lon2
+        FROM expanded a JOIN pts b
+          ON a.ncellx = b.cellx AND a.ncelly = b.celly
+             AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+        SELECT key_a, key_b,
+               CAST(2 * 6371.0088 * asin(sqrt(
+                   sin(radians(lat2 - lat1) / 2)
+                     * sin(radians(lat2 - lat1) / 2)
+                   + cos(radians(lat1)) * cos(radians(lat2))
+                     * sin(radians(lon2 - lon1) / 2)
+                     * sin(radians(lon2 - lon1) / 2)
+               )) AS DECIMAL(12,3)) AS dist_km
+        FROM cand
+    )
+    SELECT key_a, key_b, CAST(dist_km AS VARCHAR) AS dist_km
+    FROM scored
+    WHERE dist_km <= CAST(25 AS DECIMAL(12,3))
+    """,
+)
+def join_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join via GRID-CELL BLOCKING: each point lands
+    in an integer 1°×1° cell (derived with pure integer arithmetic —
+    no float floor at the blocking boundary), one side expands to its
+    3×3 cell neighborhood, and the candidate join is a plain equi-join
+    on cell ids — the standard distributed spatial-join shape (the
+    geo analog of the LSH band join: candidates from blocking, exact
+    haversine refine after). Any pair within 25 km must share or
+    neighbor a cell (1° ≥ 111 km ≫ 25 km), so blocking loses nothing.
+
+    Scale: candidates are sum-of-cell-size products over 9 neighbor
+    cells — density-bounded, never N²; the refine is row-local trig
+    compared on DECIMAL(12,3) (millimeter-insensitive, the
+    scalar_geo_distance libm contract). Coordinates are deterministic
+    synthetic points per customer (independent md5-derived lat/lon over a 100k-unit box — the repo's
+    md5-bucket determinism idiom — so pair counts track point DENSITY ×
+    radius area at every scale, with no lattice artifacts), the scalars.py convention."""
+    c = t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.expr(
+            "conv(substring(md5(cast(c_custkey AS string)), 1, 8), 16, 10)"
+            " % 100000"
+        ).cast("double") / 5000).alias("lat"),
+        (F.expr(
+            "conv(substring(md5(cast(c_custkey AS string)), 9, 8), 16, 10)"
+            " % 100000"
+        ).cast("double") / 5000).alias("lon"),
+        F.expr(
+            "cast(conv(substring(md5(cast(c_custkey AS string)), 1, 8),"
+            " 16, 10) AS bigint) % 100000 div 5000"
+        ).alias("celly"),
+        F.expr(
+            "cast(conv(substring(md5(cast(c_custkey AS string)), 9, 8),"
+            " 16, 10) AS bigint) % 100000 div 5000"
+        ).alias("cellx"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    expanded = pts.select("*", offsets.alias("o")).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        (F.col("cellx") + F.col("o.dx")).alias("ncellx"),
+        (F.col("celly") + F.col("o.dy")).alias("ncelly"),
+    )
+    a = expanded.alias("a")
+    b = pts.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.ncellx") == F.col("b.cellx"))
+        & (F.col("a.ncelly") == F.col("b.celly"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.col("a.lat").alias("lat1"),
+        F.col("a.lon").alias("lon1"),
+        F.col("b.lat").alias("lat2"),
+        F.col("b.lon").alias("lon2"),
+    )
+    dlat = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    dlon = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.col("lat1")))
+        * F.cos(F.radians(F.col("lat2")))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    dist = (2 * 6371.0088 * F.asin(F.sqrt(h))).cast("decimal(12,3)")
+    return (
+        cand.select("key_a", "key_b", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= F.lit("25").cast("decimal(12,3)"))
+        .select(
+            "key_a", "key_b", F.col("dist_km").cast("string").alias("dist_km")
+        )
+    )
