@@ -67,6 +67,7 @@ SHOWCASE = {
     "events_user_stickiness": "one distinct pass; month-keyed aggs joined broadcast",
     "cdc_key_lifecycle_report": "per-key lag window + cohort-bounded rollup",
     "events_activity_concentration": "bin-bounded agg; cumulative window after explicit limit",
+    "join_geo_neighbors": "3x3 grid-cell equi-join candidates + row-local haversine refine (no cartesian)",
 }
 
 _KEEP = re.compile(
