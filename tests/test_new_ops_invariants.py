@@ -159,3 +159,31 @@ def test_concentration_shares_sum_to_one(spark, q):
     assert math.isclose(
         float(rows[-1].cum_share_from_top), 1.0, abs_tol=1e-5
     )
+
+
+def test_column_change_transitions_conserve_events(spark, q):
+    """Each user's first event has no predecessor, so the transition
+    count must be exactly n_events - n_users; all three column rows
+    must agree on it."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = q["cdc_column_change_report"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert {r.n_transitions for r in rows} == {n_events - n_users}
+    assert {r.col_name for r in rows} == {"event_type", "value", "props"}
+    for r in rows:
+        assert 0 <= r.n_changed <= r.n_transitions
+
+
+def test_novelty_first_doc_is_fully_novel(spark, q):
+    """The lowest doc_id has no earlier corpus, so every one of its
+    shingles is first-seen there: novelty_ratio must be exactly 1."""
+    rows = q["text_ngram_novelty"](spark, SF).collect()
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles
+    assert float(first.novelty_ratio) == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
