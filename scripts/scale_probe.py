@@ -169,10 +169,16 @@ def main() -> None:
     from olr_cdc_oracle_no_dbz_spark.workload import queries
 
     qs = queries()
-    times: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    # optional roster filter: probe only a comma-separated subset
+    # (supplementary runs for late additions without re-timing the world)
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    roster = [q for q in QUERIES if not only or q in only.split(",")]
+    if only:
+        roster += [q for q in only.split(",") if q not in roster and q in qs]
+    times: dict[str, dict[int, float]] = {q: {} for q in roster}
     for factor in factors:
         sf_dir = replicate(spark, factor)
-        for q in QUERIES:
+        for q in roster:
             t0 = time.monotonic()
             qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
