@@ -4563,3 +4563,69 @@ def embedding_label_separation(
         F.col("other_label").alias("nearest_label"),
         F.col("dsq").cast("string").alias("nearest_centroid_dsq"),
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ')[1] AS blk,
+               substr(text, 1, 80) AS head
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, edit_dist, (edit_dist <= 20) AS is_near
+    FROM cand WHERE edit_dist <= 40
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup (record-linkage style): candidate pairs
+    from FIRST-WORD blocking, refined by the Levenshtein distance of
+    the 80-char document heads — the fuzzy-match primitive the
+    shingle/MinHash family can't express (token-set methods are blind
+    to within-token typos; edit distance is character-exact). Emits
+    every candidate with distance ≤ 40 plus the ≤ 20 near flag, so the
+    report shows the margin, not just the verdict.
+
+    Scale: blocking bounds candidates by the sum of squared block
+    sizes (the inverted-index/LSH law — never N²); the refine is a
+    row-local integer DP on fixed-length 80-char heads (O(80²) per
+    pair, branchless in the JVM), and INTEGER distances make the gate
+    hash exact on both engines. Single-pass blocking trades recall for
+    cost exactly like one LSH band — production linkage runs multiple
+    block keys (first word, last word, length bucket) and unions, the
+    same composition `dedup_overlap_report` demonstrates for the
+    shingle family."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("blk"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    # spread blocks across tasks BEFORE the pair fan-out: the doc table
+    # arrives as one file -> one partition, and without this every
+    # candidate pair's O(80^2) DP would run in a single task (measured
+    # 41s at sf0.1; 3.5s repartitioned). Hash-partitioning on the block
+    # key is also the co-location a cluster deployment wants.
+    a = d.repartition(32, "blk").alias("a")
+    b = d.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.levenshtein(F.col("a.head"), F.col("b.head"))
+        .cast("bigint")
+        .alias("edit_dist"),
+    )
+    return cand.filter(F.col("edit_dist") <= 40).select(
+        "a_id",
+        "b_id",
+        "edit_dist",
+        (F.col("edit_dist") <= 20).alias("is_near"),
+    )
