@@ -77,6 +77,7 @@ EXTENDED = [
     # late round-6 additions
     "timeseries_resample_interpolate",  # grid synth + IGNORE NULLS fill
     "events_attribution_last_touch",    # per-key window attribution
+    "dedup_fuzzy_levenshtein",          # blocked edit-distance near-dup
 ]
 
 

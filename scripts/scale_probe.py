@@ -71,6 +71,7 @@ QUERIES = [
     "events_attribution_last_touch",
     "cdc_column_change_report",
     "timeseries_resample_interpolate",
+    "dedup_fuzzy_levenshtein",
 ]
 
 _VOWELS = "aeiou"
