@@ -1,0 +1,165 @@
+"""Command-line surface: run any registered query, ad-hoc SQL, or the
+config-defined CDC pipeline without writing a driver script.
+
+This is the operational face a reference user lands on after
+``docker compose up`` went away: the same four verbs their old stack
+spread across ksqlDB-cli, Connect REST, and psql.
+
+    python -m olr_cdc_oracle_no_dbz_spark list [SUBSTRING]
+    python -m olr_cdc_oracle_no_dbz_spark query NAME [--sf-dir D]
+        [--limit N] [--explain] [--out DIR]
+    python -m olr_cdc_oracle_no_dbz_spark sql "SELECT ..." [--sf-dir D]
+        [--limit N] [--explain] [--out DIR]
+    python -m olr_cdc_oracle_no_dbz_spark pipeline --olr-config F
+        [--sink-config F]... --source-dir D --work-dir D [--follow]
+
+``query``/``sql`` print results to stdout (bounded by --limit, default
+20 — never an unbounded collect) or write a parquet directory with
+--out, in which case nothing funnels through the driver. ``pipeline``
+assembles the reference-shaped JSON configs via config.run_pipeline
+(multi-table filter.table arrays included) and either drains available
+input (default, availableNow) or follows the directory (--follow).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(app: str):
+    from olr_cdc_oracle_no_dbz_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _emit(df, args) -> None:
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+        return
+    df.show(args.limit, truncate=False)
+
+
+def cmd_list(args) -> int:
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    names = sorted(queries())
+    if args.filter:
+        names = [n for n in names if args.filter in n]
+    print("\n".join(names))
+    print(f"-- {len(names)} queries", file=sys.stderr)
+    return 0
+
+
+def cmd_query(args) -> int:
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    qs = queries()
+    if args.name not in qs:
+        near = [n for n in sorted(qs) if args.name in n]
+        print(
+            f"unknown query {args.name!r}"
+            + (f"; did you mean: {', '.join(near[:5])}" if near else ""),
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark(f"query-{args.name}")
+    _emit(qs[args.name](spark, args.sf_dir), args)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from olr_cdc_oracle_no_dbz_spark.catalog import register_views
+
+    spark = _spark("sql")
+    register_views(spark, args.sf_dir)
+    _emit(spark.sql(args.statement), args)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from olr_cdc_oracle_no_dbz_spark.config import (
+        apply_sink_config,
+        apply_sink_configs,
+        load_capture_config,
+        run_pipeline,
+    )
+
+    olr = json.loads(open(args.olr_config).read())
+    cfg = load_capture_config(olr)
+    if len(args.sink_config) == 1:
+        # single connector: full-topic subscription (the shipped
+        # reference document, README.md:784)
+        cfg = apply_sink_config(
+            cfg, json.loads(open(args.sink_config[0]).read())
+        )
+    elif args.sink_config:
+        # one connector per table, claimed by per-table topic
+        connectors = [json.loads(open(p).read()) for p in args.sink_config]
+        cfg = apply_sink_configs(cfg, connectors)
+    spark = _spark("pipeline")
+    query, states = run_pipeline(
+        spark,
+        cfg,
+        args.source_dir,
+        args.work_dir,
+        available_now=not args.follow,
+    )
+    query.awaitTermination()
+    if not isinstance(states, dict):
+        states = {cfg.sink_table or cfg.table.lower(): states}
+    for sink, st in states.items():
+        n = st.current(cfg.delete_mode).count() if st.exists() else 0
+        print(f"{sink}: {n} current-state rows under {st.path}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="olr_cdc_oracle_no_dbz_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    default_sf = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+    p = sub.add_parser("list", help="list registered queries")
+    p.add_argument("filter", nargs="?", default=None)
+    p.set_defaults(fn=cmd_list)
+
+    def io_args(p):
+        p.add_argument("--sf-dir", default=default_sf)
+        p.add_argument("--limit", type=int, default=20)
+        p.add_argument("--explain", action="store_true")
+        p.add_argument("--out", default=None)
+
+    p = sub.add_parser("query", help="run a registered query by name")
+    p.add_argument("name")
+    io_args(p)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("sql", help="run ANSI SQL over the table views")
+    p.add_argument("statement")
+    io_args(p)
+    p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser(
+        "pipeline", help="run the config-defined CDC pipeline"
+    )
+    p.add_argument("--olr-config", required=True)
+    p.add_argument("--sink-config", action="append", default=[])
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--follow", action="store_true")
+    p.set_defaults(fn=cmd_pipeline)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

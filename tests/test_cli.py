@@ -1,0 +1,115 @@
+"""CLI surface (python -m olr_cdc_oracle_no_dbz_spark): the operational
+verbs a reference user replaces ksqlDB-cli / Connect REST / psql with.
+Runs main() in-process (the session fixture's JVM is reused — get_spark
+returns the active session), so these cover argument wiring, query
+dispatch, parquet --out, and the config-driven pipeline verb
+end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from olr_cdc_oracle_no_dbz_spark.__main__ import main
+from tests.conftest import event, product_row, write_tx_file
+from tests.test_config import CAPTURE, CONNECTOR
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_list_filters(capsys):
+    assert main(["list", "dedup_exact"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["dedup_exact"]
+
+
+def test_cli_query_unknown_suggests(capsys, spark):
+    assert main(["query", "dedup_exac"]) == 2
+    err = capsys.readouterr().err
+    assert "dedup_exact" in err
+
+
+def test_cli_query_out_writes_parquet(tmp_path, spark):
+    out = str(tmp_path / "res")
+    assert (
+        main(["query", "agg_basic", "--sf-dir", SF, "--out", out]) == 0
+    )
+    df = spark.read.parquet(out)
+    assert df.count() > 0
+    assert "event_type" in df.columns
+
+
+def test_cli_sql_runs_over_views(capsys, spark):
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT COUNT(*) AS n FROM lineitem",
+                "--sf-dir",
+                SF,
+                "--limit",
+                "5",
+            ]
+        )
+        == 0
+    )
+    assert "n" in capsys.readouterr().out
+
+
+def test_cli_pipeline_materializes_state(tmp_path, capsys, spark):
+    src = str(tmp_path / "feed")
+    work = str(tmp_path / "work")
+    write_tx_file(
+        src,
+        "tx1.json",
+        [
+            event(1, "c", after=product_row(1, "widget")),
+            event(2, "c", after=product_row(2, "gadget")),
+        ],
+    )
+    write_tx_file(
+        src,
+        "tx2.json",
+        [
+            event(
+                3,
+                "u",
+                before=product_row(1, "widget"),
+                after=product_row(1, "widget-v2"),
+            ),
+            event(4, "d", before=product_row(2, "gadget")),
+        ],
+    )
+    olr_path = str(tmp_path / "olr.json")
+    conn_path = str(tmp_path / "connector.json")
+    open(olr_path, "w").write(json.dumps(CAPTURE))
+    open(conn_path, "w").write(json.dumps(CONNECTOR))
+    assert (
+        main(
+            [
+                "pipeline",
+                "--olr-config",
+                olr_path,
+                "--sink-config",
+                conn_path,
+                "--source-dir",
+                src,
+                "--work-dir",
+                work,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "products" in out
+    from olr_cdc_oracle_no_dbz_spark.streaming.state import (
+        ParquetStateTable,
+    )
+
+    st = ParquetStateTable(
+        spark, os.path.join(work, "state-products"), key_cols=("id",)
+    )
+    rows = {r.id: r for r in st.current("rewrite").collect()}
+    # rewrite mode: update applied, delete flagged
+    assert rows[1].name == "widget-v2"
+    assert rows[2]["__deleted"]
