@@ -4609,8 +4609,10 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrives as one file -> one partition, and without this every
     # candidate pair's O(80^2) DP would run in a single task (measured
     # 41s at sf0.1; 3.5s repartitioned). Hash-partitioning on the block
-    # key is also the co-location a cluster deployment wants.
-    a = d.repartition(32, "blk").alias("a")
+    # key is also the co-location a cluster deployment wants; width
+    # follows the session's shuffle-partition setting, not a constant.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = d.repartition(n_part, "blk").alias("a")
     b = d.alias("b")
     cand = a.join(
         b,
