@@ -4631,3 +4631,74 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edit_dist",
         (F.col("edit_dist") <= 20).alias("is_near"),
     )
+
+
+@register(
+    "multimodal_exact_dedup",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id, source, md5(text) AS h,
+               octet_length(encode(text)) AS nbytes
+        FROM documents
+    ),
+    groups AS (
+        SELECT h,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS keeper_id,
+               array_to_string(list_sort(array_agg(doc_id)), ',')
+                   AS copy_ids,
+               MIN(nbytes) AS payload_bytes,
+               array_to_string(list_sort(list_distinct(array_agg(source))), ',')
+                   AS sources
+        FROM blobs GROUP BY h
+    )
+    SELECT h, n_copies, (n_copies > 1) AS is_duplicated,
+           keeper_id, copy_ids, payload_bytes, sources
+    FROM groups
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed EXACT dedup for binary payloads: byte-identical
+    blobs collapse to one md5 group — every distinct content is one row
+    (so the report doubles as the content-addressed catalog), with the
+    duplicated groups flagged — reported with every member id, the
+    keeper (lowest id — the corpus_dedup_apply rule), payload size, and
+    the shards involved — the first pass every image/audio dataset
+    build runs (identical downloads recur across crawls FAR more often
+    than near-dups), and the exact-layer complement to
+    ``multimodal_phash_neardup``. Payloads are the documents' UTF-8
+    bytes standing in for blobs (multimodal_metadata's convention);
+    the same plan applies unchanged to real image bytes because only
+    the hash, never the payload, leaves the scan.
+
+    Scale: one partial-agg shuffle keyed by the 128-bit hash (payload
+    bytes themselves are never shuffled — the map side reduces each
+    blob to 16 bytes + id), group state bounded by duplicate-set
+    sizes. Cross-shard duplicates surface in `sources`."""
+    d = t(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.octet_length(F.col("text").cast("binary")).alias("nbytes"),
+    )
+    groups = blobs.groupBy("h").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("doc_id")))
+        ).alias("copy_ids"),
+        F.min("nbytes").alias("payload_bytes"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(F.col("source")))
+        ).alias("sources"),
+    )
+    return groups.select(
+        "h",
+        "n_copies",
+        (F.col("n_copies") > 1).alias("is_duplicated"),
+        "keeper_id",
+        "copy_ids",
+        "payload_bytes",
+        "sources",
+    )
