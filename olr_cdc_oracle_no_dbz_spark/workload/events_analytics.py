@@ -1640,3 +1640,124 @@ def events_activity_concentration(
             cum.cast("string").alias("cum_share_from_top"),
         )
     )
+
+
+@register(
+    "events_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE props IS NOT NULL
+    ),
+    supp AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM baskets
+        GROUP BY item
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM baskets),
+    pair AS (
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT p.antecedent, p.consequent, p.n_both,
+               sa.n AS n_antecedent,
+               CAST(CAST(p.n_both AS DECIMAL(18,6)) / sa.n
+                    AS DECIMAL(9,6)) AS confidence,
+               CAST(CAST(p.n_both * t.n_users AS DECIMAL(28,6))
+                    / (sa.n * sc.n) AS DECIMAL(12,6)) AS lift
+        FROM pair p
+        JOIN supp sa ON sa.item = p.antecedent
+        JOIN supp sc ON sc.item = p.consequent
+        CROSS JOIN tot t
+    )
+    SELECT antecedent, consequent, n_both, n_antecedent,
+           CAST(confidence AS VARCHAR) AS confidence,
+           CAST(lift AS VARCHAR) AS lift, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY lift DESC, antecedent, consequent) AS rk
+        FROM rules
+    ) WHERE rk <= 20
+    """,
+)
+def events_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules (A-Priori 2-itemsets) over the per-user item
+    baskets hiding in ``props.k`` — the DIRECTIONAL market-basket
+    operator: confidence(a→b) = supp(ab)/supp(a) is asymmetric, which
+    is what distinguishes a rule engine from
+    ``events_cooccurrence_affinity``'s symmetric edges; top-20 by exact
+    decimal lift with a deterministic tie-break.
+
+    Scale: baskets are the DISTINCT (user, item) relation (map-side
+    dedup); the pair fan-out is bounded per user by basket size and the
+    pair-support aggregate by |items|² (10⁴ here) — never by the raw
+    event count; supports and the user total join back as broadcasts;
+    the final rank runs over the item-bounded rule relation via
+    sort+limit then a post-limit rank recompute (the plan-sweep
+    pattern)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    baskets = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    ).distinct()
+    supp = baskets.groupBy("item").agg(F.count("*").alias("n"))
+    tot = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = supp.select(
+        F.col("item").alias("antecedent"), F.col("n").alias("n_antecedent")
+    )
+    sc = supp.select(
+        F.col("item").alias("consequent"), F.col("n").alias("n_consequent")
+    )
+    conf = (
+        F.col("n_both").cast("decimal(18,6)") / F.col("n_antecedent")
+    ).cast("decimal(9,6)")
+    lift = (
+        (F.col("n_both") * F.col("n_users")).cast("decimal(28,6)")
+        / (F.col("n_antecedent") * F.col("n_consequent"))
+    ).cast("decimal(12,6)")
+    rules = (
+        pair.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+    )
+    top = rules.orderBy(
+        F.col("lift").desc(), "antecedent", "consequent"
+    ).limit(20)
+    w_rk = Window.orderBy(F.col("lift").desc(), "antecedent", "consequent")
+    return top.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        F.col("confidence").cast("string").alias("confidence"),
+        F.col("lift").cast("string").alias("lift"),
+        F.row_number().over(w_rk).alias("rk"),
+    )

@@ -112,6 +112,8 @@ _BNLJ_ALLOWED = {
     "embedding_label_separation",
     # 1-row total-events aggregate broadcast × ≤64 activity bins.
     "events_activity_concentration",
+    # 1-row user-count aggregate broadcast × item-bounded rule rows.
+    "events_association_rules",
 }
 
 
