@@ -72,6 +72,7 @@ QUERIES = [
     "cdc_column_change_report",
     "timeseries_resample_interpolate",
     "dedup_fuzzy_levenshtein",
+    "events_association_rules",
 ]
 
 _VOWELS = "aeiou"
