@@ -68,6 +68,9 @@ SHOWCASE = {
     "cdc_key_lifecycle_report": "per-key lag window + cohort-bounded rollup",
     "events_activity_concentration": "bin-bounded agg; cumulative window after explicit limit",
     "join_geo_neighbors": "3x3 grid-cell equi-join candidates + row-local haversine refine (no cartesian)",
+    "dedup_fuzzy_levenshtein": "block-key repartition then equi-join candidates; row-local integer DP refine",
+    "multimodal_exact_dedup": "map-side blob->md5 reduction; one 16-byte-key shuffle",
+    "events_association_rules": "distinct baskets; per-user pair fan-out; broadcast supports; post-limit rank",
 }
 
 _KEEP = re.compile(
