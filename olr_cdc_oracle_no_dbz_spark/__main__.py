@@ -10,6 +10,8 @@ spread across ksqlDB-cli, Connect REST, and psql.
         [--limit N] [--explain] [--out DIR]
     python -m olr_cdc_oracle_no_dbz_spark sql "SELECT ..." [--sf-dir D]
         [--limit N] [--explain] [--out DIR]
+    python -m olr_cdc_oracle_no_dbz_spark oracle NAME [--sf-dir D]
+        [--limit N]
     python -m olr_cdc_oracle_no_dbz_spark pipeline --olr-config F
         [--sink-config F]... --source-dir D --work-dir D [--follow]
 
@@ -83,6 +85,34 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_oracle(args) -> int:
+    """Run a query's DuckDB oracle SQL — the differential-debugging
+    half of `query`: same name, same tables, the independent engine."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    oracles = entry_mod.oracle_sql()
+    if args.name not in oracles:
+        print(f"no oracle registered for {args.name!r}", file=sys.stderr)
+        return 2
+    con = duckdb.connect()
+    for tname in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"'{os.path.join(args.sf_dir, tname + '.parquet')}'"
+        )
+    rel = con.execute(oracles[args.name])
+    rows = rel.fetchmany(args.limit)
+    print(" | ".join(d[0] for d in rel.description))
+    for r in rows:
+        print(" | ".join(str(v) for v in r))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from olr_cdc_oracle_no_dbz_spark.config import (
         apply_sink_config,
@@ -146,6 +176,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("statement")
     io_args(p)
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser(
+        "oracle", help="run a query's DuckDB oracle SQL"
+    )
+    p.add_argument("name")
+    p.add_argument("--sf-dir", default=default_sf)
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_oracle)
 
     p = sub.add_parser(
         "pipeline", help="run the config-defined CDC pipeline"

@@ -113,3 +113,10 @@ def test_cli_pipeline_materializes_state(tmp_path, capsys, spark):
     # rewrite mode: update applied, delete flagged
     assert rows[1].name == "widget-v2"
     assert rows[2]["__deleted"]
+
+
+def test_cli_oracle_runs_duckdb_side(capsys):
+    assert main(["oracle", "agg_basic", "--sf-dir", SF, "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "event_type" in out
+    assert main(["oracle", "no_such_query"]) == 2
