@@ -14,6 +14,7 @@ spread across ksqlDB-cli, Connect REST, and psql.
         [--limit N]
     python -m olr_cdc_oracle_no_dbz_spark pipeline --olr-config F
         [--sink-config F]... --source-dir D --work-dir D [--follow]
+        [--table-schema "OWNER.TABLE=id INT, title STRING"]...
 
 ``query``/``sql`` print results to stdout (bounded by --limit, default
 20 — never an unbounded collect) or write a parquet directory with
@@ -134,12 +135,25 @@ def cmd_pipeline(args) -> int:
         connectors = [json.loads(open(p).read()) for p in args.sink_config]
         cfg = apply_sink_configs(cfg, connectors)
     spark = _spark("pipeline")
+    schemas = {}
+    if args.table_schema:
+        from pyspark.sql.types import StructType
+
+        from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
+
+        for spec in args.table_schema:
+            key, ddl = spec.split("=", 1)
+            owner, tbl = key.split(".", 1)
+            schemas[(owner, tbl)] = change_event_schema(
+                StructType.fromDDL(ddl)
+            )
     query, states = run_pipeline(
         spark,
         cfg,
         args.source_dir,
         args.work_dir,
         available_now=not args.follow,
+        schemas=schemas or None,
     )
     query.awaitTermination()
     if not isinstance(states, dict):
@@ -193,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-dir", required=True)
     p.add_argument("--work-dir", required=True)
     p.add_argument("--follow", action="store_true")
+    p.add_argument(
+        "--table-schema",
+        action="append",
+        default=[],
+        metavar="OWNER.TABLE=DDL",
+        help="row-image DDL for a non-default captured table",
+    )
     p.set_defaults(fn=cmd_pipeline)
 
     args = parser.parse_args(argv)

@@ -120,3 +120,67 @@ def test_cli_oracle_runs_duckdb_side(capsys):
     out = capsys.readouterr().out
     assert "event_type" in out
     assert main(["oracle", "no_such_query"]) == 2
+
+
+def test_cli_pipeline_multi_table_with_schemas(tmp_path, capsys, spark):
+    """The filter.table ARRAY path through the CLI: two tables with
+    different image shapes demuxed in one pass, the CATEGORY envelope
+    supplied as --table-schema DDL."""
+    from tests.test_config import CAPTURE_MULTI, CONNECTOR_MULTI, category_row
+
+    src = str(tmp_path / "feed")
+    work = str(tmp_path / "work")
+    write_tx_file(
+        src,
+        "tx1.json",
+        [
+            event(1, "c", after=product_row(1, "widget")),
+            event(2, "c", after=category_row(7, "Tools"), table="CATEGORY"),
+        ],
+    )
+    write_tx_file(
+        src,
+        "tx2.json",
+        [
+            event(
+                3,
+                "u",
+                before=category_row(7, "Tools"),
+                after=category_row(7, "Hardware"),
+                table="CATEGORY",
+            ),
+        ],
+    )
+    olr_path = str(tmp_path / "olr.json")
+    conn_path = str(tmp_path / "connector.json")
+    open(olr_path, "w").write(json.dumps(CAPTURE_MULTI))
+    open(conn_path, "w").write(json.dumps(CONNECTOR_MULTI))
+    assert (
+        main(
+            [
+                "pipeline",
+                "--olr-config",
+                olr_path,
+                "--sink-config",
+                conn_path,
+                "--source-dir",
+                src,
+                "--work-dir",
+                work,
+                "--table-schema",
+                "OLR_DB.CATEGORY=id INT, title STRING",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "product_sink" in out and "category_sink" in out
+    from olr_cdc_oracle_no_dbz_spark.streaming.state import (
+        ParquetStateTable,
+    )
+
+    cats = ParquetStateTable(
+        spark, os.path.join(work, "state-category_sink"), key_cols=("id",)
+    )
+    rows = {r.id: r.title for r in cats.current("drop").collect()}
+    assert rows == {7: "Hardware"}
