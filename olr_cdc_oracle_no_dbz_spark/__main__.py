@@ -141,9 +141,21 @@ def cmd_pipeline(args) -> int:
 
         from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
 
+        captured = {(o, tb) for o, tb, _, _ in cfg.routes}
         for spec in args.table_schema:
             key, ddl = spec.split("=", 1)
             owner, tbl = key.split(".", 1)
+            if (owner, tbl) not in captured:
+                # a miscased/unknown spec would otherwise be silently
+                # ignored (run_pipeline falls back to the default
+                # envelope → null-decoded columns, ADVICE r6)
+                valid = ", ".join(f"{o}.{tb}" for o, tb in sorted(captured))
+                print(
+                    f"--table-schema {key!r} matches no captured table "
+                    f"(case-sensitive); captured: {valid}",
+                    file=sys.stderr,
+                )
+                return 2
             schemas[(owner, tbl)] = change_event_schema(
                 StructType.fromDDL(ddl)
             )
@@ -157,7 +169,9 @@ def cmd_pipeline(args) -> int:
     )
     query.awaitTermination()
     if not isinstance(states, dict):
-        states = {cfg.sink_table or cfg.table.lower(): states}
+        # mirror run_pipeline's fallback chain exactly, or the printed
+        # sink name can disagree with the state-dir name (ADVICE r6)
+        states = {cfg.sink_table or (cfg.topic or cfg.table.lower()): states}
     for sink, st in states.items():
         n = st.current(cfg.delete_mode).count() if st.exists() else 0
         print(f"{sink}: {n} current-state rows under {st.path}")

@@ -30,19 +30,27 @@ from pyspark.sql import DataFrame
 DURABLE_CONF = "spark.graft.checkpoint.durable"
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and return a lineage-free DataFrame.
 
-    Eager in both modes: callers overwrite inputs right after
+    Eager by default: most callers overwrite inputs right after
     (state-merge) or iterate on the result (CC fixpoint), so laziness
-    here would defeat the point.
+    there would defeat the point. Pass ``eager=False`` from REGISTRY
+    query builders (lazy-construction contract: building a query must
+    not run a job — ``--explain``, ``dump_plans``, and the test_plans
+    sweeps construct hundreds of plans without executing them; an
+    eager cut there runs a real Spark job per construction and strands
+    unreplicated checkpoint blocks in executor storage, ADVICE r6).
+    A lazy cut still truncates lineage and still shares one
+    materialization across multiple consumers — it just happens on the
+    first action instead of at construction.
     """
     spark = df.sparkSession
     durable = (
         str(spark.conf.get(DURABLE_CONF, "false")).lower() == "true"
     )
     if not durable:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         raise ValueError(
@@ -50,4 +58,4 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
             "spark.sparkContext.setCheckpointDir(<shared-fs-path>); "
             "a driver-local path would be unreadable to other executors"
         )
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)

@@ -310,7 +310,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (median 2.2s vs 3.0s) and cold-run 10.1s -> 2.3s.
     from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 
-    raw = truncate_lineage(raw)
+    raw = truncate_lineage(raw, eager=False)
 
     def route(tbl: str, row_schema) -> DataFrame:
         decoded = decode_events(raw, change_event_schema(row_schema))

@@ -429,7 +429,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges feeds deg (twice) + the orientation join: cut its lineage
     # so the distinct+window derivation runs once (measured at sf0.01:
     # 12.0s -> 1.4s with both cuts; sf0.1: 5.1s -> 3.6s).
-    edges = truncate_lineage(edges)
+    edges = truncate_lineage(edges, eager=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -451,7 +451,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan->distinct->window->join pipeline per consumer (static plan:
     # 40 FileScans). Materialize it once — same pattern as the CC
     # fixpoint; durable-checkpoint flag applies on clusters.
-    oriented = truncate_lineage(oriented)
+    oriented = truncate_lineage(oriented, eager=False)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

@@ -99,9 +99,50 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-_SIGN_BUCKET = "concat_ws('', transform(slice({v}, 1, 8), x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+_LSH_POP = 8  # target sign-LSH bucket population (vectors per bucket)
+_LSH_BITS_MIN = 8  # bit floor: the fixed r1–r6 design was exactly 8 bits
+
+
+def _sign_bits(n: int) -> int:
+    """Corpus-size-derived sign-LSH bit count (VERDICT r6 item 1 — the
+    ``_derive_k`` pattern applied to the hash family): bits =
+    max(8, ceil(log2(ceil(n / _LSH_POP)))), so the bucket count grows
+    ~N/_LSH_POP and the sum-of-squared-bucket-sizes cost of the bucket
+    self-/equi-joins stays ~N·pop instead of degrading toward N²/256
+    at a fixed 8 bits (the r6 knn-graph probe read alpha=0.75).
+    Integer-exact ceil-log2 via bit_length, replayed bit-identically by
+    the oracle's GREATEST(floor, length(bin(m - 1))): bin() emits no
+    leading zeros, so length(bin(m-1)) == (m-1).bit_length() for
+    m >= 2, and the m<=1 edge lands on the shared 8-bit floor either
+    way. At the test scale factors (500 / 2000 vectors) the derivation
+    lands exactly on the floor — small-SF results are byte-identical
+    to the fixed-8-bit rounds — while the scale probe's ×2/×4
+    replications push it to 9/10 bits."""
+    m = (n + _LSH_POP - 1) // _LSH_POP
+    return max(_LSH_BITS_MIN, (m - 1).bit_length())
+
+
+def _sign_bucket(bits: int) -> str:
+    """Spark-side sign-LSH bucket: the first ``bits`` hyperplane signs
+    rendered as a '0'/'1' string. slice() caps at the array length on
+    both engines, so bits > dims degrades gracefully to the full sign
+    pattern."""
+    return (
+        f"concat_ws('', transform(slice({{v}}, 1, {bits}), "
+        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+    )
+
+
+# DuckDB mirror: the bit count is derived from the same corpus COUNT the
+# Spark side uses (CTE `lshp`, one scalar row), and the bucket slice is
+# bounded by a scalar subquery against it.
+_SQL_LSH_PARAMS = (
+    f"SELECT GREATEST({_LSH_BITS_MIN}, length(bin("
+    f"(COUNT(*) + {_LSH_POP - 1}) // {_LSH_POP} - 1))) AS bits "
+    "FROM embeddings"
+)
 _SQL_SIGN_BUCKET = (
-    "array_to_string(list_transform({v}[1:8], "
+    "array_to_string(list_transform({v}[1:(SELECT bits FROM lshp)], "
     "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
 )
 
@@ -431,7 +472,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
+    WITH lshp AS ({_SQL_LSH_PARAMS}),
+    e AS (
         SELECT vec_id, embedding AS v,
                {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
                {_sql_dot("embedding", "embedding")} AS nsq
@@ -450,19 +492,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with sign-bucket LSH blocking: vectors only
-    compare within their 8-hyperplane-sign bucket (256 buckets ⇒ the
-    join touches ~N²/256 pairs, and in general N·bucket_size). Emits
-    every in-bucket pair with its exact-decimal cosine + near flag
-    (threshold 0.4 — the synthetic table has no cos > 0.52 pair, so a
-    high threshold would make the check vacuous)."""
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.col("embedding").alias("v"),
-            F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
-            _dot("embedding", "embedding").alias("nsq"),
-        )
+    compare within their hyperplane-sign bucket, whose BIT COUNT is
+    derived from the corpus size (``_sign_bits``: ~N/8 buckets), so the
+    join touches ~N·pop pairs at any scale instead of N²/256 at the
+    old fixed 8 bits. Emits every in-bucket pair with its
+    exact-decimal cosine + near flag (threshold 0.4 — the synthetic
+    table has no cos > 0.52 pair, so a high threshold would make the
+    check vacuous)."""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = _sign_bits(emb.count())
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
+        _dot("embedding", "embedding").alias("nsq"),
     )
     a, b = e.alias("a"), e.alias("b")
     # cos is emitted as DECIMAL(16,8): the exact-decimal dot product is
@@ -835,7 +878,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_topk_lsh",
     oracle=f"""
-    WITH e AS (
+    WITH lshp AS ({_SQL_LSH_PARAMS}),
+    e AS (
         SELECT vec_id, embedding AS v,
                {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
                {_sql_dot("embedding", "embedding")} AS nsq
@@ -862,13 +906,16 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path): candidates are
     only the query's own sign-bucket — an equi-join on bucket hash, so
-    cost scales with bucket size, not table size. (An IVF variant would
-    swap the bucket fn for nearest-centroid; the join shape is
-    identical.)"""
-    e = t(spark, sf_dir, "embeddings").select(
+    cost scales with bucket size, not table size; the bucket bit count
+    grows with the corpus (``_sign_bits``) so bucket size stays ~flat
+    at any N. (An IVF variant would swap the bucket fn for
+    nearest-centroid; the join shape is identical.)"""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = _sign_bits(emb.count())
+    e = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
-        F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
+        F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
         _dot("embedding", "embedding").alias("nsq"),
     )
     q = e.filter(F.col("vec_id") < 50).select(
@@ -3544,7 +3591,8 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_knn_graph",
     oracle=f"""
-    WITH e AS (
+    WITH lshp AS ({_SQL_LSH_PARAMS}),
+    e AS (
         SELECT vec_id, embedding AS v,
                {_SQL_SIGN_BUCKET.format(v="embedding")} AS bucket,
                {_sql_dot("embedding", "embedding")} AS nsq
@@ -3578,11 +3626,15 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned to the same buckets); a skewed bucket is the only
     hazard and is exactly what AQE skew-join splitting handles. The
     rank window partitions by vec_id — full parallelism, ≤ bucket-size
-    rows per partition."""
-    e = t(spark, sf_dir, "embeddings").select(
+    rows per partition. The bucket bit count is corpus-derived
+    (``_sign_bits``), so per-bucket population — and the squared-sum
+    join cost per row — stays constant as N grows."""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = _sign_bits(emb.count())
+    e = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
-        F.expr(_SIGN_BUCKET.format(v="embedding")).alias("bucket"),
+        F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
         _dot("embedding", "embedding").alias("nsq"),
     )
     a, b = e.alias("a"), e.alias("b")

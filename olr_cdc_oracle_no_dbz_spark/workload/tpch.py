@@ -834,7 +834,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization point the fact would be scanned and aggregated
     # TWICE (no ReusedExchange across the differing consumers). pv is
     # |parts| rows — truncate once, scan the fact once.
-    pv = truncate_lineage(pv)
+    pv = truncate_lineage(pv, eager=False)
     tot = pv.agg(
         F.sum("val_dec").alias("total_dec"), F.count("*").alias("n")
     )
@@ -935,7 +935,7 @@ def tpch_q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     )
     # same double-consumption materialization as q11: shipped feeds the
     # per-part totals AND the dominance filter; |parts x suppliers| rows
-    shipped = truncate_lineage(shipped)
+    shipped = truncate_lineage(shipped, eager=False)
     part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum("supp_qty").alias("part_qty"), F.count("*").alias("n_supp")
     )

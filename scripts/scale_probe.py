@@ -73,6 +73,9 @@ QUERIES = [
     "timeseries_resample_interpolate",
     "dedup_fuzzy_levenshtein",
     "events_association_rules",
+    # round-7: the sign-LSH consumers after the derived-bit-count fix
+    # (VERDICT r6 items 1+8) — bits grow 8→9→10 across x1/x2/x4 here
+    "ann_topk_lsh",
 ]
 
 _VOWELS = "aeiou"
@@ -174,9 +177,18 @@ def main() -> None:
     # optional roster filter: probe only a comma-separated subset
     # (supplementary runs for late additions without re-timing the world)
     only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    if only:
+        # fail loudly on typos: a misspelled name silently timing nothing
+        # would report success for a probe that never ran (ADVICE r6)
+        unknown = [q for q in only.split(",") if q not in qs]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_PROBE_ONLY names not in the query registry: "
+                f"{unknown} — check spelling against workload.queries()"
+            )
     roster = [q for q in QUERIES if not only or q in only.split(",")]
     if only:
-        roster += [q for q in only.split(",") if q not in roster and q in qs]
+        roster += [q for q in only.split(",") if q not in roster]
     times: dict[str, dict[int, float]] = {q: {} for q in roster}
     for factor in factors:
         sf_dir = replicate(spark, factor)
