@@ -78,6 +78,10 @@ EXTENDED = [
     "timeseries_resample_interpolate",  # grid synth + IGNORE NULLS fill
     "events_attribution_last_touch",    # per-key window attribution
     "dedup_fuzzy_levenshtein",          # blocked edit-distance near-dup
+    # round-7 additions
+    "ann_topk_ivfpq_serve",    # persisted-index serve (sample 1 may build;
+                               # the median keeps the serve-only cost)
+    "cdc_interval_decode",     # P5 interval wire decode + ISO-8601 render
 ]
 
 
@@ -150,6 +154,31 @@ def main() -> int:
         out["extended"] = {
             "value": round(sum(ext.values()), 3),
             "queries": ext,
+        }
+        # train-once/serve-many receipt (VERDICT r6 item 2): build the
+        # persisted ANN index once, then answer top-k from it — serve
+        # must come out well under both the build and the inline
+        # ann_topk_ivfpq row above (which re-trains per invocation)
+        import shutil
+        import tempfile
+
+        from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+        build_dir = tempfile.mkdtemp(prefix="bench_ann_index_")
+        t0 = time.time()
+        ai.build_ann_index(spark, sf_dir, build_dir)
+        build_s = time.time() - t0
+        serve_samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            ai.serve_topk(spark, sf_dir, build_dir, 120, 140).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            serve_samples.append(time.time() - t0)
+        shutil.rmtree(build_dir, ignore_errors=True)
+        out["ann_index"] = {
+            "build": round(build_s, 3),
+            "serve": round(sorted(serve_samples)[runs // 2], 3),
         }
     print(json.dumps(out))
     spark.stop()

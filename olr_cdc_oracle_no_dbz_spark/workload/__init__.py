@@ -116,6 +116,7 @@ def _load_all() -> None:
         return
     from olr_cdc_oracle_no_dbz_spark.workload import (  # noqa: F401
         aggregates,
+        ann_index,
         cdc_queries,
         events_analytics,
         ext_queries,

@@ -1,0 +1,261 @@
+"""Train-once / serve-many ANN index artifact (VERDICT r6 item 2).
+
+``ann_topk_ivfpq`` composes training (Lloyd coarse quantizer + PQ
+codebooks) and search in one query — correct, but a real 100 TB user
+trains ONCE and answers many top-k queries against the persisted index
+(the reference analog: ksqlDB's materialized state reuse,
+docker-compose-main.yml:112-131 — the table is built by one persistent
+query and served by many pull queries). This module is that split:
+
+- ``build_ann_index(spark, sf_dir, out_dir)`` trains the IVF coarse
+  quantizer (``_kmeans_train``, K ∝ N) and the PQ codebook, then
+  persists four parquet tables + a manifest under ``out_dir``:
+  ``centroids`` (cent_id, cv), ``codebook`` (sub_idx, c_idx, cv),
+  ``postings`` (vec_id, cent_id — the inverted file), ``codes``
+  (vec_id, sub_idx, c_idx — the m-byte PQ codes).
+- ``serve_topk(spark, sf_dir, index_dir, lo, hi)`` answers top-k from
+  those tables WITHOUT touching any training code: assign queries to
+  cells with the persisted centroids (inlined literals — zero
+  shuffle), ADC-score each cell's postings against a broadcast
+  per-query LUT, exact-decimal re-rank of the shortlist.
+
+Everything persisted is deterministic (the same decimal-ranked Lloyd
+rounds the ``ann_topk_ivfpq`` oracle replays), and doubles/floats
+round-trip parquet bit-exactly — so the serve gate's DuckDB oracle can
+re-derive the index content from the base table and still match the
+served answers hash-for-hash.
+
+Scale: centroids and codebook are KB-scale (collected/broadcast — the
+legitimate bounded driver actions); postings and codes are the only
+O(N) artifacts and both are narrow (2–3 ints per row). Build cost is
+one corpus scan per Lloyd round; serve cost is |cell| code lookups per
+query plus a 10-row exact re-rank — the IVF+PQ contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olr_cdc_oracle_no_dbz_spark.workload import register
+from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+    _DOT,
+    _derive_k,
+    _dot,
+    _ivfpq_oracle,
+    _kmeans_train,
+    _nearest_cent_inline,
+    _PQ_K,
+    _PQ_M,
+    _PQ_SUB,
+    t,
+)
+
+_MANIFEST = "manifest.json"
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Train and persist the IVF+PQ index; returns the manifest dict."""
+    e = _base(spark, sf_dir)
+    n = e.count()
+    k = _derive_k(n)
+    cents = _kmeans_train(e, k)
+    assign = _nearest_cent_inline(e, cents)
+
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cent_id long, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids")
+    )
+
+    stack_args = ", ".join(
+        f"{s}, slice(v, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
+    )
+    subs = e.selectExpr(
+        "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
+    )
+    codebook = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub_idx", F.col("vec_id").alias("c_idx"), F.col("sv").alias("cv")
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebook")
+    )
+
+    assign.select("vec_id", "cent_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
+
+    pq_dist = F.expr(
+        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
+        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
+    )
+    w_code = Window.partitionBy("vec_id", "sub_idx").orderBy("d", "c_idx")
+    codes = (
+        subs.join(F.broadcast(codebook), "sub_idx")
+        .select("vec_id", "sub_idx", "c_idx", pq_dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_idx", "c_idx")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+
+    manifest = {
+        "n": n,
+        "k": k,
+        "pq_m": _PQ_M,
+        "pq_k": _PQ_K,
+        "pq_sub": _PQ_SUB,
+        "source": os.path.abspath(sf_dir),
+    }
+    tmp = os.path.join(out_dir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return manifest
+
+
+def index_exists(out_dir: str) -> bool:
+    return os.path.isfile(os.path.join(out_dir, _MANIFEST))
+
+
+def serve_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    lo: int,
+    hi: int,
+    shortlist_k: int = 10,
+    final_k: int = 5,
+) -> DataFrame:
+    """Answer IVF+PQ top-k for query ids in [lo, hi) from the PERSISTED
+    index — no training code runs here (pinned by
+    tests/test_ann_index.py, which poisons the trainer and serves)."""
+    if not index_exists(index_dir):
+        raise FileNotFoundError(
+            f"no ANN index at {index_dir}; run build_ann_index first"
+        )
+    e = _base(spark, sf_dir)
+    cents = sorted(
+        (r["cent_id"], list(r["cv"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+    )
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    codebook = spark.read.parquet(os.path.join(index_dir, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).select(
+        F.col("vec_id").alias("neighbor_id"), "sub_idx", "c_idx"
+    )
+
+    qbase = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    q = _nearest_cent_inline(qbase, cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+        F.col("cent_id").alias("qcent"),
+    )
+    qstack = ", ".join(
+        f"{s}, slice(qv, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
+    )
+    qsubs = q.selectExpr(
+        "query_id", f"stack({_PQ_M}, {qstack}) AS (sub_idx, sv)"
+    )
+    pq_dist = F.expr(
+        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
+        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
+    )
+    lut = qsubs.join(F.broadcast(codebook), "sub_idx").select(
+        "query_id", "sub_idx", "c_idx", pq_dist.alias("qd")
+    )
+    cell = (
+        F.broadcast(q.select("query_id", "qcent"))
+        .join(
+            postings,
+            (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cell.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub_idx", "c_idx"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").cast("decimal(20,8)").alias("adc_d2"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist_k)
+        .drop("rn")
+    )
+    nbr = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nsq").alias("nnsq"),
+    )
+    cos = (
+        _dot("qv", "nv") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nnsq")))
+    ).cast("decimal(16,8)")
+    w_rk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        shortlist.join(F.broadcast(q.drop("qcent")), "query_id")
+        .join(nbr, "neighbor_id")
+        .select("query_id", "neighbor_id", "adc_d2", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= final_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_d2").cast("string").alias("adc_d2"),
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+def default_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus index location (the gate's train-once
+    cache): keyed by the resolved sf_dir so sf0.01 and sf0.1 runs never
+    share an index."""
+    import hashlib
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_ann_index", digest
+    )
+
+
+_SERVE_LO, _SERVE_HI = 120, 140
+
+
+@register("ann_topk_ivfpq_serve", oracle=_ivfpq_oracle(_SERVE_LO, _SERVE_HI))
+def ann_topk_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ top-k FROM THE PERSISTED INDEX (train-once/serve-many):
+    the first invocation per corpus builds the index artifact under a
+    deterministic temp path; every later invocation answers purely from
+    the persisted centroids/codebook/postings/codes. The oracle
+    re-derives the same deterministic training from the base table —
+    valid because build is bit-reproducible (decimal ranks, id
+    tie-breaks), which is exactly what makes a persisted index safe to
+    serve from at all. A disjoint query range from ``ann_topk_ivfpq``
+    ([120,140) vs [100,120)) so the two gates never share cached plan
+    fragments."""
+    idx = default_index_dir(sf_dir)
+    if not index_exists(idx):
+        build_ann_index(spark, sf_dir, idx)
+    return serve_topk(spark, sf_dir, idx, _SERVE_LO, _SERVE_HI)

@@ -219,6 +219,71 @@ def cdc_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def routing_row_schemas(spark: SparkSession, sf_dir: str):
+    """The two captured tables' row-image StructTypes (USERS:
+    user_id/event_type; ORDERS: user_id/floored value) — shared by the
+    batch gate and the streaming soak test so both decode with
+    identical envelope schemas."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+    orders = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor("value").alias("fv"),
+    )
+    return users.schema, orders.schema
+
+
+def routing_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved two-table raw topic (one JSON envelope string
+    per row, column ``value``) the P1 demux consumes: even event_ids
+    are OLR_DB.USERS changes, odd are OLR_DB.ORDERS, each with its own
+    image schema. Factored out of the batch gate so the streaming soak
+    (tests/test_streaming_equivalence.py) can stage the SAME topic as
+    files and drain it through materialize_stream_tables."""
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+
+    def envelope(tbl: str, image: F.Column) -> F.Column:
+        return F.to_json(
+            F.struct(
+                F.col("event_id").alias("scn"),
+                F.lit(1).alias("seq"),
+                F.unix_micros(F.col("ts")).alias("tm"),
+                F.concat(F.lit("tx-"), F.col("event_id")).alias("xid"),
+                F.lit("ORCLPDB1").alias("db"),
+                op.alias("op"),
+                F.concat(F.lit("AAA"), F.col("event_id")).alias("rid"),
+                F.lit("OLR_DB").alias("schema_owner"),
+                F.lit(tbl).alias("schema_table"),
+                F.when(op != "c", image).alias("before"),
+                F.when(op != "d", image).alias("after"),
+            )
+        )
+
+    users_image = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+    )
+    orders_image = F.struct(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor("value").alias("fv"),
+    )
+    return (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(envelope("USERS", users_image).alias("value"))
+        .unionAll(
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select(envelope("ORDERS", orders_image).alias("value"))
+        )
+    )
+
+
 @register(
     "cdc_multi_table_routing",
     oracle="""
@@ -256,53 +321,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming.pipeline.materialize_stream_tables``. The output unions
     both sink tables with their origin name, Connect's
     ``table.name.format: ${topic}`` fan-out (README.md:791)."""
-    ev = t(spark, sf_dir, "events")
-    op = (
-        F.when(F.col("event_type") == "signup", "c")
-        .when(F.col("event_type") == "error", "d")
-        .otherwise("u")
-    )
-    users_proj = ev.select(
-        F.col("user_id").cast("long").alias("user_id"), "event_type"
-    )
-    orders_proj = ev.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.floor("value").alias("fv"),
-    )
-
-    def envelope(tbl: str, image: F.Column) -> F.Column:
-        return F.to_json(
-            F.struct(
-                F.col("event_id").alias("scn"),
-                F.lit(1).alias("seq"),
-                F.unix_micros(F.col("ts")).alias("tm"),
-                F.concat(F.lit("tx-"), F.col("event_id")).alias("xid"),
-                F.lit("ORCLPDB1").alias("db"),
-                op.alias("op"),
-                F.concat(F.lit("AAA"), F.col("event_id")).alias("rid"),
-                F.lit("OLR_DB").alias("schema_owner"),
-                F.lit(tbl).alias("schema_table"),
-                F.when(op != "c", image).alias("before"),
-                F.when(op != "d", image).alias("after"),
-            )
-        )
-
-    users_image = F.struct(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("event_type").alias("event_type"),
-    )
-    orders_image = F.struct(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.floor("value").alias("fv"),
-    )
-    raw = (
-        ev.filter(F.col("event_id") % 2 == 0)
-        .select(envelope("USERS", users_image).alias("value"))
-        .unionAll(
-            ev.filter(F.col("event_id") % 2 == 1)
-            .select(envelope("ORDERS", orders_image).alias("value"))
-        )
-    )
+    raw = routing_changelog(spark, sf_dir)
     # ONE shared materialization of the encoded topic: both routes
     # re-scan `raw`, and without a lineage cut each route would re-run
     # the JSON encode (the streaming pipeline reads the topic once per
@@ -311,6 +330,7 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 
     raw = truncate_lineage(raw, eager=False)
+    users_schema, orders_schema = routing_row_schemas(spark, sf_dir)
 
     def route(tbl: str, row_schema) -> DataFrame:
         decoded = decode_events(raw, change_event_schema(row_schema))
@@ -322,8 +342,8 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = latest_state(flat, ("user_id",), ("scn", "seq"))
         return state.filter(~F.col("__deleted"))
 
-    users_live = route("USERS", users_proj.schema)
-    orders_live = route("ORDERS", orders_proj.schema)
+    users_live = route("USERS", users_schema)
+    orders_live = route("ORDERS", orders_schema)
     return (
         users_live.select(
             F.lit("users").alias("sink_table"),
@@ -1229,4 +1249,212 @@ def cdc_key_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_updates").alias("updates"),
         F.sum("n_deletes").alias("deletes"),
         F.sum("n_resurrections").alias("resurrections"),
+    )
+
+
+# -- P5 interval decode gate -------------------------------------------------
+
+# the wire regexes, shared with cdc/intervals.py by import at query build
+# time; inlined here for the oracle (same pattern text, DuckDB RE2 and
+# Java regex agree on this subset)
+_DTS_RE_SQL = r"^(-?)(\d+) (\d+):(\d+):(\d+)(?:\.(\d{1,9}))?$"
+_YTM_RE_SQL = r"^(-?)(\d+)-(\d+)$"
+
+
+def _sql_dts_total(wire: str) -> str:
+    """DuckDB: signed total microseconds of a DTS wire string, NULL when
+    malformed — integer string-math that independently re-derives what
+    decode_dts computes through Spark's real interval type."""
+    g = lambda i: f"regexp_extract({wire}, '{_DTS_RE_SQL}', {i})"  # noqa: E731
+    return f"""
+        CASE WHEN regexp_matches({wire}, '{_DTS_RE_SQL}') THEN
+            (CASE WHEN {g(1)} = '-' THEN -1 ELSE 1 END) *
+            ((((CAST({g(2)} AS BIGINT) * 24
+                + CAST({g(3)} AS BIGINT)) * 60
+                + CAST({g(4)} AS BIGINT)) * 60
+                + CAST({g(5)} AS BIGINT)) * 1000000
+             + CAST(rpad({g(6)}, 6, '0') AS BIGINT))
+        ELSE NULL END"""
+
+
+def _sql_ytm_total(wire: str) -> str:
+    g = lambda i: f"regexp_extract({wire}, '{_YTM_RE_SQL}', {i})"  # noqa: E731
+    return f"""
+        CASE WHEN regexp_matches({wire}, '{_YTM_RE_SQL}') THEN
+            (CASE WHEN {g(1)} = '-' THEN -1 ELSE 1 END) *
+            (CAST({g(2)} AS BIGINT) * 12 + CAST({g(3)} AS BIGINT))
+        ELSE NULL END"""
+
+
+def _sql_dts_iso(total: str) -> str:
+    """Render signed total microseconds as ISO-8601 P{d}DT{h}H{m}M{ss.ffffff}S."""
+    a = f"abs({total})"
+    return f"""
+        CASE WHEN {total} IS NULL THEN NULL ELSE
+            concat(CASE WHEN {total} < 0 THEN '-' ELSE '' END, 'P',
+                   CAST({a} // 86400000000 AS VARCHAR), 'DT',
+                   CAST(({a} % 86400000000) // 3600000000 AS VARCHAR), 'H',
+                   CAST(({a} % 3600000000) // 60000000 AS VARCHAR), 'M',
+                   lpad(CAST(({a} % 60000000) // 1000000 AS VARCHAR), 2, '0'),
+                   '.', lpad(CAST({a} % 1000000 AS VARCHAR), 6, '0'), 'S')
+        END"""
+
+
+def _sql_ytm_iso(total: str) -> str:
+    a = f"abs({total})"
+    return f"""
+        CASE WHEN {total} IS NULL THEN NULL ELSE
+            concat(CASE WHEN {total} < 0 THEN '-' ELSE '' END, 'P',
+                   CAST({a} // 12 AS VARCHAR), 'Y',
+                   CAST({a} % 12 AS VARCHAR), 'M')
+        END"""
+
+
+@register(
+    "cdc_interval_decode",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id,
+            CASE WHEN event_id % 11 = 0 THEN 'not-an-interval' ELSE
+                concat(CASE WHEN event_id % 7 = 0 THEN '-' ELSE '' END,
+                       CAST(event_id % 4 AS VARCHAR), ' ',
+                       lpad(CAST(event_id % 30 AS VARCHAR), 2, '0'), ':',
+                       lpad(CAST(event_id % 60 AS VARCHAR), 2, '0'), ':',
+                       lpad(CAST(event_id % 60 AS VARCHAR), 2, '0'), '.',
+                       CAST(event_id % 997 AS VARCHAR))
+            END AS dts_wire,
+            CASE WHEN event_id % 13 = 0 THEN 'bogus' ELSE
+                concat(CASE WHEN event_id % 7 = 0 THEN '-' ELSE '' END,
+                       CAST(event_id % 5 AS VARCHAR), '-',
+                       CAST(event_id % 18 AS VARCHAR))
+            END AS ytm_wire,
+            (event_id * 1234567) % 200000000000 - 100000000000 AS micros_val,
+            (event_id % 500) - 250 AS months_val
+        FROM events
+    ),
+    totals AS (
+        SELECT event_id,
+            {_sql_dts_total("dts_wire")} AS dts_t,
+            {_sql_ytm_total("ytm_wire")} AS ytm_t,
+            micros_val AS dts_us_t,
+            months_val AS ytm_mo_t
+        FROM w
+    )
+    SELECT event_id,
+        {_sql_dts_iso("dts_t")} AS dts_iso,
+        {_sql_ytm_iso("ytm_t")} AS ytm_iso,
+        {_sql_dts_iso("dts_us_t")} AS dts_us_iso,
+        {_sql_ytm_iso("ytm_mo_t")} AS ytm_mo_iso
+    FROM totals
+    """,
+)
+def cdc_interval_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 interval decode, DuckDB-gated at last (VERDICT r6 item 4):
+    deterministic INTERVAL DAY TO SECOND / YEAR TO MONTH wire values
+    (both string and numeric OLR encodings, interval-dts:9 /
+    interval-ytm:4, scripts/OpenLogReplicator.json:18-19) are decoded
+    through Spark's REAL ANSI interval types (cdc/intervals.py
+    decode_dts/decode_ytm — make_dt_interval/make_ym_interval, the
+    same code the envelope path uses) and rendered back as ISO-8601
+    strings via EXTRACT over the typed interval. The oracle re-derives
+    the rendering with independent integer string-math, so the decode
+    (sign, fraction right-padding, >23h / >11mo carry normalization,
+    malformed→NULL) is differentially checked without the
+    DayTimeIntervalType↔parquet interop risk SURVEY §7 flags.
+
+    Scale: pure per-row projection, zero shuffles — the whole query is
+    one codegen'd map over the scan."""
+    from olr_cdc_oracle_no_dbz_spark.cdc.intervals import decode_dts, decode_ytm
+
+    eid = F.col("event_id")
+    sign = F.when(eid % 7 == 0, F.lit("-")).otherwise(F.lit(""))
+    dts_wire = F.when(eid % 11 == 0, F.lit("not-an-interval")).otherwise(
+        F.concat(
+            sign,
+            (eid % 4).cast("string"),
+            F.lit(" "),
+            F.lpad((eid % 30).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((eid % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((eid % 60).cast("string"), 2, "0"),
+            F.lit("."),
+            (eid % 997).cast("string"),
+        )
+    )
+    ytm_wire = F.when(eid % 13 == 0, F.lit("bogus")).otherwise(
+        F.concat(
+            sign,
+            (eid % 5).cast("string"),
+            F.lit("-"),
+            (eid % 18).cast("string"),
+        )
+    )
+    micros_val = (eid * 1234567) % 200000000000 - 100000000000
+    months_val = (eid % 500) - 250
+    base = t(spark, sf_dir, "events").select(
+        "event_id",
+        decode_dts(dts_wire).alias("dts"),
+        decode_ytm(ytm_wire).alias("ytm"),
+        decode_dts(micros_val, encoding="micros").alias("dts_us"),
+        decode_ytm(months_val, encoding="months").alias("ytm_mo"),
+    )
+
+    # magnitude columns first (extract needs named columns), then render
+    for name in ("dts", "dts_us"):
+        base = base.withColumn(
+            f"{name}_neg", F.expr(f"{name} < INTERVAL '0' SECOND")
+        ).withColumn(
+            f"{name}_abs",
+            F.when(F.col(f"{name}_neg"), F.expr(f"{name} * -1")).otherwise(
+                F.col(name)
+            ),
+        )
+    for name in ("ytm", "ytm_mo"):
+        base = base.withColumn(
+            f"{name}_neg", F.expr(f"{name} < INTERVAL '0' MONTH")
+        ).withColumn(
+            f"{name}_abs",
+            F.when(F.col(f"{name}_neg"), F.expr(f"{name} * -1")).otherwise(
+                F.col(name)
+            ),
+        )
+
+    def render_dts(name: str) -> F.Column:
+        sec = F.expr(f"extract(SECOND FROM {name}_abs)")
+        s_int = sec.cast("int")
+        us = ((sec - s_int.cast("decimal(8,6)")) * 1000000).cast("long")
+        iso = F.concat(
+            F.when(F.col(f"{name}_neg"), F.lit("-")).otherwise(F.lit("")),
+            F.lit("P"),
+            F.expr(f"extract(DAY FROM {name}_abs)").cast("string"),
+            F.lit("DT"),
+            F.expr(f"extract(HOUR FROM {name}_abs)").cast("string"),
+            F.lit("H"),
+            F.expr(f"extract(MINUTE FROM {name}_abs)").cast("string"),
+            F.lit("M"),
+            F.lpad(s_int.cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad(us.cast("string"), 6, "0"),
+            F.lit("S"),
+        )
+        return F.when(F.col(name).isNull(), F.lit(None).cast("string")).otherwise(iso)
+
+    def render_ytm(name: str) -> F.Column:
+        iso = F.concat(
+            F.when(F.col(f"{name}_neg"), F.lit("-")).otherwise(F.lit("")),
+            F.lit("P"),
+            F.expr(f"extract(YEAR FROM {name}_abs)").cast("string"),
+            F.lit("Y"),
+            F.expr(f"extract(MONTH FROM {name}_abs)").cast("string"),
+            F.lit("M"),
+        )
+        return F.when(F.col(name).isNull(), F.lit(None).cast("string")).otherwise(iso)
+
+    return base.select(
+        "event_id",
+        render_dts("dts").alias("dts_iso"),
+        render_ytm("ytm").alias("ytm_iso"),
+        render_dts("dts_us").alias("dts_us_iso"),
+        render_ytm("ytm_mo").alias("ytm_mo_iso"),
     )

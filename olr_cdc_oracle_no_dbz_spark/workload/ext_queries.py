@@ -693,6 +693,18 @@ def _kmeans_assign(
     constant so downstream within-cell work is linear in N; the count
     is one bounded action whose value the oracle reproduces exactly
     (engine-identical COUNT(*))."""
+    return _nearest_cent_inline(e, _kmeans_train(e, k, iters))
+
+
+def _kmeans_train(
+    e: DataFrame, k: int | None = None, iters: int = _KMEANS_T
+) -> list[tuple[int, list[float]]]:
+    """The training half of ``_kmeans_assign``, exposed so the ANN
+    index artifact (workload/ann_index.py, VERDICT r6 item 2) can
+    persist the trained centroids and serve without re-training:
+    deterministic first-K seed + ``iters`` Lloyd rounds, returning the
+    final ``(cent_id, centroid)`` list (KB-scale, the legitimate
+    bounded collect)."""
     if k is None:
         k = _derive_k(e.count())
     seed = (
@@ -727,7 +739,7 @@ def _kmeans_assign(
             .collect()
         )
         cents = sorted((r["cent_id"], list(r["cv"])) for r in means)
-    return _nearest_cent_inline(e, cents)
+    return cents
 
 
 def _sql_kmeans_ctes(k: int | None = None, iters: int = _KMEANS_T) -> str:
@@ -2735,9 +2747,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_topk_ivfpq",
-    oracle=f"""
+def _ivfpq_oracle(lo: int, hi: int) -> str:
+    """The IVF+PQ oracle CTE chain for query ids in [lo, hi) — shared
+    by ``ann_topk_ivfpq`` ([100,120)) and the persisted-index serve
+    gate ``ann_topk_ivfpq_serve`` ([120,140), workload/ann_index.py):
+    the serve path answers from parquet artifacts whose content is
+    bit-reproducible from the base table, so ONE oracle derivation
+    checks both the inline and the train-once/serve-many flows."""
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding AS v,
                {_sql_dot("embedding", "embedding")} AS nsq
@@ -2765,7 +2782,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM subs u JOIN cents c ON c.sub_idx = u.sub_idx
         ) WHERE rn = 1
     ),
-    q AS (SELECT * FROM assign WHERE vec_id >= 100 AND vec_id < 120),
+    q AS (SELECT * FROM assign WHERE vec_id >= {lo} AND vec_id < {hi}),
     qsubs AS (
         SELECT s.vec_id AS query_id, s.sub_idx, s.sv
         FROM subs s JOIN q ON q.vec_id = s.vec_id
@@ -2810,8 +2827,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
         FROM refined
     ) WHERE rk <= 5
-    """,
-)
+    """
+
+
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle(100, 120))
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ search with exact refine — the composed production ANN
     path (Jégou et al. 2011) assembled from this engine's own stages:

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate (VERDICT r6 item 6).
+
+BASELINE.md declares per-query medians the comparison unit, but until
+now nothing enforced it — a regression only surfaced if a human read
+two BENCH_r*.json files side by side. This script diffs two bench
+JSONs per query (headline + extended tiers), applies the documented
+±15 % container-variance band, and exits non-zero when any query
+regressed more than ALLOWED_RATIO (1.5×) — the "unexplained regression"
+threshold: genuine plan regressions (a lost broadcast, a new shuffle,
+a collapsed codegen span) show up as 2-10×, while container noise
+stays inside the band.
+
+Usage:
+    python scripts/bench_compare.py NEW.json [OLD.json]
+    python scripts/bench_compare.py            # two newest BENCH_r*.json
+
+With one argument, OLD defaults to the newest committed BENCH_r*.json.
+A file may be a raw bench.py output line or a driver BENCH_r{N}.json
+wrapper (which nests the JSON line inside "tail").
+
+Small absolute timings are exempt (<0.15 s): a 0.04→0.09 s jitter is
+3 ms of scheduler noise, not a regression. New queries (present only
+in NEW) are reported but never fail the gate — they have no baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ALLOWED_RATIO = 1.5
+VARIANCE_BAND = 0.15
+MIN_ABS_SEC = 0.15
+
+
+def _extract(path: Path) -> dict:
+    """Parse either a raw bench JSON line or a driver wrapper whose
+    ``tail`` embeds it."""
+    text = path.read_text()
+    obj = json.loads(text)
+    if "queries" in obj:
+        return obj
+    tail = obj.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+def _all_queries(bench: dict) -> dict[str, float]:
+    out = dict(bench.get("queries", {}))
+    out.update((bench.get("extended") or {}).get("queries", {}))
+    return out
+
+
+def main(argv: list[str]) -> int:
+    root = Path(__file__).resolve().parent.parent
+    history = sorted(
+        root.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if len(argv) >= 2:
+        new_path, old_path = Path(argv[0]), Path(argv[1])
+    elif len(argv) == 1:
+        new_path = Path(argv[0])
+        if not history:
+            print("no committed BENCH_r*.json to compare against; skipping")
+            return 0
+        old_path = history[-1]
+    else:
+        if len(history) < 2:
+            print("fewer than two BENCH_r*.json files; nothing to compare")
+            return 0
+        new_path, old_path = history[-1], history[-2]
+
+    new, old = _extract(new_path), _extract(old_path)
+    nq, oq = _all_queries(new), _all_queries(old)
+
+    regressions, rows = [], []
+    for name in sorted(set(nq) | set(oq)):
+        if name not in oq:
+            rows.append((name, None, nq[name], "new"))
+            continue
+        if name not in nq:
+            rows.append((name, oq[name], None, "removed"))
+            continue
+        o, n = oq[name], nq[name]
+        ratio = n / o if o > 0 else float("inf")
+        if n >= MIN_ABS_SEC and ratio > ALLOWED_RATIO:
+            verdict = "REGRESSION"
+            regressions.append((name, o, n, ratio))
+        elif ratio > 1 + VARIANCE_BAND:
+            verdict = "slower (within gate)"
+        elif ratio < 1 - VARIANCE_BAND:
+            verdict = "faster"
+        else:
+            verdict = "~"
+        rows.append((name, o, n, verdict))
+
+    for name, o, n, verdict in rows:
+        os = "-" if o is None else f"{o:7.3f}"
+        ns = "-" if n is None else f"{n:7.3f}"
+        print(f"{name:40s} {os} -> {ns}  {verdict}")
+    print(
+        f"\ncompared {new_path.name} vs {old_path.name}: "
+        f"{len(regressions)} regression(s) beyond {ALLOWED_RATIO}x"
+    )
+    if regressions:
+        for name, o, n, ratio in regressions:
+            print(f"  {name}: {o:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

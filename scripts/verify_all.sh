@@ -5,6 +5,8 @@
 #   2. differential gate vs DuckDB at sf0.01 AND sf0.1 (the 10x
 #      rounding-boundary check)
 #   3. headline + extended bench (one JSON line)
+#   4. per-query bench regression gate vs the last committed
+#      BENCH_r*.json (±15% band, fail at >1.5x — VERDICT r6 item 6)
 # Fails fast; ~25 min total on this container.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -19,4 +21,10 @@ echo "== differential gate sf0.1 =="
 CHECK_SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py
 
 echo "== bench =="
-python bench.py
+bench_out=$(mktemp /tmp/bench_now.XXXXXX.json)
+# tee -a: /dev/stderr may be a redirected log file, and tee's default
+# O_TRUNC would wipe everything the gate printed before this point
+python bench.py | tee -a /dev/stderr | tail -n 1 > "$bench_out"
+
+echo "== bench regression gate (per-query medians vs last round) =="
+python scripts/bench_compare.py "$bench_out"

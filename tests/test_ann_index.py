@@ -1,0 +1,50 @@
+"""Train-once/serve-many ANN index (VERDICT r6 item 2): the persisted
+artifact answers the same top-k as the composed train+search query, and
+the serve path provably runs no training."""
+
+from __future__ import annotations
+
+import pytest
+
+from olr_cdc_oracle_no_dbz_spark.workload import queries
+from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_build_persists_and_serve_matches_inline(spark, tmp_path):
+    idx = str(tmp_path / "index")
+    manifest = ai.build_ann_index(spark, SF_DIR, idx)
+    assert manifest["n"] == 500 and manifest["k"] >= 8
+    assert ai.index_exists(idx)
+
+    served = ai.serve_topk(spark, SF_DIR, idx, 100, 120)
+    # the inline train+search gate over the SAME query range must agree
+    inline = queries()["ann_topk_ivfpq"](spark, SF_DIR)
+    assert _rows(served) == _rows(inline)
+
+
+def test_serve_runs_no_training(spark, tmp_path, monkeypatch):
+    """Poison the trainer: serve_topk over a built index must never call
+    _kmeans_train (the whole point of the artifact)."""
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, SF_DIR, idx)
+
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries
+
+    def _boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("serve path invoked the trainer")
+
+    monkeypatch.setattr(ext_queries, "_kmeans_train", _boom)
+    monkeypatch.setattr(ai, "_kmeans_train", _boom)
+    out = ai.serve_topk(spark, SF_DIR, idx, 120, 140)
+    assert out.count() > 0
+
+
+def test_serve_requires_built_index(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="build_ann_index"):
+        ai.serve_topk(spark, SF_DIR, str(tmp_path / "missing"), 0, 5)

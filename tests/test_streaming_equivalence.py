@@ -175,3 +175,83 @@ def test_session_streaming_matches_batch_gate(spark, tmp_path):
     want = queries()["window_session"](spark, SF_DIR)
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
+# Draft: append to tests/test_streaming_equivalence.py — multi-table
+# routing soak at sf0.1 (VERDICT r6 item 7).
+
+
+def test_multi_table_routing_streaming_matches_batch_gate_sf01(spark, tmp_path):
+    """P1 array-routing soak (VERDICT r6 item 7): the two-table demux
+    run for real through readStream + availableNow over an sf0.1-sized
+    changelog (100k interleaved USERS/ORDERS envelopes), drained in TWO
+    restarts over one checkpoint (ST2 continuity), must equal the batch
+    gate `cdc_multi_table_routing` result set exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from olr_cdc_oracle_no_dbz_spark.schemas import change_event_schema
+    from olr_cdc_oracle_no_dbz_spark.streaming import ParquetStateTable
+    from olr_cdc_oracle_no_dbz_spark.streaming.pipeline import (
+        materialize_stream_tables,
+    )
+    from olr_cdc_oracle_no_dbz_spark.workload.cdc_queries import (
+        routing_changelog,
+        routing_row_schemas,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    src = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+
+    # stage the encoded two-table topic as text files, split into two
+    # drains so the second run exercises checkpointed resume + merge
+    raw = routing_changelog(spark, sf_dir)
+    os.makedirs(src)
+    raw.filter(F.crc32(F.col("value")) % 2 == 0).write.mode("append").text(src)
+
+    users_schema, orders_schema = routing_row_schemas(spark, sf_dir)
+    states = {
+        "users": ParquetStateTable(
+            spark, str(tmp_path / "state-users"), key_cols=("user_id",)
+        ),
+        "orders": ParquetStateTable(
+            spark, str(tmp_path / "state-orders"), key_cols=("user_id",)
+        ),
+    }
+    routes = [
+        ("OLR_DB", "USERS", states["users"], change_event_schema(users_schema)),
+        ("OLR_DB", "ORDERS", states["orders"], change_event_schema(orders_schema)),
+    ]
+
+    q = materialize_stream_tables(spark, src, routes, ckpt)
+    q.awaitTermination(300)
+
+    raw.filter(F.crc32(F.col("value")) % 2 == 1).write.mode("append").text(src)
+    q = materialize_stream_tables(spark, src, routes, ckpt)
+    q.awaitTermination(300)
+
+    got = (
+        states["users"]
+        .current()
+        .select(
+            F.lit("users").alias("sink_table"),
+            "user_id",
+            F.col("event_type").alias("val"),
+        )
+        .unionByName(
+            states["orders"]
+            .current()
+            .select(
+                F.lit("orders").alias("sink_table"),
+                "user_id",
+                F.col("fv").cast("string").alias("val"),
+            )
+        )
+    )
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    want = queries()["cdc_multi_table_routing"](spark, sf_dir)
+    cols = ["sink_table", "user_id", "val"]
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows
