@@ -118,6 +118,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "pq_k": _PQ_K,
         "pq_sub": _PQ_SUB,
         "source": os.path.abspath(sf_dir),
+        "source_stat": _source_stat(sf_dir),
     }
     tmp = os.path.join(out_dir, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as fh:
@@ -126,8 +127,38 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return manifest
 
 
+def _source_stat(sf_dir: str) -> list[list]:
+    """Driver-side fingerprint of the source vector table: (relative
+    path, size, mtime_ns) of every file under embeddings.parquet. Zero
+    Spark jobs; changes whenever the table is regenerated, so a cached
+    index can detect it serves a dead corpus."""
+    root = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return [["", st.st_size, st.st_mtime_ns]]
+    out = []
+    for dirpath, _, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append([os.path.relpath(p, root), st.st_size, st.st_mtime_ns])
+    return out
+
+
 def index_exists(out_dir: str) -> bool:
     return os.path.isfile(os.path.join(out_dir, _MANIFEST))
+
+
+def index_fresh(out_dir: str, sf_dir: str) -> bool:
+    """True when a persisted index exists AND its manifest fingerprint
+    matches the current source files — a regenerated corpus invalidates
+    the cache (serving a stale index would silently return wrong
+    neighbors; the gate rebuilds instead)."""
+    if not index_exists(out_dir):
+        return False
+    with open(os.path.join(out_dir, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    return manifest.get("source_stat") == _source_stat(sf_dir)
 
 
 def serve_topk(
@@ -256,6 +287,6 @@ def ann_topk_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ([120,140) vs [100,120)) so the two gates never share cached plan
     fragments."""
     idx = default_index_dir(sf_dir)
-    if not index_exists(idx):
+    if not index_fresh(idx, sf_dir):
         build_ann_index(spark, sf_dir, idx)
     return serve_topk(spark, sf_dir, idx, _SERVE_LO, _SERVE_HI)

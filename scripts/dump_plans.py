@@ -71,6 +71,9 @@ SHOWCASE = {
     "dedup_fuzzy_levenshtein": "block-key repartition then equi-join candidates; row-local integer DP refine",
     "multimodal_exact_dedup": "map-side blob->md5 reduction; one 16-byte-key shuffle",
     "events_association_rules": "distinct baskets; per-user pair fan-out; broadcast supports; post-limit rank",
+    # round-7 additions
+    "ann_topk_ivfpq_serve": "persisted-index serve: parquet postings/codes scans + broadcast LUT, NO training stages",
+    "cdc_interval_decode": "interval decode + ISO render: zero-shuffle codegen projection",
 }
 
 _KEEP = re.compile(

@@ -15,10 +15,11 @@ echo "== pytest =="
 python -m pytest tests/ -q
 
 echo "== differential gate sf0.01 =="
-python scripts/check_correctness.py
+python scripts/check_correctness.py --json /tmp/check_sf001.json
 
 echo "== differential gate sf0.1 =="
-CHECK_SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py
+CHECK_SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py \
+    --json /tmp/check_sf01.json
 
 echo "== bench =="
 bench_out=$(mktemp /tmp/bench_now.XXXXXX.json)

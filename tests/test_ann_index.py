@@ -48,3 +48,23 @@ def test_serve_runs_no_training(spark, tmp_path, monkeypatch):
 def test_serve_requires_built_index(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="build_ann_index"):
         ai.serve_topk(spark, SF_DIR, str(tmp_path / "missing"), 0, 5)
+
+
+def test_stale_index_detected(spark, tmp_path):
+    """A regenerated source table invalidates the cached index (the
+    gate rebuilds instead of serving dead neighbors)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        os.path.join(src, "embeddings.parquet"),
+    )
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+    assert ai.index_fresh(idx, src)
+    # "regenerate" the table: same bytes, new mtime
+    os.utime(os.path.join(src, "embeddings.parquet"))
+    assert not ai.index_fresh(idx, src)
