@@ -389,6 +389,154 @@ _HAMMING = "bit_count(x.sig ^ y.sig)"
 _SQL_HAMMING = "bit_count(xor(x.sig, y.sig))"
 
 
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    mh AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(substr(md5(s || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+                   for i in range(16)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band_hash "
+            f"FROM mh"
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id,
+               ({" + ".join(
+                   f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END"
+                   for i in range(16)
+               )}) AS n_agree
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.a_id
+        JOIN mh mb ON mb.doc_id = c.b_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT e.a_id, e.b_id, e.n_agree,
+           CAST(e.n_agree AS DOUBLE) / 16 AS est_jaccard,
+           CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard,
+           abs(CAST(e.n_agree AS DOUBLE) / 16
+               - CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common))
+               AS abs_err
+    FROM est e
+    JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+    JOIN sizes za ON za.doc_id = e.a_id
+    JOIN sizes zb ON zb.doc_id = e.b_id
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION report: per banded candidate pair, the
+    signature-based Jaccard ESTIMATE (fraction of agreeing minhash
+    components — the unbiased estimator E[agree/k] = J) next to the
+    exact shingle Jaccard and the absolute error. This is the report a
+    pipeline runs to TUNE the LSH parameters (bands x rows, signature
+    width) before trusting the estimate at 100 TB, where computing the
+    exact Jaccard for every pair is unaffordable and the estimator IS
+    the dedup signal.
+
+    Scale: candidates come from the same band equi-join as
+    dedup_minhash_lsh (never all-pairs); the estimate itself is a
+    16-column row-local comparison on the two signature rows — the
+    cheap path — while the exact side (shingle intersection) is only
+    computed for the bounded candidate set, exactly the sampled-audit
+    shape a real calibration run has."""
+    sh = _shingles(spark, sf_dir, 3)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
+                    ),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
+        for b in range(_MINHASH_BANDS)
+    )
+    bands = mh.selectExpr(
+        "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    n_agree = sum(
+        F.when(F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = (
+        cand.join(ma, F.col("ma.doc_id") == F.col("a_id"))
+        .join(mb, F.col("mb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", n_agree.alias("n_agree"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("b_id")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    )
+    est_j = F.col("n_agree").cast("double") / 16
+    return (
+        est.join(inter, ["a_id", "b_id"])
+        .join(za, F.col("za.doc_id") == F.col("a_id"))
+        .join(zb, F.col("zb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "n_agree",
+            est_j.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.abs(est_j - jac).alias("abs_err"),
+        )
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -875,6 +1023,128 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+
+_NPROBE = 2  # cells searched per query (the standard IVF recall knob)
+
+
+def _top_cells_inline(
+    e: DataFrame, cents: list[tuple[int, list[float]]], nprobe: int
+) -> DataFrame:
+    """(vec_id, v, nsq, cent_id): each vector paired with its ``nprobe``
+    NEAREST centroids (not just the top-1 of ``_nearest_cent_inline``) —
+    the multi-probe fan-out, still a pure zero-shuffle projection over
+    inlined centroid literals. Ranking matches the oracle's
+    ``ORDER BY sim DESC, cent_id`` exactly: structs sort ascending by
+    (sim, -cent_id), so the REVERSED array is (sim DESC, cent_id ASC)."""
+    structs = []
+    for cid, cv in cents:
+        lit = _array_sql_literal(cv)
+        sim = F.expr(
+            f"CAST({_DOT.format(a='v', b=lit)}"
+            f" / (sqrt(nsq) * sqrt({_DOT.format(a=lit, b=lit)}))"
+            f" AS DECIMAL(16,8))"
+        )
+        structs.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nci")))
+    top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nprobe)
+    return (
+        e.select("vec_id", "v", "nsq", F.explode(top).alias("c"))
+        .select(
+            "vec_id", "v", "nsq", (-F.col("c.nci")).cast("long").alias("cent_id")
+        )
+    )
+
+
+@register(
+    "ann_topk_ivf_nprobe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    {_sql_kmeans_ctes()},
+    probe AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST({_sql_dot("e.v", "c.cv")}
+                                / (sqrt(e.nsq) * sqrt(c.cnsq))
+                                AS DECIMAL(16,8)) DESC, c.cent_id) AS rk
+            FROM e CROSS JOIN cent{_KMEANS_T}n c
+            WHERE e.vec_id >= 140 AND e.vec_id < 160
+        ) WHERE rk <= {_NPROBE}
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,8)) AS cos_sim
+        FROM probe p
+        JOIN e q ON q.vec_id = p.vec_id
+        JOIN assign c ON c.cent_id = p.cent_id AND c.vec_id <> p.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (nprobe=2): each query searches its TWO
+    nearest cells instead of one — the standard IVF recall/cost knob
+    (a query near a cell boundary misses true neighbors assigned to
+    the adjacent cell; probing both recovers them at 2x the cell-scan
+    cost). Disjoint query range from ann_topk_ivf ([140,160) vs
+    [100,120)). Probe fan-out is a zero-shuffle inlined-centroid
+    projection; cells are disjoint (each vector lives in exactly one),
+    so the union of probed cells never duplicates a candidate and no
+    dedup pass is needed. At 100 TB: search cost is nprobe x cell size
+    per query, still constant per row as N grows (K follows N)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    cents = _kmeans_train(e)
+    assign = _nearest_cent_inline(e, cents)
+    qbase = e.filter((F.col("vec_id") >= 140) & (F.col("vec_id") < 160))
+    probe = _top_cells_inline(qbase, cents, _NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+        F.col("cent_id").alias("qcent"),
+    )
+    cos = (
+        _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
+    ).cast("decimal(16,8)")
+    scored = (
+        F.broadcast(probe)
+        .join(
+            assign,
+            (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)

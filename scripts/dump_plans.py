@@ -74,6 +74,8 @@ SHOWCASE = {
     # round-7 additions
     "ann_topk_ivfpq_serve": "persisted-index serve: parquet postings/codes scans + broadcast LUT, NO training stages",
     "cdc_interval_decode": "interval decode + ISO render: zero-shuffle codegen projection",
+    "ann_topk_ivf_nprobe": "multi-probe fan-out as zero-shuffle inlined-centroid projection; one cell equi-join",
+    "dedup_minhash_estimate": "band equi-join candidates; signature agreement row-local; exact Jaccard on candidates only",
 }
 
 _KEEP = re.compile(
