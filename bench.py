@@ -82,6 +82,9 @@ EXTENDED = [
     "ann_topk_ivfpq_serve",    # persisted-index serve (sample 1 may build;
                                # the median keeps the serve-only cost)
     "cdc_interval_decode",     # P5 interval wire decode + ISO-8601 render
+    "ann_topk_ivf_nprobe",     # multi-probe IVF (2 cells per query)
+    "ann_topk_lsh_bands",      # multi-band sign-LSH candidate union
+    "dedup_minhash_estimate",  # signature-vs-exact Jaccard calibration
 ]
 
 

@@ -146,6 +146,40 @@ _SQL_SIGN_BUCKET = (
     "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
 )
 
+_LSH_BANDS = 4  # independent sign-bands for multi-band candidate union
+_LSH_BAND_MAX_BITS = 16  # 4 bands × 16 bits caps at the 64 source dims
+
+
+def _band_bits(n: int) -> int:
+    """Per-band bit count for multi-band sign-LSH: the corpus-derived
+    ``_sign_bits`` capped so _LSH_BANDS coordinate-slice bands fit the
+    64 source dims (4×16). Beyond the cap a real deployment draws
+    RANDOM hyperplanes instead of coordinate slices — noted, not
+    needed at any probe-reachable scale (the cap binds at n ≳ 512k
+    vectors)."""
+    return min(_LSH_BAND_MAX_BITS, _sign_bits(n))
+
+
+def _sign_band(b: int, bits: int) -> str:
+    """Spark-side band ``b``: the sign pattern of dims
+    [b*bits, (b+1)*bits) — each band an independent hash family drawn
+    from disjoint coordinates."""
+    return (
+        f"concat_ws('', transform(slice({{v}}, {b * bits + 1}, {bits}), "
+        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def _sql_sign_band(b: int) -> str:
+    """DuckDB mirror of ``_sign_band``; band bits from the capped
+    scalar subquery (CTE ``lshp`` must be in scope)."""
+    lo = f"(SELECT LEAST({_LSH_BAND_MAX_BITS}, bits) FROM lshp) * {b} + 1"
+    hi = f"(SELECT LEAST({_LSH_BAND_MAX_BITS}, bits) FROM lshp) * {b + 1}"
+    return (
+        f"array_to_string(list_transform({{v}}[{lo}:{hi}], "
+        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+    )
+
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -1221,6 +1255,113 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             cos.alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos_sim").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "ann_topk_lsh_bands",
+    oracle=f"""
+    WITH lshp AS ({_SQL_LSH_PARAMS}),
+    e AS (
+        SELECT vec_id, embedding AS v,
+               {_sql_dot("embedding", "embedding")} AS nsq
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 50),
+    cand AS (
+        {" UNION ".join(
+            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+            f"FROM q JOIN e c "
+            f"ON {_sql_sign_band(b).format(v='c.v')} = "
+            f"{_sql_sign_band(b).format(v='q.v')} "
+            f"AND c.vec_id <> q.vec_id"
+            for b in range(_LSH_BANDS)
+        )}
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
+                    AS DECIMAL(16,8)) AS cos_sim
+        FROM cand
+        JOIN q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(cos_sim AS VARCHAR) AS cos_sim, rk
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def ann_topk_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-BAND sign-LSH top-k — the banding idea of MinHash LSH
+    applied to hyperplane signs: {_LSH_BANDS} independent sign-bands
+    over disjoint coordinate slices, candidates = every vector that
+    matches the query in ANY band (union, deduped), exact-decimal
+    top-k on the candidate set. A single sign-bucket requires ALL bits
+    to agree — recall collapses for moderate-similarity neighbors (the
+    recall harness measures it near 0 on this corpus); requiring any
+    ONE of {_LSH_BANDS} narrower patterns to agree trades a
+    {_LSH_BANDS}x candidate fan-out for recall the harness can
+    actually see (arm 'lsh4' in ann_recall_report).
+
+    Scale: {_LSH_BANDS} equi-joins on band hashes, each with the same
+    corpus-derived bit-count discipline as the single-bucket family
+    (``_band_bits``: ~N/8 buckets per band, capped at 16 bits where a
+    real deployment would switch the band source from coordinate
+    slices to random hyperplanes); the union is a distinct on
+    (query, candidate) pairs — never all-pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    bits = _band_bits(emb.count())
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        _dot("embedding", "embedding").alias("nsq"),
+    )
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nsq").alias("qnsq"),
+    )
+    cand = None
+    for b in range(_LSH_BANDS):
+        band_q = F.expr(_sign_band(b, bits).format(v="qv"))
+        band_c = F.expr(_sign_band(b, bits).format(v="v"))
+        part = (
+            F.broadcast(q.select("query_id", "qv"))
+            .join(
+                e.select("vec_id", "v"),
+                (band_c == band_q) & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        cand = part if cand is None else cand.unionAll(part)
+    cand = cand.distinct()
+    cos = (
+        _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
+    ).cast("decimal(16,8)")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "v", "nsq"),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
@@ -2896,12 +3037,36 @@ def _ann_recall_oracle() -> str:
             FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
         ) WHERE rk <= 10
     ),
+    bcand AS (
+        {" UNION ".join(
+            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+            f"FROM q JOIN e c "
+            f"ON {_sql_sign_band(b).format(v='c.v')} = "
+            f"{_sql_sign_band(b).format(v='q.v')} "
+            f"AND c.vec_id <> q.vec_id"
+            for b in range(_LSH_BANDS)
+        )}
+    ),
+    lsh4 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT bc.query_id, bc.neighbor_id,
+                   row_number() OVER (PARTITION BY bc.query_id ORDER BY
+                       CAST({_sql_dot("q.v", "c.v")}
+                            / (sqrt(q.nsq) * sqrt(c.nsq))
+                            AS DECIMAL(16,8)) DESC, bc.neighbor_id) AS rk
+            FROM bcand bc
+            JOIN q ON q.vec_id = bc.query_id
+            JOIN e c ON c.vec_id = bc.neighbor_id
+        ) WHERE rk <= 10
+    ),
     m AS (
         SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf1
         UNION ALL
         SELECT 'ivf2' AS method, query_id, neighbor_id FROM ivf2
         UNION ALL
         SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+        UNION ALL
+        SELECT 'lsh4' AS method, query_id, neighbor_id FROM lsh4
     ),
     truth AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
               FROM bf GROUP BY query_id),
@@ -2911,6 +3076,8 @@ def _ann_recall_oracle() -> str:
         SELECT 'ivf2' AS method, query_id, n_truth FROM truth
         UNION ALL
         SELECT 'lsh' AS method, query_id, n_truth FROM truth
+        UNION ALL
+        SELECT 'lsh4' AS method, query_id, n_truth FROM truth
     ),
     ret AS (SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved
             FROM m GROUP BY method, query_id),
@@ -3024,10 +3191,35 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    bbits = _band_bits(emb.count())
+    bcand = None
+    for b in range(_LSH_BANDS):
+        band_q = F.expr(_sign_band(b, bbits).format(v="qv"))
+        band_c = F.expr(_sign_band(b, bbits).format(v="v"))
+        part = (
+            F.broadcast(q.select("query_id", "qv"))
+            .join(
+                ev.select("vec_id", "v"),
+                (band_c == band_q) & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        bcand = part if bcand is None else bcand.unionAll(part)
+    lsh4 = topk(
+        bcand.distinct()
+        .join(F.broadcast(q.select("query_id", "qv", "qnsq")), "query_id")
+        .join(
+            ev.select(F.col("vec_id").alias("neighbor_id"), "v", "nsq"),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+
     arms = [
         ("ivf", ivf_arm(1)),
         ("ivf2", ivf_arm(2)),
         ("lsh", lsh),
+        ("lsh4", lsh4),
     ]
     m = None
     for name, df in arms:

@@ -76,6 +76,7 @@ SHOWCASE = {
     "cdc_interval_decode": "interval decode + ISO render: zero-shuffle codegen projection",
     "ann_topk_ivf_nprobe": "multi-probe fan-out as zero-shuffle inlined-centroid projection; one cell equi-join",
     "dedup_minhash_estimate": "band equi-join candidates; signature agreement row-local; exact Jaccard on candidates only",
+    "ann_topk_lsh_bands": "4 sign-band equi-joins unioned + distinct; exact top-k only on the candidate set",
 }
 
 _KEEP = re.compile(
