@@ -76,6 +76,10 @@ QUERIES = [
     # round-7: the sign-LSH consumers after the derived-bit-count fix
     # (VERDICT r6 items 1+8) — bits grow 8→9→10 across x1/x2/x4 here
     "ann_topk_lsh",
+    # late round-7 additions
+    "ann_topk_lsh_bands",
+    "ann_topk_ivf_nprobe",
+    "dedup_minhash_estimate",
 ]
 
 _VOWELS = "aeiou"
