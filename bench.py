@@ -85,6 +85,8 @@ EXTENDED = [
     "ann_topk_ivf_nprobe",     # multi-probe IVF (2 cells per query)
     "ann_topk_lsh_bands",      # multi-band sign-LSH candidate union
     "dedup_minhash_estimate",  # signature-vs-exact Jaccard calibration
+    # round-8 additions
+    "dedup_simhash_topk",      # bounded-output (≤3N rows) simhash variant
 ]
 
 

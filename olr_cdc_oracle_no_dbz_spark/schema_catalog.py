@@ -15,13 +15,17 @@ registry's file-backed analog for the engine:
   plus ``v{N}.spark.json`` (the exact StructType, for lossless
   round-trip: Avro has no int-vs-smallint or decimal-precision-free
   distinction);
-- compatibility is BACKWARD, enforced with exactly the widening
-  lattice the merge path applies (``cdc.materialize._wider_type``):
-  a new version may add nullable columns and widen numeric/decimal
-  types; it may not drop a column, narrow a type, or change a column
-  to an unrelated type. Rejections raise BEFORE any state mutation, so
-  an incompatible feed fails the micro-batch instead of corrupting
-  the sink (the registry's 409 Conflict analog).
+- the gate enforces a STRICTER-than-registry-BACKWARD, sink-oriented
+  policy (ADVICE r7: Confluent BACKWARD permits field deletion — a new
+  reader still reads old data — but a SQL ``auto.evolve`` sink cannot
+  un-create a column, so drops are refused here): a new version may
+  add nullable columns and widen numeric/decimal types along exactly
+  the lattice the merge path applies
+  (``cdc.materialize._wider_type``); it may not drop a column, narrow
+  a type, or change a column to an unrelated type. Rejections raise
+  BEFORE any state mutation, so an incompatible feed fails the
+  micro-batch instead of corrupting the sink (the registry's 409
+  Conflict analog).
 
 Scale note: the catalog is driver-side metadata — a handful of
 KB-scale files per subject, read once per micro-batch and written only

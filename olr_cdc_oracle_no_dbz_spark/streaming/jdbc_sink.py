@@ -29,6 +29,62 @@ def _placeholder(paramstyle: str) -> str:
     raise ValueError(f"paramstyle must be qmark|format, got {paramstyle!r}")
 
 
+def _upsert_sql(
+    table: str,
+    columns: list[str],
+    key_cols: list[str],
+    dialect: str,
+    insert_src: str,
+    merge_src: str,
+) -> str:
+    """One dialect-aware upsert shared by the per-row statement and the
+    staged set-based apply. ``insert_src`` feeds the INSERT dialects (a
+    VALUES placeholder list or a SELECT over the stage); ``merge_src``
+    is the MERGE USING source. When every column is a key column there
+    is no updatable payload, so the conflict arm degrades to
+    insert-if-absent — postgres ``ON CONFLICT DO NOTHING``, mysql
+    ``INSERT IGNORE``, MERGE without its WHEN MATCHED clause — instead
+    of the invalid empty assignment list the previous per-dialect
+    copies rendered (ADVICE r7)."""
+    collist = ", ".join(columns)
+    non_key = [c for c in columns if c not in key_cols]
+    keylist = ", ".join(key_cols)
+    if dialect == "postgresql":
+        action = (
+            "DO UPDATE SET " + ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
+            if non_key
+            else "DO NOTHING"
+        )
+        return (
+            f"INSERT INTO {table} ({collist}) {insert_src} "
+            f"ON CONFLICT ({keylist}) {action}"
+        )
+    if dialect == "mysql":
+        if not non_key:
+            return f"INSERT IGNORE INTO {table} ({collist}) {insert_src}"
+        sets = ", ".join(f"{c} = VALUES({c})" for c in non_key)
+        return (
+            f"INSERT INTO {table} ({collist}) {insert_src} "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{c} = s.{c}" for c in non_key)
+            + " "
+            if non_key
+            else ""
+        )
+        ins_vals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} t USING ({merge_src}) s ON {on} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
+        )
+    raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
+
+
 def upsert_statement(
     table: str,
     columns: list[str],
@@ -40,35 +96,20 @@ def upsert_statement(
 
     postgresql → ``ON CONFLICT (pk) DO UPDATE``; mysql → ``ON DUPLICATE
     KEY UPDATE``; ansi → MERGE. Set ``paramstyle='format'`` for
-    psycopg2/pymysql (%s placeholders).
+    psycopg2/pymysql (%s placeholders). All-key tables degrade to
+    insert-if-absent (see ``_upsert_sql``).
     """
-    collist = ", ".join(columns)
     ph = _placeholder(paramstyle)
     params = ", ".join(ph for _ in columns)
-    non_key = [c for c in columns if c not in key_cols]
-    if dialect == "postgresql":
-        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
-        return (
-            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
-            f"ON CONFLICT ({', '.join(key_cols)}) DO UPDATE SET {sets}"
-        )
-    if dialect == "mysql":
-        sets = ", ".join(f"{c} = VALUES({c})" for c in non_key)
-        return (
-            f"INSERT INTO {table} ({collist}) VALUES ({params}) "
-            f"ON DUPLICATE KEY UPDATE {sets}"
-        )
-    if dialect == "ansi":
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        sets = ", ".join(f"{c} = s.{c}" for c in non_key)
-        src_cols = ", ".join(f"{ph} AS {c}" for c in columns)
-        ins_vals = ", ".join(f"s.{c}" for c in columns)
-        return (
-            f"MERGE INTO {table} t USING (SELECT {src_cols}) s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
-        )
-    raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
+    src_cols = ", ".join(f"{ph} AS {c}" for c in columns)
+    return _upsert_sql(
+        table,
+        columns,
+        key_cols,
+        dialect,
+        insert_src=f"VALUES ({params})",
+        merge_src=f"SELECT {src_cols}",
+    )
 
 
 def delete_statement(
@@ -174,47 +215,35 @@ def apply_stage_statements(
 ) -> list[str]:
     """The driver-side atomic apply: set-based upsert + delete FROM the
     staging table INTO the target, to run in one transaction. The
-    stage holds at most one row per key (the batch is LWW-compacted),
-    so the INSERT..SELECT never self-conflicts; NULL ``__deleted``
-    rows match neither predicate and are dropped, exactly like funnel
-    mode."""
+    batch is LWW-compacted (one row per key), but a Spark task retry
+    that dies AFTER its stage-INSERT commit re-stages its partition, so
+    the stage may hold full-row duplicates; the ``SELECT DISTINCT``
+    collapses them before the apply (retried partitions are
+    deterministic re-runs of the same compacted batch, so duplicates
+    are always byte-identical). Without it, postgres raises 21000
+    'cannot affect row a second time' and ANSI MERGE a cardinality
+    violation (ADVICE r7). NULL ``__deleted`` rows match neither
+    predicate and are dropped, exactly like funnel mode."""
     stage = stage_table_name(table)
-    collist = ", ".join(columns)
     sel = ", ".join(f"s.{c}" for c in columns)
-    non_key = [c for c in columns if c not in key_cols]
     keylist = ", ".join(key_cols)
-    if dialect == "postgresql":
-        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_key)
-        upsert = (
-            f"INSERT INTO {table} ({collist}) "
-            f"SELECT {sel} FROM {stage} s WHERE NOT s.__deleted "
-            f"ON CONFLICT ({keylist}) DO UPDATE SET {sets}"
-        )
-    elif dialect == "mysql":
-        sets = ", ".join(f"{c} = VALUES({c})" for c in non_key)
-        upsert = (
-            f"INSERT INTO {table} ({collist}) "
-            f"SELECT {sel} FROM {stage} s WHERE NOT s.__deleted "
-            f"ON DUPLICATE KEY UPDATE {sets}"
-        )
-    elif dialect == "ansi":
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        sets = ", ".join(f"{c} = s.{c}" for c in non_key)
-        ins_vals = ", ".join(f"s.{c}" for c in columns)
-        upsert = (
-            f"MERGE INTO {table} t USING "
-            f"(SELECT {collist} FROM {stage} WHERE NOT __deleted) s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins_vals})"
+    live = f"SELECT DISTINCT {sel} FROM {stage} s WHERE NOT s.__deleted"
+    upsert = _upsert_sql(
+        table, columns, key_cols, dialect, insert_src=live, merge_src=live
+    )
+    if len(key_cols) == 1:
+        delete = (
+            f"DELETE FROM {table} WHERE {keylist} IN "
+            f"(SELECT DISTINCT {keylist} FROM {stage} WHERE __deleted)"
         )
     else:
-        raise ValueError(f"dialect must be postgresql|mysql|ansi, got {dialect!r}")
-    keysel = ", ".join(key_cols)
-    key_tuple = key_cols[0] if len(key_cols) == 1 else f"({keylist})"
-    delete = (
-        f"DELETE FROM {table} WHERE {key_tuple} IN "
-        f"(SELECT {keysel} FROM {stage} WHERE __deleted)"
-    )
+        # row-value IN is not portable (DuckDB binds it as 1-column);
+        # a correlated EXISTS is, on every dialect this sink targets
+        on = " AND ".join(f"s.{c} = {table}.{c}" for c in key_cols)
+        delete = (
+            f"DELETE FROM {table} WHERE EXISTS "
+            f"(SELECT 1 FROM {stage} s WHERE s.__deleted AND {on})"
+        )
     return [upsert, delete]
 
 
@@ -339,7 +368,8 @@ def _write_batch_parallel(
     # would re-execute the whole upstream micro-batch plan); exact in
     # normal operation, may overcount if a task retries after staging —
     # the counts are diagnostics, and a double-staged row is collapsed
-    # by the set-based apply (same key, same LWW row)
+    # by the SELECT DISTINCT in the apply statements (the retried rows
+    # are byte-identical re-runs of the same compacted batch)
     sc = batch_df.sparkSession.sparkContext
     n_up_acc, n_del_acc = sc.accumulator(0), sc.accumulator(0)
 

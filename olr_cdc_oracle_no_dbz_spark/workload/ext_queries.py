@@ -33,9 +33,6 @@ from olr_cdc_oracle_no_dbz_spark.workload.util import t
 # shared building blocks
 # ---------------------------------------------------------------------------
 
-_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")  # hex digits with MSB set
-
-
 def _shingle_expr(k: int) -> str:
     """SQL expr: distinct k-word shingles of pre-split array column w."""
     parts = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(k))
@@ -387,27 +384,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
-    """DuckDB half of the 16-bit simhash signature: bit j is the sign of
-    the count-weighted sum of the j-th md5-nibble MSB over tokens.
-    Pure string — safe to evaluate at import time (no SparkContext)."""
-    in_list = ", ".join(f"'{c}'" for c in _HEX_HI)
+# --- corpus-derived simhash banding (VERDICT r7 item 1) --------------------
+#
+# The r1–r7 design pinned a 16-bit signature with two fixed 8-bit
+# half-bands at ANY corpus size — measured candidate output grew ~N²
+# between the gate SFs (12,827 pairs at sf0.01 → 1,250,675 at sf0.1,
+# 97× for 10× data). Two levers fix it, both derived from one
+# engine-side COUNT the oracle replays integer-exact:
+#
+# 1. _SIMHASH_BANDS stays fixed (pigeonhole: any pair with hamming ≤
+#    _SIMHASH_BANDS-1 over the banded bits shares at least one exact
+#    band), while the band WIDTH w — and with it the signature width 4w
+#    and the per-band bucket count 2^w — grows as ceil_log2(N/8), so
+#    expected band-bucket population stays ~_SIMHASH_POP and the
+#    candidate join cost ~N·pop instead of N²/256. No 8-bit floor: the
+#    floor would pin the bucket count at toy scale and mask exactly the
+#    scaling this derivation exists to prove.
+# 2. Each signature bit is MEAN-CENTERED: bit j = (N·s_j > Σ_docs s_j)
+#    instead of (s_j > 0). Raw nibble-sign sums are biased — on a
+#    narrow-vocabulary corpus most documents sum the same way on most
+#    bits (measured on the sf0.1 table: the uncentered 40-bit design
+#    put 250 docs on ONE signature), and biased bits make band buckets
+#    skewed regardless of width. Centering splits each bit near 50/50;
+#    the offsets are a single 1-row integer aggregate, broadcast on the
+#    Spark side and a scalar CTE in the oracle. (A df>N/2 token CAP was
+#    tried first and rejected: on the 31-word test vocabulary it left
+#    ONE sub-cap token, dropping 95% of docs from dedup entirely.)
+
+_SIMHASH_BANDS = 4  # fixed band count: pigeonhole covers hamming <= 3
+_SIMHASH_POP = 8  # target docs per band-bucket (the _LSH_POP analog)
+_SIMHASH_W_MIN = 4  # just a sanity floor (16-bit sig, the historic width)
+_SIMHASH_W_MAX = 15  # 4 bands x 15 bits = 60 signature bits < BIGINT
+_SIMHASH_NB_MAX = _SIMHASH_BANDS * _SIMHASH_W_MAX  # oracle's static max
+
+
+def _simhash_band_w(n: int) -> int:
+    """Band width for an n-document corpus: ceil-log2 of the target
+    bucket count n/_SIMHASH_POP, floored at 4 bits and capped at 15
+    (60-bit signature, BIGINT-safe; the cap binds at n ≳ 256k docs,
+    where a 128-bit two-BIGINT signature is the documented extension).
+    Integer-exact via bit_length; the oracle replays it as
+    length(bin(m-1)) — see ``_sign_bits`` for the bin()/bit_length
+    equivalence proof."""
+    m = (n + _SIMHASH_POP - 1) // _SIMHASH_POP
+    return max(_SIMHASH_W_MIN, min(_SIMHASH_W_MAX, (m - 1).bit_length()))
+
+
+#: oracle params CTE (name it `shp`): corpus size + derived band width.
+#: Replays _simhash_band_w bit-identically (GREATEST/LEAST/bin-length).
+_SQL_SIMHASH_PARAMS = (
+    f"SELECT COUNT(*) AS n, GREATEST({_SIMHASH_W_MIN}, LEAST({_SIMHASH_W_MAX}, "
+    f"length(bin((COUNT(*) + {_SIMHASH_POP - 1}) // {_SIMHASH_POP} - 1)))) AS w "
+    "FROM documents"
+)
+
+
+def _simhash_sql(nbits: int = _SIMHASH_NB_MAX) -> str:
+    """DuckDB half of the simhash signature sums: bit j is the sign of
+    the count-weighted sum of hash-bit j over tokens, where the token
+    hash ``hv`` is ONE 60-bit integer (first 15 md5 hex chars) and the
+    per-bit test is a shift/mask — measured ~2× cheaper per token row
+    than the substring-per-nibble form it replaced (the sums touch
+    every token occurrence, so per-row cost is the lever). Pure string
+    — safe at import time (no SparkContext). The oracle always
+    materializes all 60 sums and gates which ones reach the signature
+    behind the derived width (static SQL cannot add columns at
+    runtime); the Spark side builds only the 4w it needs."""
     return ", ".join(
-        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({in_list}) "
-        f"THEN cnt ELSE -cnt END) AS s{j}"
-        for j in range(16)
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(nbits)
     )
 
 
-def _simhash_cols() -> list[F.Column]:
-    """Spark half of the simhash signature — built lazily inside the
-    query fn (Column construction needs an active SparkContext)."""
-    cols = []
-    for j in range(16):
-        hexdig = F.substring(F.col("h"), j + 1, 1)
-        contrib = F.when(hexdig.isin(*_HEX_HI), F.col("cnt")).otherwise(-F.col("cnt"))
-        cols.append(F.sum(contrib).alias(f"s{j}"))
-    return cols
+#: token hash as a 60-bit integer, both engines: first 15 md5 hex chars
+_SQL_SIMHASH_HV = "CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT)"
+_SPARK_SIMHASH_HV = (
+    "cast(conv(substring(md5(cast(tk as binary)), 1, 15), 16, 10) as bigint)"
+)
+
+
+def _simhash_cols(nbits: int) -> list[F.Column]:
+    """Spark half of the signature sums — built lazily inside the query
+    fn (Column construction needs an active SparkContext). Only the
+    derived 4w bits are computed (the driver knows w)."""
+    return [
+        F.expr(
+            f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN cnt ELSE -cnt END)"
+        ).alias(f"s{j}")
+        for j in range(nbits)
+    ]
 
 
 # Integer signature: bit j set iff the j-th weighted sum is positive.
@@ -415,10 +480,50 @@ def _simhash_cols() -> list[F.Column]:
 # popcount(xor) per pair — the r5 probe measured the old 16-char-string
 # representation spending ~20s at sf0.1 on 1.46M candidate pairs × 32
 # substring compares; popcount-xor removed that entirely.
-_SIG_INT = " + ".join(
-    f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+
+
+def _sig_int_centered(n: int, nbits: int) -> str:
+    """Spark signature from the first ``nbits`` sums (driver-side w),
+    mean-centered: bit j set iff n·s_j > Σ_docs s_j (the g_j columns
+    from the broadcast 1-row global aggregate). Integer-exact; n·s_j
+    stays far inside BIGINT at any gate scale (overflow needs
+    n·total_tokens > 2^63 ≈ an exabyte-token corpus — switch the
+    compare to s_j > g_j/n in DECIMAL there)."""
+    return " + ".join(
+        f"CASE WHEN CAST({n} AS BIGINT) * s{j} > g{j} THEN {1 << j} ELSE 0 END"
+        for j in range(nbits)
+    )
+
+
+#: oracle signature: all 60 sums/offsets exist, but bit j only
+#: contributes when j < 4w — byte-identical to the Spark side's
+#: 4w-term mean-centered sum (CTEs shp + goff in scope, goff cross-
+#: joined so g{j} are columns).
+_SQL_SIG_INT_DERIVED = " + ".join(
+    f"CASE WHEN (SELECT n FROM shp) * s{j} > g{j} "
+    f"AND {j} < {_SIMHASH_BANDS} * (SELECT w FROM shp) "
+    f"THEN {1 << j} ELSE 0 END"
+    for j in range(_SIMHASH_NB_MAX)
 )
-_SQL_SIG_INT = _SIG_INT
+
+
+def _simhash_band_stack(w: int) -> str:
+    """Spark band explode: band b = bits [b*w, (b+1)*w) of the sig."""
+    parts = ", ".join(
+        f"{b}, shiftright(sig, {b * w}) & {(1 << w) - 1}"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"stack({_SIMHASH_BANDS}, {parts}) AS (band_idx, band)"
+
+
+#: oracle band explode over CTE ``sig`` (shp in scope): derived shifts.
+_SQL_SIMHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, sig, {b} AS band_idx, "
+    f"(sig >> ({b} * (SELECT w FROM shp))) "
+    f"& ((CAST(1 AS BIGINT) << (SELECT w FROM shp)) - 1) AS band FROM sig"
+    for b in range(_SIMHASH_BANDS)
+)
+
 _HAMMING = "bit_count(x.sig ^ y.sig)"
 _SQL_HAMMING = "bit_count(xor(x.sig, y.sig))"
 
@@ -571,70 +676,83 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, md5(tk) AS h, COUNT(*) AS cnt
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
-              FROM documents)
-        GROUP BY doc_id, md5(tk)
+#: word tokenizer (dedup_simhash) and strided 4-gram tokenizer
+#: (multimodal_phash_neardup) as oracle row sources (doc_id, tk)
+_SQL_SIMHASH_WORDS = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents"
+)
+_SQL_SIMHASH_GRAMS = (
+    "SELECT doc_id, substr(text, i, 4) AS tk FROM documents, "
+    "LATERAL unnest(generate_series(1, len(text) - 3, 4)) AS u(i)"
+)
+
+
+def _sql_simhash_cand(tok_src: str) -> str:
+    """Shared oracle prefix: params → tokens → 60 sums → 1-row global
+    offsets → width-gated mean-centered signature → derived bands →
+    banded candidate pairs."""
+    glob_cols = ", ".join(
+        f"SUM(s{j}) AS g{j}" for j in range(_SIMHASH_NB_MAX)
+    )
+    return f"""
+    WITH shp AS ({_SQL_SIMHASH_PARAMS}),
+    tok AS (
+        SELECT doc_id, {_SQL_SIMHASH_HV} AS hv, COUNT(*) AS cnt
+        FROM ({tok_src})
+        GROUP BY doc_id, hv
     ),
-    sums AS (SELECT doc_id, {_simhash_sql()} FROM tok GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST({_SQL_SIG_INT} AS BIGINT) AS sig FROM sums),
-    halves AS (
-        SELECT doc_id, sig, 0 AS half_idx, sig & 255 AS half FROM sig
-        UNION ALL
-        SELECT doc_id, sig, 1 AS half_idx, sig >> 8 AS half FROM sig
+    sums AS MATERIALIZED (SELECT doc_id, {_simhash_sql()} FROM tok GROUP BY doc_id),
+    goff AS (SELECT {glob_cols} FROM sums),
+    -- MATERIALIZED: DuckDB inlines plain CTEs per reference; sig is read
+    -- by 4 band selects and cand by both sym orientations, so without
+    -- the hint the whole sums chain re-executes 4-8x (measured 54 s ->
+    -- 4 s for the topk oracle at sf0.01)
+    sig AS MATERIALIZED (
+        SELECT doc_id, CAST({_SQL_SIG_INT_DERIVED} AS BIGINT) AS sig
+        FROM sums CROSS JOIN goff
     ),
-    cand AS (
+    bands AS ({_SQL_SIMHASH_BANDS}),
+    cand AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS a_id, x.sig AS xsig,
                         y.doc_id AS b_id, y.sig AS ysig
-        FROM halves x JOIN halves y
-          ON x.half_idx = y.half_idx AND x.half = y.half
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band = y.band
          AND x.doc_id < y.doc_id
-    )
-    SELECT a_id, b_id,
-           CAST({_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} AS BIGINT) AS hamming
-    FROM cand
-    WHERE {_SQL_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig")} <= 3
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit count-weighted signature from token md5
-    bits; candidates must collide on one of the two 8-bit halves
-    (pigeonhole ⇒ every hamming ≤ 1 pair is caught, most hamming ≤ 3
-    are); report candidate pairs with hamming ≤ 3. Banding keeps the
-    self-join keyed — no all-pairs.
+    )"""
 
-    The signature is an INTEGER (bit j = sign of weighted sum j), so
-    banding is mask/shift and the per-pair hamming is one
-    popcount(xor) — on similar-vocabulary corpora the half-buckets are
-    SKEWED (the probe measured a 932-doc bucket → 1.46M candidate
-    pairs at sf0.1), so per-pair cost is the lever: the old 16-char
-    string signature spent ~20s on substring compares where the int
-    form spends ~2s. The skew itself is inherent to simhash banding;
-    at 100 TB the additional mitigation is more/wider bands (32-64-bit
-    signatures) or a df-cap on the dominant tokens before signing."""
-    d = t(spark, sf_dir, "documents")
+
+def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int]:
+    """Spark signature pipeline shared by the simhash/pHash family:
+    60-bit-integer token-hash bit sums over the derived 4w bits,
+    mean-centered integer signature (bit j = n·s_j > Σ_docs s_j,
+    offsets broadcast from a 1-row aggregate). Returns (sig_df, w).
+    ``n`` is the engine-side corpus COUNT the width derives from; the
+    oracle replays width and offsets via CTEs ``shp``/``goff``."""
+    w = _simhash_band_w(n)
+    nbits = _SIMHASH_BANDS * w
     tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
-        .groupBy("doc_id", F.md5(F.col("tk").cast("binary")).alias("h"))
+        d.select("doc_id", tokens.alias("tk"))
+        .groupBy("doc_id", F.expr(_SPARK_SIMHASH_HV).alias("hv"))
         .agg(F.count("*").alias("cnt"))
     )
-    sums = tok.groupBy("doc_id").agg(*_simhash_cols())
-    sig = sums.selectExpr("doc_id", f"CAST({_SIG_INT} AS BIGINT) AS sig")
-    halves = sig.selectExpr(
-        "doc_id",
-        "sig",
-        "stack(2, 0, sig & 255, 1, shiftright(sig, 8)) AS (half_idx, half)",
+    sums = tok.groupBy("doc_id").agg(*_simhash_cols(nbits))
+    glob = sums.agg(*[F.sum(f"s{j}").alias(f"g{j}") for j in range(nbits)])
+    sig = sums.crossJoin(F.broadcast(glob)).selectExpr(
+        "doc_id", f"CAST({_sig_int_centered(n, nbits)} AS BIGINT) AS sig"
     )
-    x, y = halves.alias("x"), halves.alias("y")
-    cand = (
+    return sig, w
+
+
+def _simhash_cand(sig: DataFrame, w: int) -> DataFrame:
+    """Banded candidate pairs (a_id, xsig, b_id, ysig) from a signature
+    DataFrame: explode 4 w-bit bands, equi-join on (band_idx, band)."""
+    bands = sig.selectExpr("doc_id", "sig", _simhash_band_stack(w))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
         x.join(
             y,
-            (F.col("x.half_idx") == F.col("y.half_idx"))
-            & (F.col("x.half") == F.col("y.half"))
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band") == F.col("y.band"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
@@ -645,10 +763,112 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ham = F.expr(_HAMMING.replace("x.sig", "xsig").replace("y.sig", "ysig"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""{_sql_simhash_cand(_SQL_SIMHASH_WORDS)}
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(xsig, ysig)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(xsig, ysig)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with CORPUS-DERIVED banding (VERDICT r7 item
+    1): a 4w-bit count-weighted signature from chained token-md5 nibble
+    signs, where the band width w = clamp(ceil_log2(N/8), 4, 15) grows
+    with the corpus; candidates must collide on one of the 4 w-bit
+    bands (pigeonhole ⇒ every hamming ≤ 3 pair is caught); report
+    candidate pairs with hamming ≤ 3. Each bit is MEAN-CENTERED
+    (bit j = N·s_j > Σ_docs s_j): raw nibble-sign sums are biased on
+    narrow-vocabulary corpora, and biased bits skew band buckets
+    regardless of width — the uncentered fixed-band r1–r7 design
+    measured 12,827 pairs at sf0.01 → 1,250,675 at sf0.1, ~N² for 10×
+    data.
+
+    The signature stays an INTEGER (banding is mask/shift, per-pair
+    hamming one popcount(xor) — the r5 6.7× form); w derives from one
+    engine-side COUNT the oracle replays integer-exact in CTE ``shp``
+    (the ``_sign_bits`` / ``_SQL_LSH_PARAMS`` pattern), and the
+    centering offsets are a 1-row integer aggregate (broadcast /
+    scalar CTE). At 100 TB the bucket count keeps scaling as ~N/8, so
+    expected candidate volume stays ~N·pop; see dedup_simhash_topk for
+    the bounded-OUTPUT variant."""
+    d = t(spark, sf_dir, "documents")
+    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), d.count())
+    cand = _simhash_cand(sig, w)
+    ham = F.expr("bit_count(xsig ^ ysig)")
     return cand.select(
         "a_id", "b_id", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "dedup_simhash_topk",
+    oracle=f"""{_sql_simhash_cand(_SQL_SIMHASH_WORDS)},
+    sym AS (
+        SELECT a_id AS src, b_id AS nbr,
+               bit_count(xor(xsig, ysig)) AS hamming FROM cand
+        UNION ALL
+        SELECT b_id, a_id, bit_count(xor(xsig, ysig)) FROM cand
+    ),
+    rk AS (
+        SELECT src, nbr, hamming,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY hamming, nbr) AS rk
+        FROM sym
+    )
+    SELECT src AS doc_id, nbr AS nbr_id,
+           CAST(hamming AS BIGINT) AS hamming, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+)
+def dedup_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output simhash (VERDICT r7 item 7): per document, only
+    the top-3 nearest banded candidates by (hamming, neighbor id) —
+    ≤ 3N output rows at ANY corpus size or skew, where the pair gate's
+    output is inherently O(#qualifying pairs) (quadratic in a cluster
+    of near-identical docs even with perfect banding). This is the
+    form whose downstream write stays bounded at 100 TB; the pair gate
+    remains for exhaustive-audit use. Same derived-band candidate
+    generation as dedup_simhash; the top-k is one row_number window
+    over the symmetrized candidate set, tie-broken (hamming, nbr) on
+    both engines."""
+    d = t(spark, sf_dir, "documents")
+    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), d.count())
+    cand = _simhash_cand(sig, w)
+    ham = F.expr("bit_count(xsig ^ ysig)").cast("long")
+    # both orientations via ONE explode, not a self-union: a union of
+    # two selects over cand re-executes the whole signature pipeline
+    # per branch (measured 58 s vs 34 s for the pair gate at sf0.01)
+    sym = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("src"),
+                    F.col("b_id").alias("nbr"),
+                    ham.alias("hamming"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("src"),
+                    F.col("a_id").alias("nbr"),
+                    ham.alias("hamming"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    win = Window.partitionBy("src").orderBy("hamming", "nbr")
+    return (
+        sym.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("nbr").alias("nbr_id"),
+            "hamming",
+            "rk",
+        )
+    )
 
 
 @register(
@@ -4716,90 +4936,43 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_phash_neardup",
-    oracle=f"""
-    WITH tok AS (
-        SELECT doc_id, md5(gram) AS h, COUNT(*) AS cnt
-        FROM (
-            SELECT doc_id, substr(text, i, 4) AS gram
-            FROM documents,
-                 LATERAL unnest(generate_series(1, len(text) - 3, 4)) AS u(i)
-        )
-        GROUP BY doc_id, md5(gram)
-    ),
-    sums AS (SELECT doc_id, {{sums}} FROM tok GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST({{sig}} AS BIGINT) AS sig FROM sums),
-    halves AS (
-        SELECT doc_id, sig, 0 AS half_idx, sig & 255 AS half FROM sig
-        UNION ALL
-        SELECT doc_id, sig, 1 AS half_idx, sig >> 8 AS half FROM sig
-    ),
-    cand AS (
-        SELECT DISTINCT x.doc_id AS a_id, x.sig AS xsig,
-                        y.doc_id AS b_id, y.sig AS ysig
-        FROM halves x JOIN halves y
-          ON x.half_idx = y.half_idx AND x.half = y.half
-         AND x.doc_id < y.doc_id
-    )
+    oracle=f"""{_sql_simhash_cand(_SQL_SIMHASH_GRAMS)}
     SELECT a_id, b_id,
            CAST(bit_count(xor(xsig, ysig)) AS BIGINT) AS hamming
     FROM cand
     WHERE bit_count(xor(xsig, ysig)) <= 2
-    """.replace("{{sums}}", "{sums}").replace("{{sig}}", "{sig}").format(
-        sums=_simhash_sql(), sig=_SQL_SIG_INT
-    ),
+    """,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup for BINARY payloads (the multimodal
-    dedup step): a pHash-style 16-bit signature built from strided
-    4-byte chunks of the payload — robust to small payload edits the
-    way word-level simhash is to small text edits — with the same
-    half-band candidate join and popcount hamming. The documents'
-    UTF-8 bytes stand in for image/audio blobs (this container has no
-    codecs — the multimodal_* convention); with a real decoder the
-    chunking runs over decoded pixel blocks and NOTHING downstream
-    changes, which is the point: signature, banding, and verify are
-    modality-independent.
+    dedup step): a pHash-style signature built from strided 4-byte
+    chunks of the payload — robust to small payload edits the way
+    word-level simhash is to small text edits — with the same
+    CORPUS-DERIVED 4-band candidate join and popcount hamming as
+    dedup_simhash (VERDICT r7 item 1: the fixed 16-bit/8-bit-half
+    design measured 821 → 89,453 pairs sf0.01→sf0.1, ~N²; the shared
+    ``_simhash_sig`` machinery now derives the band width from the
+    corpus COUNT and mean-centers each bit, both replayed by the
+    oracle in CTEs ``shp``/``goff``). The documents' UTF-8 bytes
+    stand in for image/audio
+    blobs (this container has no codecs — the multimodal_* convention);
+    with a real decoder the chunking runs over decoded pixel blocks and
+    NOTHING downstream changes, which is the point: signature, banding,
+    and verify are modality-independent.
 
     Scale: strided chunking caps the fan-out at |payload|/4 rows;
     everything after is the int-signature simhash path (mask/shift
-    banding, popcount-xor hamming — the r5 6.7x form)."""
+    banding, popcount-xor hamming — the r5 6.7x form) with ~N/8
+    buckets per band."""
     d = t(spark, sf_dir, "documents")
-    tok = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(text) - 3, 4),"
-                    " i -> substring(text, i, 4))"
-                )
-            ).alias("gram"),
+    grams = F.explode(
+        F.expr(
+            "transform(sequence(1, length(text) - 3, 4),"
+            " i -> substring(text, i, 4))"
         )
-        .groupBy("doc_id", F.md5(F.col("gram").cast("binary")).alias("h"))
-        .agg(F.count("*").alias("cnt"))
     )
-    sums = tok.groupBy("doc_id").agg(*_simhash_cols())
-    sig = sums.selectExpr("doc_id", f"CAST({_SIG_INT} AS BIGINT) AS sig")
-    halves = sig.selectExpr(
-        "doc_id",
-        "sig",
-        "stack(2, 0, sig & 255, 1, shiftright(sig, 8)) AS (half_idx, half)",
-    )
-    x, y = halves.alias("x"), halves.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.half_idx") == F.col("y.half_idx"))
-            & (F.col("x.half") == F.col("y.half"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("a_id"),
-            F.col("x.sig").alias("xsig"),
-            F.col("y.doc_id").alias("b_id"),
-            F.col("y.sig").alias("ysig"),
-        )
-        .distinct()
-    )
+    sig, w = _simhash_sig(d, grams, d.count())
+    cand = _simhash_cand(sig, w)
     ham = F.expr("bit_count(xsig ^ ysig)")
     return cand.select(
         "a_id", "b_id", ham.cast("long").alias("hamming")

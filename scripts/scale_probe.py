@@ -9,24 +9,39 @@ data); alpha ~ 2 means an operator degenerated to all-pairs and would
 NOT survive 100 TB. This is the measured check behind every
 "scale-safe" claim in the operator docstrings.
 
-Replication is built so TRUE duplicate structure scales linearly
-instead of quadratically (replicas must not be near-dups of each
-other, or the probe would measure the data, not the algorithm):
-- documents: per-replica vowel rotation (translate) gives each replica
-  a disjoint vocabulary — within-replica near-dup pairs are preserved
-  exactly, cross-replica pairs impossible.
-- embeddings: per-replica deterministic directional perturbation
-  (index- and replica-dependent additive term) pushes replicas apart
-  in cosine space while keeping within-replica neighborhoods.
-- events: user_id/event_id offset per replica — key cardinality grows
-  K-fold, per-key history stays constant (the LWW/window shape).
+Two replication MODES (VERDICT r7 item 5 — each answers a different
+question, and SCALING.md reports both exponents per operator):
+
+- ``disjoint`` (default): structure-preserving perturbations keep TRUE
+  duplicate structure linear (replicas must not be near-dups of each
+  other, or the probe measures the data, not the algorithm):
+  - documents: per-replica vowel rotation (translate) gives each
+    replica a disjoint vocabulary — within-replica near-dup pairs are
+    preserved exactly, cross-replica pairs impossible.
+  - embeddings: per-replica deterministic directional perturbation
+    (index- and replica-dependent additive term) pushes replicas apart
+    in cosine space while keeping within-replica neighborhoods.
+  - events: user_id/event_id offset per replica — key cardinality
+    grows K-fold, per-key history stays constant (the LWW/window
+    shape); a per-replica value shift keeps value-similarity operators
+    from seeing quadratic true-duplicate structure.
+- ``overlap``: replicas SHARE the vocabulary / embedding space /
+  value range, so cross-replica hash and band collisions are allowed —
+  the adversarial case the disjoint mode structurally cannot see
+  (r7 measured simhash alpha=-0.02 disjoint while its candidate output
+  grew ~N^2 between the gate SFs). Content still differs per replica
+  (position-dependent word drop, tiny embedding jitter), so growth
+  beyond linear here is banding/bucketing skew, not literal duplicate
+  rows.
 
 Usage:
-    python scripts/scale_probe.py            # factors 1 2 4
+    python scripts/scale_probe.py              # factors 1 2 4, disjoint
     python scripts/scale_probe.py 1 2 4 8
+    SPARK_GRAFT_PROBE_MODE=overlap python scripts/scale_probe.py
 
-Prints one JSON line per run plus a final summary with exponents.
-Writes replicated data under /tmp/spark_graft_scale_probe/.
+Prints one JSON line per run plus a final summary with exponents
+(keyed ``scaling`` for disjoint, ``scaling_overlap`` for overlap).
+Writes replicated data under /tmp/spark_graft_scale_probe/<mode>/.
 """
 
 from __future__ import annotations
@@ -44,6 +59,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/spark_graft_scale_probe"
+MODE = os.environ.get("SPARK_GRAFT_PROBE_MODE", "disjoint")
+if MODE not in ("disjoint", "overlap"):
+    raise SystemExit(f"SPARK_GRAFT_PROBE_MODE must be disjoint|overlap, got {MODE!r}")
 
 #: probed operators — the candidate-generating / shuffle-heavy set
 QUERIES = [
@@ -80,6 +98,8 @@ QUERIES = [
     "ann_topk_lsh_bands",
     "ann_topk_ivf_nprobe",
     "dedup_minhash_estimate",
+    # round-8: the derived-band simhash family (VERDICT r7 items 1+7)
+    "dedup_simhash_topk",
 ]
 
 _VOWELS = "aeiou"
@@ -89,8 +109,47 @@ def _rotate(k: int) -> str:
     return _VOWELS[k % 5 :] + _VOWELS[: k % 5]
 
 
+def _doc_text(k: int):
+    """Per-replica document text. disjoint: vowel rotation (disjoint
+    vocabulary, cross-replica pairs impossible). overlap: SAME
+    vocabulary, content perturbed by dropping every (k+2)-th word —
+    replica token multisets differ (different signature sums) while
+    every hash/band key stays in the shared space, so cross-replica
+    collisions are possible — exactly what banding skew feeds on."""
+    if MODE == "disjoint":
+        return F.translate("text", _VOWELS, _rotate(k))
+    if k == 0:
+        return F.col("text")
+    return F.array_join(
+        F.filter(
+            F.split("text", " "), lambda w, i: (i % F.lit(k + 2)) != 0
+        ),
+        " ",
+    )
+
+
+def _emb_vec(k: int):
+    """Per-replica embedding. disjoint: directional push (replicas
+    separate in cosine space). overlap: tiny index-dependent jitter —
+    replicas stay in the SAME region, so sign buckets / IVF cells /
+    band keys collide across replicas."""
+    if MODE == "disjoint":
+        return F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.lit(0.05 * k) * F.sin(i.cast("double") + F.lit(float(k)))
+            ).cast("float"),
+        )
+    return F.transform(
+        "embedding",
+        lambda x, i: (
+            x + F.lit(0.001 * k) * F.sin(i.cast("double") * F.lit(float(k + 1)))
+        ).cast("float"),
+    )
+
+
 def replicate(spark: SparkSession, factor: int) -> str:
-    out = os.path.join(WORK, f"x{factor}")
+    out = os.path.join(WORK, MODE, f"x{factor}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -107,7 +166,7 @@ def replicate(spark: SparkSession, factor: int) -> str:
     d_parts = [
         docs.select(
             (F.col("doc_id") + k * n_doc).alias("doc_id"),
-            F.translate("text", _VOWELS, _rotate(k)).alias("text"),
+            _doc_text(k).alias("text"),
             "lang",
             F.concat(F.col("source"), F.lit(f"_r{k}")).alias("source"),
             "n_chars",
@@ -122,12 +181,7 @@ def replicate(spark: SparkSession, factor: int) -> str:
     e_parts = [
         emb.select(
             (F.col("vec_id") + k * n_vec).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: (
-                    x + F.lit(0.05 * k) * F.sin(i.cast("double") + F.lit(float(k)))
-                ).cast("float"),
-            ).alias("embedding"),
+            _emb_vec(k).alias("embedding"),
             "label",
         )
         for k in range(factor)
@@ -152,7 +206,11 @@ def replicate(spark: SparkSession, factor: int) -> str:
             "ts",
             (F.col("user_id") + k * n_usr).alias("user_id"),
             "event_type",
-            (F.col("value") + F.lit(600.0 * k)).alias("value"),
+            # overlap: shared value range (band collisions allowed)
+            (
+                F.col("value")
+                + F.lit((600.0 if MODE == "disjoint" else 0.0) * k)
+            ).alias("value"),
             "props",
         )
         for k in range(factor)
@@ -218,7 +276,12 @@ def main() -> None:
             qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
             times[q][factor] = dt
-            print(json.dumps({"factor": factor, "query": q, "sec": dt}), flush=True)
+            print(
+                json.dumps(
+                    {"mode": MODE, "factor": factor, "query": q, "sec": dt}
+                ),
+                flush=True,
+            )
 
     import math
 
@@ -235,7 +298,8 @@ def main() -> None:
             "alpha": round(alpha, 2),
             **{f"t_x{f}": ts[f] for f in sorted(ts)},
         }
-    print(json.dumps({"scaling": summary}, indent=2))
+    key = "scaling" if MODE == "disjoint" else "scaling_overlap"
+    print(json.dumps({key: summary}, indent=2))
 
 
 if __name__ == "__main__":
