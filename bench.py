@@ -90,6 +90,27 @@ EXTENDED = [
 ]
 
 
+def _calibration_sec() -> float:
+    """Fixed-work single-thread CPU probe (VERDICT r7 item 3): sha256
+    over 1 GiB of zeros (~0.7 s idle — long enough that scheduler
+    jitter on a loaded box shows up, short enough to run twice per
+    bench) — identical work every invocation, so the
+    measured seconds track ambient machine load, not the code under
+    test. BENCH artifacts carry it as load evidence (r7's driver run
+    was uniformly ~1.5× an idle run of the SAME plans; nothing in the
+    artifact could prove it was load), and scripts/bench_compare.py
+    uses the previous artifact's value to tell a plan regression from
+    a loaded run."""
+    import hashlib
+
+    block = b"\x00" * (1 << 20)
+    h = hashlib.sha256()
+    t0 = time.perf_counter()
+    for _ in range(1024):
+        h.update(block)
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> int:
     import re
 
@@ -141,6 +162,9 @@ def main() -> int:
                 samples[name].append(time.time() - t0)
         return {n: round(sorted(ts)[runs // 2], 3) for n, ts in samples.items()}
 
+    load_before = os.getloadavg()[0]
+    calib_before = _calibration_sec()
+
     head = measure(HEADLINE)
     total = round(sum(head.values()), 3)
     out = {
@@ -185,6 +209,13 @@ def main() -> int:
             "build": round(build_s, 3),
             "serve": round(sorted(serve_samples)[runs // 2], 3),
         }
+    # ambient-load evidence (VERDICT r7 item 3): calibration before AND
+    # after bracket the whole timed region, loadavg shows what else the
+    # container was doing
+    out["load"] = {
+        "calib_sec": [calib_before, _calibration_sec()],
+        "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+    }
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -15,6 +15,10 @@ spread across ksqlDB-cli, Connect REST, and psql.
     python -m olr_cdc_oracle_no_dbz_spark pipeline --olr-config F
         [--sink-config F]... --source-dir D --work-dir D [--follow]
         [--table-schema "OWNER.TABLE=id INT, title STRING"]...
+    python -m olr_cdc_oracle_no_dbz_spark build-index --work-dir D
+        [--sf-dir D] [--force]
+    python -m olr_cdc_oracle_no_dbz_spark serve-index --work-dir D
+        [--sf-dir D] [--lo N] [--hi N] [--limit N] [--out DIR]
 
 ``query``/``sql`` print results to stdout (bounded by --limit, default
 20 — never an unbounded collect) or write a parquet directory with
@@ -72,6 +76,11 @@ def cmd_query(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.explain:
+        # plan-only contract: constructing for --explain must not run
+        # jobs (see checkpointing.truncate_lineage and the serve gate's
+        # cold-cache fallback in workload/ann_index.py)
+        os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     spark = _spark(f"query-{args.name}")
     _emit(qs[args.name](spark, args.sf_dir), args)
     return 0
@@ -111,6 +120,50 @@ def cmd_oracle(args) -> int:
     print(" | ".join(d[0] for d in rel.description))
     for r in rows:
         print(" | ".join(str(v) for v in r))
+    return 0
+
+
+def _cli_index_dir(args) -> str:
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+    return ai.index_dir_under(
+        os.path.join(args.work_dir, "ann_index"), args.sf_dir
+    )
+
+
+def cmd_build_index(args) -> int:
+    """Train + persist the ANN index artifact under --work-dir (the
+    pipeline's state-dir convention; VERDICT r7 item 6) — the
+    train-once half of train-once/serve-many."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+    idx = _cli_index_dir(args)
+    if ai.index_fresh(idx, args.sf_dir) and not args.force:
+        print(f"index fresh at {idx} (--force to rebuild)")
+        return 0
+    spark = _spark("build-index")
+    manifest = ai.build_ann_index(spark, args.sf_dir, idx)
+    print(json.dumps({"index_dir": idx, **manifest}))
+    return 0
+
+
+def cmd_serve_index(args) -> int:
+    """Answer ANN top-k from the persisted artifact. NEVER trains: a
+    missing or stale index is a refusal pointing at build-index, not a
+    silent multi-minute training job on the serving path."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+    idx = _cli_index_dir(args)
+    if not ai.index_fresh(idx, args.sf_dir):
+        print(
+            f"no fresh index for {args.sf_dir} under {idx}; run "
+            "build-index first (serve never trains — that is the "
+            "train-once/serve-many contract)",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark("serve-index")
+    _emit(ai.serve_topk(spark, args.sf_dir, idx, args.lo, args.hi), args)
     return 0
 
 
@@ -212,6 +265,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default=default_sf)
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(fn=cmd_oracle)
+
+    p = sub.add_parser(
+        "build-index",
+        help="train + persist the ANN index artifact under --work-dir",
+    )
+    p.add_argument("--sf-dir", default=default_sf)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_build_index)
+
+    p = sub.add_parser(
+        "serve-index",
+        help="answer ANN top-k from a persisted index (never trains)",
+    )
+    p.add_argument("--work-dir", required=True)
+    p.add_argument(
+        "--lo", type=int, default=120, help="query vec_id range start"
+    )
+    p.add_argument(
+        "--hi", type=int, default=140, help="query vec_id range end"
+    )
+    io_args(p)
+    p.set_defaults(fn=cmd_serve_index)
 
     p = sub.add_parser(
         "pipeline", help="run the config-defined CDC pipeline"

@@ -46,16 +46,25 @@ from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
     _DOT,
     _derive_k,
     _dot,
+    _ivfpq_compose,
     _ivfpq_oracle,
     _kmeans_train,
     _nearest_cent_inline,
-    _PQ_K,
+    _pq_assign_inline,
+    _pq_k,
+    _pq_train,
     _PQ_M,
     _PQ_SUB,
     t,
 )
 
 _MANIFEST = "manifest.json"
+#: bump whenever the persisted layout OR the training math changes —
+#: a cached index from an older build must re-train, not silently
+#: serve codes produced by different codebooks (v2: Lloyd-trained PQ
+#: codebooks with corpus-derived k, VERDICT r7 item 2; v1 was the
+#: first-4-raw-vectors placeholder)
+_FORMAT_VERSION = 3  # v3: m=8/sub=8 PQ geometry with k_min=8 (recall receipt)
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,10 +95,13 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     subs = e.selectExpr(
         "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
     )
-    codebook = subs.filter(F.col("vec_id") < _PQ_K).select(
-        "sub_idx", F.col("vec_id").alias("c_idx"), F.col("sv").alias("cv")
-    )
-    codebook.coalesce(1).write.mode("overwrite").parquet(
+    # Lloyd-trained per-subspace codebook (VERDICT r7 item 2 — the
+    # persisted artifact carries TRAINED codewords, not raw vectors)
+    pq_cents = _pq_train(subs, n)
+    spark.createDataFrame(
+        [(s, c, cv) for s, c, cv in pq_cents],
+        "sub_idx int, c_idx long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "codebook")
     )
 
@@ -97,25 +109,17 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         os.path.join(out_dir, "postings")
     )
 
-    pq_dist = F.expr(
-        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
-        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
-    )
-    w_code = Window.partitionBy("vec_id", "sub_idx").orderBy("d", "c_idx")
-    codes = (
-        subs.join(F.broadcast(codebook), "sub_idx")
-        .select("vec_id", "sub_idx", "c_idx", pq_dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_idx", "c_idx")
+    codes = _pq_assign_inline(subs, pq_cents).select(
+        "vec_id", "sub_idx", "c_idx"
     )
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
 
     manifest = {
+        "format_version": _FORMAT_VERSION,
         "n": n,
         "k": k,
         "pq_m": _PQ_M,
-        "pq_k": _PQ_K,
+        "pq_k": _pq_k(n),
         "pq_sub": _PQ_SUB,
         "source": os.path.abspath(sf_dir),
         "source_stat": _source_stat(sf_dir),
@@ -158,7 +162,10 @@ def index_fresh(out_dir: str, sf_dir: str) -> bool:
         return False
     with open(os.path.join(out_dir, _MANIFEST)) as fh:
         manifest = json.load(fh)
-    return manifest.get("source_stat") == _source_stat(sf_dir)
+    return (
+        manifest.get("format_version") == _FORMAT_VERSION
+        and manifest.get("source_stat") == _source_stat(sf_dir)
+    )
 
 
 def serve_topk(
@@ -258,17 +265,31 @@ def serve_topk(
     )
 
 
-def default_index_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus index location (the gate's train-once
-    cache): keyed by the resolved sf_dir so sf0.01 and sf0.1 runs never
-    share an index."""
+def index_dir_under(root: str, sf_dir: str) -> str:
+    """Per-corpus index location under ``root``: keyed by the resolved
+    sf_dir digest so two corpora never share an index — the layout both
+    the gate cache and the CLI ``build-index``/``serve-index`` verbs
+    use (VERDICT r7 item 6)."""
     import hashlib
-    import tempfile
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_index", digest
-    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, digest)
+
+
+def default_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus index location (the gate's train-once
+    cache). Rooted under the user's cache home — NOT the world-shared,
+    path-predictable ``/tmp`` (ADVICE r7: another local user could
+    pre-create/poison a ``/tmp`` path); overridable with
+    ``SPARK_GRAFT_ANN_INDEX_DIR``."""
+    root = os.environ.get("SPARK_GRAFT_ANN_INDEX_DIR")
+    if not root:
+        cache_home = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        root = os.path.join(cache_home, "spark_graft", "ann_index")
+    return index_dir_under(root, sf_dir)
 
 
 _SERVE_LO, _SERVE_HI = 120, 140
@@ -285,8 +306,19 @@ def ann_topk_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), which is exactly what makes a persisted index safe to
     serve from at all. A disjoint query range from ``ann_topk_ivfpq``
     ([120,140) vs [100,120)) so the two gates never share cached plan
-    fragments."""
+    fragments.
+
+    Lazy-construction note (ADVICE r7): plan-only sweeps (--explain,
+    dump_plans, test_plans) set ``SPARK_GRAFT_PLAN_ONLY=1``; under that
+    flag a cold/stale cache falls back to the composed train+serve
+    plan (``_ivfpq_compose``) instead of running the persisted-index
+    build — value-identical by the determinism argument above, and no
+    parquet writes or cache mutation at construction (the composed
+    path still runs the same bounded training collects the
+    ``ann_topk_ivf*`` constructions always have)."""
     idx = default_index_dir(sf_dir)
     if not index_fresh(idx, sf_dir):
+        if os.environ.get("SPARK_GRAFT_PLAN_ONLY"):
+            return _ivfpq_compose(spark, sf_dir, _SERVE_LO, _SERVE_HI)
         build_ann_index(spark, sf_dir, idx)
     return serve_topk(spark, sf_dir, idx, _SERVE_LO, _SERVE_HI)

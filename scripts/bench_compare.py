@@ -35,6 +35,32 @@ ALLOWED_RATIO = 1.5
 VARIANCE_BAND = 0.15
 MIN_ABS_SEC = 0.15
 
+#: queries whose CONTRACT changed since the newest committed artifact —
+#: they intentionally do more work, so a >1.5× delta is explained, not a
+#: regression. Reported loudly but non-fatal; prune each round once the
+#: new cost is in the committed baseline (stale entries mask real
+#: regressions).
+CHANGED_CONTRACT = {
+    "embedding_pq_codes": (
+        "r8: Lloyd-trains the PQ codebook per invocation "
+        "(r1-r7 used the first-4-raw-vectors placeholder)"
+    ),
+    "ann_topk_ivfpq": "r8: trained codebook (same change)",
+    "ann_topk_ivfpq_serve": (
+        "r8: m=8 geometry + trained codebook in the build half"
+    ),
+}
+
+
+def _calib(bench: dict) -> float | None:
+    """Mean of the artifact's fixed-work calibration samples (VERDICT
+    r7 item 3) — None for pre-r8 artifacts that carry no load
+    evidence."""
+    samples = (bench.get("load") or {}).get("calib_sec")
+    if not samples:
+        return None
+    return sum(samples) / len(samples)
+
 
 def _extract(path: Path) -> dict:
     """Parse either a raw bench JSON line or a driver wrapper whose
@@ -79,6 +105,27 @@ def main(argv: list[str]) -> int:
     new, old = _extract(new_path), _extract(old_path)
     nq, oq = _all_queries(new), _all_queries(old)
 
+    # load normalization (VERDICT r7 item 3): if the new run's fixed-work
+    # calibration is slower than the old artifact's beyond the variance
+    # band, the MACHINE was slower — divide ratios by the calibration
+    # ratio before judging, and say so. r7's driver artifact (uniform
+    # ~1.5× with zero plan changes) is exactly the case this catches.
+    ncal, ocal = _calib(new), _calib(old)
+    calib_ratio = (ncal / ocal) if (ncal and ocal) else None
+    loaded = calib_ratio is not None and calib_ratio > 1 + VARIANCE_BAND
+    if calib_ratio is not None:
+        print(
+            f"calibration: old {ocal:.3f}s new {ncal:.3f}s "
+            f"({calib_ratio:.2f}x)"
+            + (
+                " — LOADED RUN, ratios load-normalized; remeasure on idle"
+                " hardware before trusting round-over-round deltas"
+                if loaded
+                else ""
+            )
+        )
+    norm = calib_ratio if loaded else 1.0
+
     regressions, rows = [], []
     for name in sorted(set(nq) | set(oq)):
         if name not in oq:
@@ -88,10 +135,13 @@ def main(argv: list[str]) -> int:
             rows.append((name, oq[name], None, "removed"))
             continue
         o, n = oq[name], nq[name]
-        ratio = n / o if o > 0 else float("inf")
+        ratio = (n / o if o > 0 else float("inf")) / norm
         if n >= MIN_ABS_SEC and ratio > ALLOWED_RATIO:
-            verdict = "REGRESSION"
-            regressions.append((name, o, n, ratio))
+            if name in CHANGED_CONTRACT:
+                verdict = f"changed contract ({CHANGED_CONTRACT[name]})"
+            else:
+                verdict = "REGRESSION"
+                regressions.append((name, o, n, ratio))
         elif ratio > 1 + VARIANCE_BAND:
             verdict = "slower (within gate)"
         elif ratio < 1 - VARIANCE_BAND:

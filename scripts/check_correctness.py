@@ -169,7 +169,10 @@ def main() -> int:
             results[name] = {
                 "status": "pass",
                 "rows": len(srows),
-                "sec": round(time.time() - t0, 2),
+                # gate wall-clock: Spark AND DuckDB AND pandas
+                # materialization, under sweep-concurrent load — NOT a
+                # performance number (VERDICT r7 item 8)
+                "gate_sec": round(time.time() - t0, 2),
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
@@ -178,6 +181,12 @@ def main() -> int:
 
         payload = {
             "sf_dir": SF_DIR,
+            "timing_note": (
+                "gate_sec = differential-gate wall-clock (Spark + DuckDB"
+                " + pandas hashing, run under sweep-concurrent load);"
+                " comparable only within one sweep, never to bench.py"
+                " medians or across rounds (VERDICT r7 item 8)"
+            ),
             "n_pass": n_pass,
             "n_fail": n_fail,
             "n_rows_only": n_rowsonly,

@@ -96,6 +96,9 @@ def main() -> int:
     from olr_cdc_oracle_no_dbz_spark.session import get_spark
     from olr_cdc_oracle_no_dbz_spark.workload import queries
 
+    # plan-only sweep: query construction must not run jobs (ADVICE r7
+    # — a cold ANN-index cache would otherwise train at construction)
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     spark = get_spark("dump-plans", shuffle_partitions=8)
     qs = queries()
     out = [

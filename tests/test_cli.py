@@ -184,3 +184,59 @@ def test_cli_pipeline_multi_table_with_schemas(tmp_path, capsys, spark):
     )
     rows = {r.id: r.title for r in cats.current("drop").collect()}
     assert rows == {7: "Hardware"}
+
+
+def test_cli_build_and_serve_index(tmp_path, capsys, spark, monkeypatch):
+    """build-index trains + persists under --work-dir (VERDICT r7 item
+    6); a second invocation is a freshness no-op; serve-index answers
+    from the artifact with the trainer poisoned — the CLI surface of
+    the train-once/serve-many contract test_ann_index proves at the
+    library level."""
+    work = str(tmp_path / "work")
+    assert main(["build-index", "--sf-dir", SF, "--work-dir", work]) == 0
+    first = capsys.readouterr().out
+    assert "index_dir" in first and "/ann_index/" in first
+    assert main(["build-index", "--sf-dir", SF, "--work-dir", work]) == 0
+    assert "fresh" in capsys.readouterr().out
+
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries
+
+    def _boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("serve-index invoked the trainer")
+
+    monkeypatch.setattr(ext_queries, "_kmeans_train", _boom)
+    monkeypatch.setattr(ai, "_kmeans_train", _boom)
+    assert (
+        main(
+            [
+                "serve-index",
+                "--sf-dir",
+                SF,
+                "--work-dir",
+                work,
+                "--limit",
+                "5",
+            ]
+        )
+        == 0
+    )
+    assert "query_id" in capsys.readouterr().out
+
+
+def test_cli_serve_index_refuses_without_build(tmp_path, capsys):
+    """serve must NEVER train on a cold cache — it refuses and points
+    at build-index instead (the lazy-construction contract)."""
+    assert (
+        main(
+            [
+                "serve-index",
+                "--sf-dir",
+                SF,
+                "--work-dir",
+                str(tmp_path / "nowhere"),
+            ]
+        )
+        == 2
+    )
+    assert "build-index" in capsys.readouterr().err

@@ -26,6 +26,23 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _plan_only_mode():
+    """The whole module constructs plans without executing them; the
+    flag keeps cold-cache query builders (ann_topk_ivfpq_serve) from
+    running training jobs at construction (ADVICE r7). Restored after
+    the module so execution-path tests elsewhere see normal behavior."""
+    import os
+
+    prev = os.environ.get("SPARK_GRAFT_PLAN_ONLY")
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
+    yield
+    if prev is None:
+        os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
+    else:
+        os.environ["SPARK_GRAFT_PLAN_ONLY"] = prev
+
+
 @pytest.fixture(scope="module")
 def q():
     return queries()
