@@ -22,6 +22,8 @@ IEEE sqrt/division, so Spark and DuckDB produce bit-identical doubles.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -97,84 +99,148 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 _LSH_POP = 8  # target sign-LSH bucket population (vectors per bucket)
-_LSH_BITS_MIN = 8  # bit floor: the fixed r1–r6 design was exactly 8 bits
+_LSH_BITS_MIN = 8  # bit floor: the fixed r1-r6 design was exactly 8 bits
+#: hyperplane pool size per family == the new bit-count cap. The old cap
+#: was a CONSEQUENCE of geometry (coordinate-slice bands exhaust the 64
+#: dims: 4 bands x 16 bits, binding at n ~ 512k vectors); this one is a
+#: constant to raise (pool planes are seeded literals, so widening the
+#: pool only grows the rendered SQL). 32 bits/band binds at
+#: n ~ _LSH_POP * 2**32 ~ 3.4e10 vectors (~8.7 PB of fp32-64d) --
+#: comfortably past the 100 TB design point.
+_LSH_BITS_MAX = 32
+_EMB_DIMS = 64  # embeddings dimensionality (TESTDATA.md)
+_HP_NNZ = 8  # nonzero coords per sparse hyperplane (~sqrt(D))
+_HP_SEED = 0x51AF  # fixed draw seed; planes are literals both engines share
+
+
+def _hyperplanes(tag: int) -> list[list[tuple[int, float]]]:
+    """Deterministic SPARSE random hyperplanes (VERDICT r7 item 4 --
+    replaces coordinate-slice sign bits, whose bit count was capped by
+    the 64 source dims): ``_LSH_BITS_MAX`` planes per family, each with
+    exactly ``_HP_NNZ`` nonzero +-1 coefficients on seeded-sampled
+    coordinates -- the very-sparse-random-projection family (Li,
+    Hastie, Church 2006; sign-LSH per Charikar 2002). Drawn ONCE at
+    import from a fixed seed and rendered as literals into both
+    engines' expressions, so no runtime randomness exists anywhere and
+    the oracle replays the family verbatim. +-1 coefficients keep the
+    projection a chain of exact IEEE double add/subtracts (no rounding
+    asymmetry between engines: both evaluate the same left-associated
+    chain over the same parquet doubles -- measured mismatch-free over
+    every vector at both gate SFs). Returns [(dim_1based, coeff), ...]
+    per plane."""
+    rng = random.Random((_HP_SEED << 8) | tag)
+    planes = []
+    for _ in range(_LSH_BITS_MAX):
+        pos = sorted(rng.sample(range(_EMB_DIMS), _HP_NNZ))
+        planes.append([(p + 1, rng.choice((-1.0, 1.0))) for p in pos])
+    return planes
+
+
+_HP_BUCKET = _hyperplanes(0)  # the single-bucket family's pool
+
+
+def _hp_sign_spark(plane: list[tuple[int, float]]) -> str:
+    """One plane's sign bit, Spark rendering: '1' iff the sparse +-1
+    projection of ``{v}`` is positive (element_at is 1-based)."""
+    terms = " ".join(
+        ("+" if c > 0 else "-") + f" CAST(element_at({{v}}, {p}) AS DOUBLE)"
+        for p, c in plane
+    )
+    return f"CASE WHEN 0.0 {terms} > 0 THEN '1' ELSE '0' END"
+
+
+def _hp_sign_sql(plane: list[tuple[int, float]]) -> str:
+    """DuckDB mirror of ``_hp_sign_spark`` (list indexing is 1-based;
+    identical add/subtract chain, so identical doubles)."""
+    terms = " ".join(
+        ("+" if c > 0 else "-") + f" CAST(({{v}})[{p}] AS DOUBLE)"
+        for p, c in plane
+    )
+    return f"CASE WHEN 0.0 {terms} > 0 THEN '1' ELSE '0' END"
 
 
 def _sign_bits(n: int) -> int:
-    """Corpus-size-derived sign-LSH bit count (VERDICT r6 item 1 — the
+    """Corpus-size-derived sign-LSH bit count (VERDICT r6 item 1 -- the
     ``_derive_k`` pattern applied to the hash family): bits =
-    max(8, ceil(log2(ceil(n / _LSH_POP)))), so the bucket count grows
-    ~N/_LSH_POP and the sum-of-squared-bucket-sizes cost of the bucket
-    self-/equi-joins stays ~N·pop instead of degrading toward N²/256
-    at a fixed 8 bits (the r6 knn-graph probe read alpha=0.75).
+    clamp(ceil(log2(ceil(n / _LSH_POP))), 8, 32), so the bucket count
+    grows ~N/_LSH_POP and the sum-of-squared-bucket-sizes cost of the
+    bucket self-/equi-joins stays ~N*pop instead of degrading toward
+    N^2/256 at a fixed 8 bits (the r6 knn-graph probe read alpha=0.75).
+    The cap is the hyperplane POOL size, no longer the source
+    dimensionality (VERDICT r7 item 4 -- see ``_LSH_BITS_MAX``).
     Integer-exact ceil-log2 via bit_length, replayed bit-identically by
-    the oracle's GREATEST(floor, length(bin(m - 1))): bin() emits no
-    leading zeros, so length(bin(m-1)) == (m-1).bit_length() for
-    m >= 2, and the m<=1 edge lands on the shared 8-bit floor either
-    way. At the test scale factors (500 / 2000 vectors) the derivation
-    lands exactly on the floor — small-SF results are byte-identical
-    to the fixed-8-bit rounds — while the scale probe's ×2/×4
-    replications push it to 9/10 bits."""
+    the oracle's GREATEST(floor, LEAST(cap, length(bin(m - 1)))): bin()
+    emits no leading zeros, so length(bin(m-1)) == (m-1).bit_length()
+    for m >= 2, and the m<=1 edge lands on the shared 8-bit floor
+    either way. At the gate scale factors (500 / 2000 vectors) the
+    derivation lands exactly on the floor, while the scale probe's
+    x2/x4 replications push it to 9/10 bits."""
     m = (n + _LSH_POP - 1) // _LSH_POP
-    return max(_LSH_BITS_MIN, (m - 1).bit_length())
+    return max(_LSH_BITS_MIN, min(_LSH_BITS_MAX, (m - 1).bit_length()))
 
 
 def _sign_bucket(bits: int) -> str:
-    """Spark-side sign-LSH bucket: the first ``bits`` hyperplane signs
-    rendered as a '0'/'1' string. slice() caps at the array length on
-    both engines, so bits > dims degrades gracefully to the full sign
-    pattern."""
+    """Spark-side sign-LSH bucket: the first ``bits`` pool-plane signs
+    rendered as a '0'/'1' string (bits is derived driver-side from the
+    corpus COUNT, so exactly ``bits`` sign expressions are emitted)."""
     return (
-        f"concat_ws('', transform(slice({{v}}, 1, {bits}), "
-        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+        "concat("
+        + ", ".join(_hp_sign_spark(pl) for pl in _HP_BUCKET[:bits])
+        + ")"
     )
 
 
 # DuckDB mirror: the bit count is derived from the same corpus COUNT the
-# Spark side uses (CTE `lshp`, one scalar row), and the bucket slice is
-# bounded by a scalar subquery against it.
+# Spark side uses (CTE `lshp`, one scalar row); the oracle renders the
+# FULL 32-plane sign string and truncates to the derived bit count --
+# identical to emitting only the first `bits` signs, since prefix bits
+# do not depend on how many follow.
 _SQL_LSH_PARAMS = (
-    f"SELECT GREATEST({_LSH_BITS_MIN}, length(bin("
-    f"(COUNT(*) + {_LSH_POP - 1}) // {_LSH_POP} - 1))) AS bits "
+    f"SELECT GREATEST({_LSH_BITS_MIN}, LEAST({_LSH_BITS_MAX}, length(bin("
+    f"(COUNT(*) + {_LSH_POP - 1}) // {_LSH_POP} - 1)))) AS bits "
     "FROM embeddings"
 )
 _SQL_SIGN_BUCKET = (
-    "array_to_string(list_transform({v}[1:(SELECT bits FROM lshp)], "
-    "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+    "substr(concat("
+    + ", ".join(_hp_sign_sql(pl) for pl in _HP_BUCKET)
+    + "), 1, (SELECT bits FROM lshp))"
 )
 
 _LSH_BANDS = 4  # independent sign-bands for multi-band candidate union
-_LSH_BAND_MAX_BITS = 16  # 4 bands × 16 bits caps at the 64 source dims
+#: one independent pool per band -- disjoint seeded draws, so bands are
+#: independent hash functions over the SAME vector space (the AND-OR
+#: amplification multi-band LSH needs), not slices of one signature
+_HP_BAND = [_hyperplanes(1 + b) for b in range(_LSH_BANDS)]
 
 
 def _band_bits(n: int) -> int:
     """Per-band bit count for multi-band sign-LSH: the corpus-derived
-    ``_sign_bits`` capped so _LSH_BANDS coordinate-slice bands fit the
-    64 source dims (4×16). Beyond the cap a real deployment draws
-    RANDOM hyperplanes instead of coordinate slices — noted, not
-    needed at any probe-reachable scale (the cap binds at n ≳ 512k
-    vectors)."""
-    return min(_LSH_BAND_MAX_BITS, _sign_bits(n))
+    ``_sign_bits`` -- whose cap is now the per-band hyperplane pool
+    (32), not the 4x16 coordinate budget the slice geometry imposed
+    (VERDICT r7 item 4; the old cap bound at n ~ 512k vectors, this
+    one at ~3.4e10)."""
+    return _sign_bits(n)
 
 
 def _sign_band(b: int, bits: int) -> str:
-    """Spark-side band ``b``: the sign pattern of dims
-    [b*bits, (b+1)*bits) — each band an independent hash family drawn
-    from disjoint coordinates."""
+    """Spark-side band ``b``: the first ``bits`` signs of band ``b``'s
+    own hyperplane pool -- each band an independent family by
+    construction (disjoint seeded draws), not disjoint coordinates."""
     return (
-        f"concat_ws('', transform(slice({{v}}, {b * bits + 1}, {bits}), "
-        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END))"
+        "concat("
+        + ", ".join(_hp_sign_spark(pl) for pl in _HP_BAND[b][:bits])
+        + ")"
     )
 
 
 def _sql_sign_band(b: int) -> str:
-    """DuckDB mirror of ``_sign_band``; band bits from the capped
-    scalar subquery (CTE ``lshp`` must be in scope)."""
-    lo = f"(SELECT LEAST({_LSH_BAND_MAX_BITS}, bits) FROM lshp) * {b} + 1"
-    hi = f"(SELECT LEAST({_LSH_BAND_MAX_BITS}, bits) FROM lshp) * {b + 1}"
+    """DuckDB mirror of ``_sign_band``; full-pool sign string truncated
+    to the derived bit count (CTE ``lshp`` must be in scope; its bits
+    are already capped at the pool size)."""
     return (
-        f"array_to_string(list_transform({{v}}[{lo}:{hi}], "
-        "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+        "substr(concat("
+        + ", ".join(_hp_sign_sql(pl) for pl in _HP_BAND[b])
+        + "), 1, (SELECT bits FROM lshp))"
     )
 
 
@@ -1542,9 +1608,10 @@ def ann_topk_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: {_LSH_BANDS} equi-joins on band hashes, each with the same
     corpus-derived bit-count discipline as the single-bucket family
-    (``_band_bits``: ~N/8 buckets per band, capped at 16 bits where a
-    real deployment would switch the band source from coordinate
-    slices to random hyperplanes); the union is a distinct on
+    (``_band_bits``: ~N/8 buckets per band; bands are independent
+    sparse random hyperplanes, so the bit cap is the plane POOL -- a
+    constant to raise -- not the source dimensionality, VERDICT r7
+    item 4); the union is a distinct on
     (query, candidate) pairs — never all-pairs."""
     emb = t(spark, sf_dir, "embeddings")
     bits = _band_bits(emb.count())
@@ -3200,6 +3267,15 @@ _PQ_K_MIN = 8
 #: broadcast-join form the serve path uses (ann_index.serve_topk) —
 #: documented trade, not a correctness limit.
 _PQ_K_MAX = 64
+#: Lloyd TRAINING runs on the first min(n, _PQ_TRAIN_CAP) vectors, the
+#: standard sampled-training discipline (Jégou et al. train codebooks
+#: on a corpus sample): at 100 TB each training iteration must scan a
+#: bounded set, not the full table — only the one ENCODE pass may be
+#: corpus-sized. 16384 = _PQ_K_MAX·_PQ_CELL, the population that
+#: saturates the codebook size, so the cap never binds below the k
+#: cap. Both gate corpora (500 / 2000 vectors) sit far under it —
+#: gate values are unchanged and the oracle replays the same WHERE.
+_PQ_TRAIN_CAP = _PQ_K_MAX * _PQ_CELL
 
 
 def _pq_k(n: int) -> int:
@@ -3333,10 +3409,13 @@ def _pq_train(
     round (m·K rows, KB-scale — the ``_kmeans_train`` shape) and
     inlined as literals so assignment is a zero-shuffle projection.
     Returns the (sub_idx, c_idx, cv) list the oracle re-derives
-    CTE-for-CTE (``_sql_pq_ctes``)."""
+    CTE-for-CTE (``_sql_pq_ctes``). Training scans only the first
+    min(n, _PQ_TRAIN_CAP) vectors — the sampled-training bound that
+    keeps each Lloyd iteration off the full 100 TB table."""
     k = _pq_k(n)
+    train = subs.filter(F.col("vec_id") < _PQ_TRAIN_CAP)
     seed = (
-        subs.filter(F.col("vec_id") < k)
+        train.filter(F.col("vec_id") < k)
         .select(
             "sub_idx",
             F.col("vec_id").alias("c_idx"),
@@ -3346,7 +3425,7 @@ def _pq_train(
     )
     cents = sorted((r["sub_idx"], r["c_idx"], list(r["cv"])) for r in seed)
     for _ in range(iters):
-        assign = _pq_assign_join(subs, cents)
+        assign = _pq_assign_join(train, cents)
         means = (
             assign.select(
                 "sub_idx", "c_idx", F.posexplode("sv").alias("p", "x")
@@ -3410,6 +3489,7 @@ def _sql_pq_ctes(iters: int = _KMEANS_T) -> str:
                        PARTITION BY u.vec_id, u.sub_idx
                        ORDER BY {_pq_sql_dist("u.sv", "c.cv")}, c.c_idx) AS rn
             FROM subs u JOIN {prev} c ON c.sub_idx = u.sub_idx
+            WHERE u.vec_id < {_PQ_TRAIN_CAP}
         ) WHERE rn = 1
     ),
     ppos{i} AS (
