@@ -47,7 +47,12 @@ SHOWCASE = {
     "corpus_dedup_apply": "cluster labels broadcast onto the corpus; keep rule row-local",
     "window_skyline_2d": "2-D Pareto front as one partitioned running-max window (no dominance anti-join)",
     "timeseries_paa_similarity": "PAA band blocking (SALTED 32-way vs hot-band explosion) + sparse cross-term refine",
-    "dedup_simhash": "int-signature banding; popcount-xor hamming per candidate",
+    "dedup_simhash": (
+        "corpus-derived w-bit banding; popcount-xor hamming per candidate;"
+        " the two Cross BNLJs are ONE-ROW broadcasts (the COUNT-derived"
+        " band width + global bit-offset aggregates, r8 mean-centering)"
+        " — the scalar-subquery shape, not a data cartesian"
+    ),
     "join_band_bucketed": "band theta join rewritten to (key, bucket) equi-join + residual",
     "ann_topk_ivfpq": "IVF cell restriction + broadcast PQ LUT join over m-byte codes + exact refine on the 10-row shortlist",
     "cdc_multi_table_routing": "per-table decode/filter/unwrap over ONE raw scan; per-table LWW max_by shuffle",
