@@ -87,6 +87,8 @@ EXTENDED = [
     "dedup_minhash_estimate",  # signature-vs-exact Jaccard calibration
     # round-8 additions
     "dedup_simhash_topk",      # bounded-output (≤3N rows) simhash variant
+    "dedup_fuzzy_topk",        # bounded-output edit-distance variant
+    "timeseries_paa_topk",     # bounded-output 2-D-grid PAA kNN
 ]
 
 

@@ -49,7 +49,7 @@ from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
     _ivfpq_compose,
     _ivfpq_oracle,
     _kmeans_train,
-    _nearest_cent_inline,
+    _nearest_cent,
     _pq_assign_inline,
     _pq_k,
     _pq_train,
@@ -81,7 +81,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     n = e.count()
     k = _derive_k(n)
     cents = _kmeans_train(e, k)
-    assign = _nearest_cent_inline(e, cents)
+    assign = _nearest_cent(e, cents)
 
     spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cent_id long, cv array<double>"
@@ -198,7 +198,7 @@ def serve_topk(
     )
 
     qbase = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
-    q = _nearest_cent_inline(qbase, cents).select(
+    q = _nearest_cent(qbase, cents).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nsq").alias("qnsq"),

@@ -1125,6 +1125,58 @@ def _nearest_cent_inline(
     )
 
 
+#: beyond this many centroids the inlined-literal CASE/greatest tree is
+#: the wrong plan: Catalyst compile time grows with the branch count and
+#: the serialized task binary carries every centroid in every task.
+#: K = ceil(N/128) crosses this at N ≈ 33k vectors — far below any real
+#: corpus — so at scale assignment flips to the broadcast-join + window
+#: argmin below (identical (sim DESC, cent_id) ordering, so the Lloyd
+#: trajectory and every downstream code are value-identical; the gate
+#: corpora sit under the cap and exercise the inline path, the unit test
+#: forces the join path and asserts row-for-row equality).
+_INLINE_K_MAX = 256
+
+
+def _nearest_cent_join(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Large-K assignment: broadcast the centroid table, rank per vector
+    by the SAME decimal(16,8) cosine with cent_id tie-break as
+    ``_nearest_cent_inline``. One extra shuffle (the per-vec_id window)
+    versus the inline projection — the right trade once K·dims literals
+    stop fitting in a compiled expression; Spark ML's own KMeansModel
+    transform is this shape."""
+    spark = e.sparkSession
+    cb = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cent_id long, cv array<double>"
+    ).withColumn("cnsq", F.expr(_DOT.format(a="cv", b="cv")))
+    sim = F.expr(
+        f"CAST({_DOT.format(a='v', b='cv')} / (sqrt(nsq) * sqrt(cnsq))"
+        f" AS DECIMAL(16,8))"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), "cent_id"
+    )
+    return (
+        e.join(F.broadcast(cb))
+        .select("vec_id", "v", "nsq", "cent_id", sim.alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nsq", "cent_id")
+    )
+
+
+def _nearest_cent(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assignment dispatcher: inline literals while the tree compiles
+    well, broadcast-join beyond ``_INLINE_K_MAX`` (value-identical by
+    shared ordering)."""
+    if len(cents) <= _INLINE_K_MAX:
+        return _nearest_cent_inline(e, cents)
+    return _nearest_cent_join(e, cents)
+
+
 def _kmeans_assign(
     e: DataFrame, k: int | None = None, iters: int = _KMEANS_T
 ) -> DataFrame:
@@ -1161,7 +1213,7 @@ def _kmeans_assign(
     constant so downstream within-cell work is linear in N; the count
     is one bounded action whose value the oracle reproduces exactly
     (engine-identical COUNT(*))."""
-    return _nearest_cent_inline(e, _kmeans_train(e, k, iters))
+    return _nearest_cent(e, _kmeans_train(e, k, iters))
 
 
 def _kmeans_train(
@@ -1185,7 +1237,7 @@ def _kmeans_train(
     )
     cents = sorted((r["cent_id"], list(r["cv"])) for r in seed)
     for _ in range(iters):
-        assign = _nearest_cent_inline(e, cents)
+        assign = _nearest_cent(e, cents)
         pos = assign.select("cent_id", F.posexplode("v").alias("p", "x"))
         means = (
             pos.groupBy("cent_id", "p")
@@ -1440,7 +1492,7 @@ def ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot("embedding", "embedding").alias("nsq"),
     )
     cents = _kmeans_train(e)
-    assign = _nearest_cent_inline(e, cents)
+    assign = _nearest_cent(e, cents)
     qbase = e.filter((F.col("vec_id") >= 140) & (F.col("vec_id") < 160))
     probe = _top_cells_inline(qbase, cents, _NPROBE).select(
         F.col("vec_id").alias("query_id"),
@@ -3731,7 +3783,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = e.select("vec_id", "v", "nsq")
     cents = _kmeans_train(ev)
-    assign = _nearest_cent_inline(ev, cents)
+    assign = _nearest_cent(ev, cents)
     qbase = e.filter(F.col("vec_id") < 10)
     q = qbase.select(
         F.col("vec_id").alias("query_id"),
@@ -5334,6 +5386,234 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_paa_topk",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(d) AS md FROM daily),
+    vec AS (
+        SELECT user_id,
+               list_transform(generate_series(0, (SELECT md FROM mx)),
+                              i -> COALESCE(map_extract(m, i)[1], 0.0)) AS dv
+        FROM (SELECT user_id,
+                     MAP(list(d ORDER BY d), list(v ORDER BY d)) AS m
+              FROM daily GROUP BY user_id)
+    ),
+    feat AS (
+        SELECT user_id, dv,
+               list_transform(generate_series(0, (SELECT md // 5 FROM mx)),
+                   s -> list_reduce(dv[s * 5 + 1 : s * 5 + 5],
+                                    (a, b) -> a + b) / 5) AS pv,
+               list_reduce(list_transform(dv, x -> x * x),
+                           (a, b) -> a + b) AS nsq
+        FROM vec
+    ),
+    block AS (
+        SELECT user_id,
+               CAST(FLOOR(pv[1] / {_TS_W}) AS BIGINT) AS b0,
+               CAST(FLOOR(pv[2] / {_TS_W}) AS BIGINT) AS b1,
+               dv, nsq
+        FROM feat
+    ),
+    cand AS (
+        SELECT x.user_id AS u, y.user_id AS nb_id,
+               x.nsq + y.nsq - 2 * list_reduce(
+                   list_transform(list_zip(x.dv, y.dv), p -> p[1] * p[2]),
+                   (a, b) -> a + b) AS dist2
+        FROM (SELECT user_id, b0 + o0 AS b0, b1 + o1 AS b1, dv, nsq
+              FROM block, LATERAL unnest([-1, 0, 1]) AS t0(o0),
+                          LATERAL unnest([-1, 0, 1]) AS t1(o1)) x
+        JOIN block y ON y.b0 = x.b0 AND y.b1 = x.b1
+                    AND y.user_id <> x.user_id
+    )
+    SELECT user_id, neighbor_id, dist2, rk FROM (
+        SELECT u AS user_id, nb_id AS neighbor_id, dist2,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY dist2, nb_id) AS rk
+        FROM cand
+    ) WHERE rk <= 3
+    """,
+)
+def timeseries_paa_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output series similarity (the ``dedup_simhash_topk``
+    contract applied to the PAA family, motivated by the r8
+    overlap-mode probe): per user, the 3 nearest grid-near series by
+    full Euclidean distance — ≤3N output rows at ANY twin skew, where
+    the emit-every-pair gate's output grows with the true near-dup
+    mass itself (alpha=1.97 in the overlap probe — an output-volume
+    fact; THIS is the production write contract for it).
+
+    Blocking upgrades from the pair gate's 1-D band to a 2-D GRID on
+    the first TWO PAA segments, ±1 cell in each dim (9 probe cells):
+    any pair within distance T has |Δpaa_s| ≤ T/√5 in EVERY segment
+    (5·Δs² ≤ lb2 ≤ dist²), so per-segment cells of width W ≥ T/√5
+    keep the ±1-neighborhood complete in each dimension independently
+    — same GEMINI soundness, hot-cell mass cut by a second dimension
+    (the 1-D band put ~all white-noise users in band 0). A pair meets
+    in exactly ONE (o0,o1) offset combination, so the grid fan-out
+    never duplicates candidates; the same xxhash salt spreads the
+    enumeration of what remains.
+
+    Twin-collapse (the r8 enumeration fix): the Spark plan first
+    COLLAPSES exact-identical series (groupBy on the dense value
+    array) to one representative per content group, runs the grid
+    join over REPRESENTATIVES only, and expands per-user answers from
+    (a) up to 3 same-group twin-mates at exactly dist²=0.0 (identical
+    arrays fold to an identical nsq, so the naive subtraction is IEEE
+    +0.0) and (b) the members of the group's top-3 neighbor groups —
+    sufficiency: every candidate ranks by (dist², id); any group
+    holding one of a user's global top-3 cross-group neighbors must
+    itself be among the top-3 groups by (dist², min member id),
+    because each lexicographically-earlier group contributes at least
+    one strictly-earlier candidate. Exact duplicates are the dominant
+    twin mass in practice (all-zero inactive users, default
+    patterns) and the probe's shared-value replication is 100% exact
+    twins: measured overlap alpha fell 1.94 (naive enumeration) →
+    ~flat, because group COUNT is invariant under twin replication.
+    Near-twins (distinct but close series) still enumerate — that
+    mass is irreducible for any complete blocking and is bounded here
+    only in OUTPUT (≤3N). The ORACLE stays the naive per-user grid
+    join + rank — the gate certifies collapse+expand == naive
+    row-for-row at both SFs.
+
+    Scale: group machinery is two windows over (dv) partitions; the
+    grid join touches one row per DISTINCT series; per-user expansion
+    is ≤ 3 + 9 candidate rows; output ≤3N regardless of twin skew."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v"))
+    max_d = daily.agg(F.max("d")).first()[0]
+    n_seg = max_d // 5 + 1
+    vec = (
+        daily.groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias("mp")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(sequence(0, {max_d}),"
+                " i -> coalesce(mp[i], cast(0 as double)))"
+            ).alias("dv"),
+        )
+    )
+    feat = vec.select(
+        "user_id",
+        "dv",
+        F.expr(
+            f"transform(sequence(0, {n_seg - 1}),"
+            " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
+            " (acc, x) -> acc + x) / 5)"
+        ).alias("pv"),
+        F.expr(
+            "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
+        ).alias("nsq"),
+    )
+    # twin-collapse: rank users within identical-series groups
+    wg = Window.partitionBy("dv")
+    wgo = Window.partitionBy("dv").orderBy("user_id")
+    ranked = feat.withColumn("gid", F.min("user_id").over(wg)).withColumn(
+        "grn", F.row_number().over(wgo)
+    )
+    reps = ranked.filter(F.col("grn") == 1).select(
+        "gid", "dv", "pv", "nsq"
+    )
+    # the 4 smallest member ids per group cover any member's 3 mates
+    m4 = ranked.filter(F.col("grn") <= 4).select(
+        "gid", F.col("user_id").alias("member_id")
+    )
+    block = reps.select(
+        "gid",
+        F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b0"),
+        F.floor(F.element_at("pv", 2) / _TS_W).cast("bigint").alias("b1"),
+        "dv",
+        "nsq",
+    )
+    x = (
+        block.withColumn(
+            "b0",
+            F.explode(F.array(F.col("b0") - 1, F.col("b0"), F.col("b0") + 1)),
+        )
+        .withColumn(
+            "b1",
+            F.explode(F.array(F.col("b1") - 1, F.col("b1"), F.col("b1") + 1)),
+        )
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(_TS_SALT)])),
+        )
+        .alias("x")
+    )
+    y = block.withColumn(
+        "salt", F.pmod(F.xxhash64("gid"), F.lit(_TS_SALT)).cast("int")
+    ).alias("y")
+    cross = F.expr(
+        "aggregate(zip_with(x.dv, y.dv, (p, q) -> p * q),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    gpairs = x.join(
+        y,
+        (F.col("y.b0") == F.col("x.b0"))
+        & (F.col("y.b1") == F.col("x.b1"))
+        & (F.col("y.salt") == F.col("x.salt"))
+        & (F.col("y.gid") != F.col("x.gid")),
+    ).select(
+        F.col("x.gid").alias("g"),
+        F.col("y.gid").alias("h"),
+        (F.col("x.nsq") + F.col("y.nsq") - 2 * cross).alias("dist2"),
+    )
+    wtop = Window.partitionBy("g").orderBy("dist2", "h")
+    topg = (
+        gpairs.withColumn("grk", F.row_number().over(wtop))
+        .filter(F.col("grk") <= 3)
+        .select("g", "h", "dist2")
+    )
+    users = ranked.select("user_id", "gid")
+    mates = (
+        users.join(m4, "gid")
+        .filter(F.col("member_id") != F.col("user_id"))
+        .select(
+            "user_id",
+            F.col("member_id").alias("neighbor_id"),
+            F.lit(0.0).alias("dist2"),
+        )
+    )
+    # each neighbor group's 3 smallest member ids cover the global top-3
+    h3 = (
+        m4.withColumn(
+            "mrn",
+            F.row_number().over(
+                Window.partitionBy("gid").orderBy("member_id")
+            ),
+        )
+        .filter(F.col("mrn") <= 3)
+        .select(F.col("gid").alias("h"), "member_id")
+    )
+    cross_cand = (
+        users.join(topg, users["gid"] == topg["g"])
+        .join(h3, "h")
+        .select(
+            "user_id",
+            F.col("member_id").alias("neighbor_id"),
+            "dist2",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("dist2", "neighbor_id")
+    return (
+        mates.unionAll(cross_cand)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "neighbor_id", "dist2", "rk")
+    )
+
+
+@register(
     "multimodal_phash_neardup",
     oracle=f"""{_sql_simhash_cand(_SQL_SIMHASH_GRAMS)}
     SELECT a_id, b_id,
@@ -5882,6 +6162,86 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         "edit_dist",
         (F.col("edit_dist") <= 20).alias("is_near"),
+    )
+
+
+@register(
+    "dedup_fuzzy_topk",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ')[1] AS blk,
+               substr(text, 1, 80) AS head
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT a_id AS doc_id, b_id AS neighbor_id, edit_dist FROM cand
+        UNION ALL
+        SELECT b_id AS doc_id, a_id AS neighbor_id, edit_dist FROM cand
+    )
+    SELECT doc_id, neighbor_id, edit_dist, rk FROM (
+        SELECT doc_id, neighbor_id, edit_dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY edit_dist, neighbor_id) AS rk
+        FROM sym
+    ) WHERE rk <= 3
+    """,
+)
+def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output fuzzy near-dup (the ``dedup_simhash_topk``
+    contract applied to the edit-distance family, motivated by the r8
+    overlap-mode probe): per document, the 3 nearest block-mates by
+    Levenshtein distance of the 80-char heads — ≤3N output rows at ANY
+    duplicate skew, where the emit-every-pair gate's output grows with
+    the true near-dup mass itself (~K² under K-fold near-twin
+    replication; `dedup_fuzzy_levenshtein` measured alpha=1.79 in the
+    overlap probe for exactly that reason — an output-volume fact, and
+    THIS variant is the production answer to it). No distance
+    threshold: the k-bound alone caps the write.
+
+    Scale: same first-word blocking and block-key repartition as the
+    pair gate; the per-doc top-3 is a row_number window Spark executes
+    as a WindowGroupLimit (running k-buffer, map-side prunable), so
+    nothing downstream of the candidate scan exceeds 3N rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("blk"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = d.repartition(n_part, "blk").alias("a")
+    b = d.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.levenshtein(F.col("a.head"), F.col("b.head"))
+        .cast("bigint")
+        .alias("edit_dist"),
+    )
+    sym = cand.select(
+        F.col("a_id").alias("doc_id"),
+        F.col("b_id").alias("neighbor_id"),
+        "edit_dist",
+    ).unionAll(
+        cand.select(
+            F.col("b_id").alias("doc_id"),
+            F.col("a_id").alias("neighbor_id"),
+            "edit_dist",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("edit_dist", "neighbor_id")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "neighbor_id", "edit_dist", "rk")
     )
 
 

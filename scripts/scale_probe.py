@@ -100,6 +100,10 @@ QUERIES = [
     "dedup_minhash_estimate",
     # round-8: the derived-band simhash family (VERDICT r7 items 1+7)
     "dedup_simhash_topk",
+    # late round-8: bounded-output contracts for the two operators the
+    # overlap mode exposed as output-quadratic under near-twin mass
+    "dedup_fuzzy_topk",
+    "timeseries_paa_topk",
 ]
 
 _VOWELS = "aeiou"

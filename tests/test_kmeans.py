@@ -59,3 +59,54 @@ def test_every_vector_assigned_exactly_once(spark):
     assign = _kmeans_assign(e)
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
+
+
+def test_join_assignment_equals_inline(spark):
+    """The large-K broadcast-join assignment path (r8: `_nearest_cent`
+    flips to it beyond _INLINE_K_MAX centroids, where K ∝ N makes the
+    inlined-literal tree uncompilable) produces row-for-row the SAME
+    (vec_id -> cent_id) mapping as the inline path — both rank by
+    (decimal(16,8) cosine DESC, cent_id), so the Lloyd trajectory and
+    every downstream code are path-independent."""
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+        _kmeans_train,
+        _nearest_cent_inline,
+        _nearest_cent_join,
+    )
+
+    e = _base(spark)
+    cents = _kmeans_train(e)
+    inline = dict(
+        _nearest_cent_inline(e, cents).select("vec_id", "cent_id").collect()
+    )
+    joined = dict(
+        _nearest_cent_join(e, cents).select("vec_id", "cent_id").collect()
+    )
+    assert joined == inline
+
+
+def test_dispatcher_flips_past_cap(spark, monkeypatch):
+    """With the cap forced to 1 the dispatcher must take the join path
+    and still agree with the inline mapping — pins that the flip is
+    transparent, not merely available."""
+    import olr_cdc_oracle_no_dbz_spark.workload.ext_queries as x
+
+    e = _base(spark)
+    cents = x._kmeans_train(e)
+    ref = dict(
+        x._nearest_cent_inline(e, cents).select("vec_id", "cent_id").collect()
+    )
+    called = {}
+
+    real_join = x._nearest_cent_join
+
+    def spy(e_, cents_):
+        called["join"] = True
+        return real_join(e_, cents_)
+
+    monkeypatch.setattr(x, "_INLINE_K_MAX", 1)
+    monkeypatch.setattr(x, "_nearest_cent_join", spy)
+    got = dict(
+        x._nearest_cent(e, cents).select("vec_id", "cent_id").collect()
+    )
+    assert called.get("join") and got == ref
