@@ -50,6 +50,7 @@ from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
     _ivfpq_oracle,
     _kmeans_train,
     _nearest_cent,
+    _PQ_SHORTLIST,
     _pq_assign_inline,
     _pq_k,
     _pq_train,
@@ -174,7 +175,7 @@ def serve_topk(
     index_dir: str,
     lo: int,
     hi: int,
-    shortlist_k: int = 10,
+    shortlist_k: int = _PQ_SHORTLIST,
     final_k: int = 5,
 ) -> DataFrame:
     """Answer IVF+PQ top-k for query ids in [lo, hi) from the PERSISTED

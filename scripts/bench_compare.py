@@ -45,9 +45,17 @@ CHANGED_CONTRACT = {
         "r8: Lloyd-trains the PQ codebook per invocation "
         "(r1-r7 used the first-4-raw-vectors placeholder)"
     ),
-    "ann_topk_ivfpq": "r8: trained codebook (same change)",
+    "ann_topk_ivfpq": (
+        "r8: trained codebook + cell-fraction ADC shortlist (recall "
+        "0.34 -> 0.70 / 0.37 -> 0.94 at the two SFs; _PQ_SHORTLIST)"
+    ),
     "ann_topk_ivfpq_serve": (
-        "r8: m=8 geometry + trained codebook in the build half"
+        "r8: m=8 geometry + trained codebook in the build half + "
+        "cell-fraction ADC shortlist in the serve half"
+    ),
+    "ann_recall_report": (
+        "r8: sixth arm (ivfpq_rr) added — the widened-shortlist "
+        "re-rank gauge"
     ),
 }
 
