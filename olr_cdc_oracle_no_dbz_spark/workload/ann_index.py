@@ -51,7 +51,7 @@ from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
     _kmeans_train,
     _nearest_cent,
     _PQ_SHORTLIST,
-    _pq_assign_inline,
+    _pq_assign,
     _pq_k,
     _pq_train,
     _PQ_M,
@@ -110,7 +110,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         os.path.join(out_dir, "postings")
     )
 
-    codes = _pq_assign_inline(subs, pq_cents).select(
+    codes = _pq_assign(subs, pq_cents).select(
         "vec_id", "sub_idx", "c_idx"
     )
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))

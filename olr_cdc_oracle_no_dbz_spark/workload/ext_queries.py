@@ -3314,16 +3314,26 @@ _PQ_CELL = 256  # target vectors per PQ codeword: k = clamp(ceil(n/256), 8, 64)
 #: first-k seeding overfits tiny corpora), so the floor stays modest
 #: and k grows only with the corpus (ceil(n/256), capped at 64).
 _PQ_K_MIN = 8
-#: cap: beyond 64 codewords the inlined-literal assignment expression
-#: (64 structs/subspace already at the cap) should flip to the
-#: broadcast-join form the serve path uses (ann_index.serve_topk) —
-#: documented trade, not a correctness limit.
-_PQ_K_MAX = 64
+#: inline-literal ENCODE cap: beyond 64 codewords per subspace the
+#: k·m CASE/least tree stops being the right plan — Catalyst compile
+#: time and the serialized task binary grow with the branch count, the
+#: same disease ``_INLINE_K_MAX`` guards for the coarse quantizer — so
+#: ``_pq_assign`` flips to the broadcast-join + window argmin the
+#: training loop already uses (identical (decimal d, c_idx) ordering →
+#: identical codes; forced-flip equality pinned in tests/test_kmeans).
+_PQ_INLINE_MAX = 64
+#: codebook-size cap, raised 64 → 256 (late r8) now that encode no
+#: longer depends on literal-tree compilability: 256 codewords = the
+#: classic 8-bit PQ code (Jégou et al. 2011), reached at n ≥ 65536
+#: vectors via k = ceil(n/256). Both gate corpora sit at the k floor
+#: (8), so every gate value is unchanged; the oracle replays the same
+#: LEAST() constant.
+_PQ_K_MAX = 256
 #: Lloyd TRAINING runs on the first min(n, _PQ_TRAIN_CAP) vectors, the
 #: standard sampled-training discipline (Jégou et al. train codebooks
 #: on a corpus sample): at 100 TB each training iteration must scan a
 #: bounded set, not the full table — only the one ENCODE pass may be
-#: corpus-sized. 16384 = _PQ_K_MAX·_PQ_CELL, the population that
+#: corpus-sized. 65536 = _PQ_K_MAX·_PQ_CELL, the population that
 #: saturates the codebook size, so the cap never binds below the k
 #: cap. Both gate corpora (500 / 2000 vectors) sit far under it —
 #: gate values are unchanged and the oracle replays the same WHERE.
@@ -3405,8 +3415,10 @@ def _pq_assign_inline(
     selects the subspace's least-struct). Branch expressions carry ONE
     fold each: |sv|² is hoisted into a shared column and |cv|² inlined
     as a ``_py_dot`` scalar, so the k·m-branch tree stays compilable
-    at the 64-codeword cap (the three-fold form took Catalyst seconds
-    per plan and benched embedding_pq_codes at 5× its r7 time)."""
+    up to the ``_PQ_INLINE_MAX`` encode cap (the three-fold form took
+    Catalyst seconds per plan and benched embedding_pq_codes at 5× its
+    r7 time); past the cap ``_pq_assign`` dispatches to the join
+    form."""
     per_sub: dict[int, list] = {}
     for s, cid, cv in cents:
         lit = _array_sql_literal(cv)
@@ -3465,6 +3477,22 @@ def _pq_assign_join(
         .filter(F.col("rn") == 1)
         .select("vec_id", "sub_idx", "sv", "c_idx", "d")
     )
+
+
+def _pq_assign(
+    subs: DataFrame, cents: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """Encode dispatcher (the ``_nearest_cent`` pattern applied to the
+    PQ family, late r8): inline codeword literals while the k·m tree
+    compiles well, broadcast-join past ``_PQ_INLINE_MAX`` codewords
+    per subspace — value-identical by the shared (decimal d, c_idx)
+    ordering, which is what makes raising ``_PQ_K_MAX`` to the classic
+    256 safe: the flip costs one (vec_id, sub_idx) window shuffle at
+    encode time and changes no code anywhere."""
+    k = len({c for _, c, _ in cents})
+    if k <= _PQ_INLINE_MAX:
+        return _pq_assign_inline(subs, cents)
+    return _pq_assign_join(subs, cents)
 
 
 def _pq_train(
@@ -3937,7 +3965,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
     )
     pq_cents = _pq_train(subs, n)
-    codes = _pq_assign_inline(subs, pq_cents).select(
+    codes = _pq_assign(subs, pq_cents).select(
         F.col("vec_id").alias("neighbor_id"), "sub_idx", "c_idx"
     )
     qstack = ", ".join(
@@ -4087,7 +4115,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
     )
     cents = _pq_train(subs, e.count())
-    best = _pq_assign_inline(subs, cents)
+    best = _pq_assign(subs, cents)
     return best.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -4196,7 +4224,7 @@ def _ivfpq_compose(
         "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
     )
     cents = _pq_train(subs, cnt)
-    codes = _pq_assign_inline(subs, cents).select(
+    codes = _pq_assign(subs, cents).select(
         F.col("vec_id").alias("neighbor_id"), "sub_idx", "c_idx"
     )
     q = assign.filter(

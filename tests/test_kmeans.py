@@ -110,3 +110,41 @@ def test_dispatcher_flips_past_cap(spark, monkeypatch):
         x._nearest_cent(e, cents).select("vec_id", "cent_id").collect()
     )
     assert called.get("join") and got == ref
+
+
+def test_pq_dispatcher_flips_past_cap(spark, monkeypatch):
+    """The same law for the PQ ENCODE dispatcher (late r8): with the
+    inline cap forced to 1, `_pq_assign` must take the broadcast-join
+    path and emit code-for-code the inline mapping — raising _PQ_K_MAX
+    to the classic 256 codewords is safe exactly because the flip is
+    value-invisible (shared (decimal d, c_idx) ordering)."""
+    import olr_cdc_oracle_no_dbz_spark.workload.ext_queries as x
+
+    e = _base(spark)
+    n = e.count()
+    stack_args = ", ".join(
+        f"{s}, slice(v, {s * x._PQ_SUB + 1}, {x._PQ_SUB})"
+        for s in range(x._PQ_M)
+    )
+    subs = e.selectExpr(
+        "vec_id", f"stack({x._PQ_M}, {stack_args}) AS (sub_idx, sv)"
+    )
+    cents = x._pq_train(subs, n)
+    ref = {
+        (r["vec_id"], r["sub_idx"]): r["c_idx"]
+        for r in x._pq_assign_inline(subs, cents).collect()
+    }
+    called = {}
+    real_join = x._pq_assign_join
+
+    def spy(subs_, cents_):
+        called["join"] = True
+        return real_join(subs_, cents_)
+
+    monkeypatch.setattr(x, "_PQ_INLINE_MAX", 1)
+    monkeypatch.setattr(x, "_pq_assign_join", spy)
+    got = {
+        (r["vec_id"], r["sub_idx"]): r["c_idx"]
+        for r in x._pq_assign(subs, cents).collect()
+    }
+    assert called.get("join") and got == ref
