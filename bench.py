@@ -89,6 +89,8 @@ EXTENDED = [
     "dedup_simhash_topk",      # bounded-output (≤3N rows) simhash variant
     "dedup_fuzzy_topk",        # bounded-output edit-distance variant
     "timeseries_paa_topk",     # bounded-output 2-D-grid PAA kNN
+    "ann_topk_ivfpq_serve_nprobe",  # multi-probe serve (recall dial,
+                                    # zero rebuild, shared artifact)
 ]
 
 

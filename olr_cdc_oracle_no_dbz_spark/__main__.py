@@ -163,7 +163,12 @@ def cmd_serve_index(args) -> int:
         )
         return 2
     spark = _spark("serve-index")
-    _emit(ai.serve_topk(spark, args.sf_dir, idx, args.lo, args.hi), args)
+    _emit(
+        ai.serve_topk(
+            spark, args.sf_dir, idx, args.lo, args.hi, nprobe=args.nprobe
+        ),
+        args,
+    )
     return 0
 
 
@@ -285,6 +290,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--hi", type=int, default=140, help="query vec_id range end"
+    )
+    p.add_argument(
+        "--nprobe",
+        type=int,
+        default=1,
+        help="cells probed per query — the serve-time recall dial "
+        "(no rebuild; shortlist widens proportionally)",
     )
     io_args(p)
     p.set_defaults(fn=cmd_serve_index)

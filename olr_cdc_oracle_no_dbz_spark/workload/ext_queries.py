@@ -4130,13 +4130,33 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(lo: int, hi: int) -> str:
+def _ivfpq_oracle(lo: int, hi: int, nprobe: int = 1) -> str:
     """The IVF+PQ oracle CTE chain for query ids in [lo, hi) — shared
     by ``ann_topk_ivfpq`` ([100,120)) and the persisted-index serve
-    gate ``ann_topk_ivfpq_serve`` ([120,140), workload/ann_index.py):
-    the serve path answers from parquet artifacts whose content is
-    bit-reproducible from the base table, so ONE oracle derivation
-    checks both the inline and the train-once/serve-many flows."""
+    gates (``ann_topk_ivfpq_serve`` [120,140), nprobe=2 serve
+    [160,180); workload/ann_index.py): the serve path answers from
+    parquet artifacts whose content is bit-reproducible from the base
+    table, so ONE oracle derivation checks both the inline and the
+    train-once/serve-many flows. ``nprobe`` > 1 swaps the top-1 cell
+    restriction for the rank-``nprobe`` probe CTE (the
+    ``ann_topk_ivf_nprobe`` pattern) and widens the ADC shortlist by
+    the same factor, keeping it the SAME fraction of the probed
+    population (``_PQ_SHORTLIST`` per cell)."""
+    if nprobe == 1:
+        qcells = (
+            f"SELECT vec_id, cent_id FROM assign"
+            f" WHERE vec_id >= {lo} AND vec_id < {hi}"
+        )
+    else:
+        qcells = f"""SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY CAST({_sql_dot("e.v", "c.cv")}
+                                / (sqrt(e.nsq) * sqrt(c.cnsq))
+                                AS DECIMAL(16,8)) DESC, c.cent_id) AS rk
+            FROM e CROSS JOIN cent{_KMEANS_T}n c
+            WHERE e.vec_id >= {lo} AND e.vec_id < {hi}
+        ) WHERE rk <= {nprobe}"""
     return f"""
     WITH e AS (
         SELECT vec_id, embedding AS v,
@@ -4155,7 +4175,9 @@ def _ivfpq_oracle(lo: int, hi: int) -> str:
             FROM subs u JOIN pqcents c ON c.sub_idx = u.sub_idx
         ) WHERE rn = 1
     ),
-    q AS (SELECT * FROM assign WHERE vec_id >= {lo} AND vec_id < {hi}),
+    q AS (SELECT vec_id, v, nsq FROM e
+          WHERE vec_id >= {lo} AND vec_id < {hi}),
+    qcells AS ({qcells}),
     qsubs AS (
         SELECT s.vec_id AS query_id, s.sub_idx, s.sv
         FROM subs s JOIN q ON q.vec_id = s.vec_id
@@ -4169,7 +4191,8 @@ def _ivfpq_oracle(lo: int, hi: int) -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST(SUM(l.qd) AS DECIMAL(20,8)) AS adc_d2
         FROM q
-        JOIN assign c ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
+        JOIN qcells p ON p.vec_id = q.vec_id
+        JOIN assign c ON c.cent_id = p.cent_id AND c.vec_id <> q.vec_id
         JOIN codes b ON b.neighbor_id = c.vec_id
         JOIN lut l ON l.query_id = q.vec_id AND l.sub_idx = b.sub_idx
                    AND l.c_idx = b.c_idx
@@ -4181,7 +4204,7 @@ def _ivfpq_oracle(lo: int, hi: int) -> str:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY adc_d2, neighbor_id) AS rn
             FROM adc
-        ) WHERE rn <= {_PQ_SHORTLIST}
+        ) WHERE rn <= {nprobe * _PQ_SHORTLIST}
     ),
     refined AS (
         SELECT s.query_id, s.neighbor_id, s.adc_d2,
@@ -4204,19 +4227,23 @@ def _ivfpq_oracle(lo: int, hi: int) -> str:
 
 
 def _ivfpq_compose(
-    spark: SparkSession, sf_dir: str, lo: int, hi: int
+    spark: SparkSession, sf_dir: str, lo: int, hi: int, nprobe: int = 1
 ) -> DataFrame:
     """The train-and-search IVF+PQ plan for query ids in [lo, hi) —
     shared by the ``ann_topk_ivfpq`` gate and, in plan-only mode, by
-    the serve gate's cold-cache fallback (determinism makes the two
-    paths value-identical; see workload/ann_index.py)."""
+    the serve gates' cold-cache fallback (determinism makes the two
+    paths value-identical; see workload/ann_index.py). ``nprobe`` > 1
+    fans each query out to its ``nprobe`` nearest cells
+    (``_top_cells_inline``) and widens the ADC shortlist by the same
+    factor — the same fraction of the probed population."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
     )
     cnt = e.count()
-    assign = _kmeans_assign(e)
+    cents0 = _kmeans_train(e)
+    assign = _nearest_cent(e, cents0)
     stack_args = ", ".join(
         f"{s}, slice(v, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
     )
@@ -4227,13 +4254,19 @@ def _ivfpq_compose(
     codes = _pq_assign(subs, cents).select(
         F.col("vec_id").alias("neighbor_id"), "sub_idx", "c_idx"
     )
-    q = assign.filter(
-        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-    ).select(
+    qbase = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+    q = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nsq").alias("qnsq"),
-        F.col("cent_id").alias("qcent"),
+    )
+    cells_src = (
+        assign.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        if nprobe == 1
+        else _top_cells_inline(qbase, cents0, nprobe)
+    )
+    qcells = cells_src.select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcent")
     )
     qstack = ", ".join(
         f"{s}, slice(qv, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
@@ -4248,7 +4281,7 @@ def _ivfpq_compose(
         F.expr(_pq_dist_expr("sv", "cv")).alias("qd"),
     )
     cell = (
-        F.broadcast(q.select("query_id", "qcent"))
+        F.broadcast(qcells)
         .join(
             assign,
             (F.col("cent_id") == F.col("qcent"))
@@ -4265,7 +4298,7 @@ def _ivfpq_compose(
     w_short = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .filter(F.col("rn") <= nprobe * _PQ_SHORTLIST)
         .drop("rn")
     )
     n = e.select(
@@ -4280,7 +4313,7 @@ def _ivfpq_compose(
         F.col("cos_sim").desc(), "neighbor_id"
     )
     return (
-        shortlist.join(F.broadcast(q.drop("qcent")), "query_id")
+        shortlist.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
         .select("query_id", "neighbor_id", "adc_d2", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w_rk))

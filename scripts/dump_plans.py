@@ -54,7 +54,7 @@ SHOWCASE = {
         " — the scalar-subquery shape, not a data cartesian"
     ),
     "join_band_bucketed": "band theta join rewritten to (key, bucket) equi-join + residual",
-    "ann_topk_ivfpq": "IVF cell restriction + broadcast PQ LUT join over m-byte codes + exact refine on the 10-row shortlist",
+    "ann_topk_ivfpq": "IVF cell restriction + broadcast PQ LUT join over m-byte codes + exact refine on the cell-fraction (_PQ_SHORTLIST=102-row) shortlist",
     "cdc_multi_table_routing": "per-table decode/filter/unwrap over ONE raw scan; per-table LWW max_by shuffle",
     "cdc_schema_evolution_merge": "widen-and-union then one partial-agg LWW shuffle (schema evolution adds no exchange)",
     "dedup_semantic": "corpus-derived K: zero-shuffle inline-centroid assignment; within-cell pairs bounded by cell size",
@@ -78,6 +78,7 @@ SHOWCASE = {
     "events_association_rules": "distinct baskets; per-user pair fan-out; broadcast supports; post-limit rank",
     # round-7 additions
     "ann_topk_ivfpq_serve": "persisted-index serve: parquet postings/codes scans + broadcast LUT, NO training stages",
+    "ann_topk_ivfpq_serve_nprobe": "multi-probe serve: 2-cell fan-out over the SAME persisted artifact (zero rebuild), proportional shortlist, NO training stages",
     "cdc_interval_decode": "interval decode + ISO render: zero-shuffle codegen projection",
     "ann_topk_ivf_nprobe": "multi-probe fan-out as zero-shuffle inlined-centroid projection; one cell equi-join",
     "dedup_minhash_estimate": "band equi-join candidates; signature agreement row-local; exact Jaccard on candidates only",

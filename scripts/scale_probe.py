@@ -97,6 +97,10 @@ QUERIES = [
     # late round-7 additions
     "ann_topk_lsh_bands",
     "ann_topk_ivf_nprobe",
+    # late round-8: the production PQ path after the cell-fraction
+    # shortlist widening (re-rank 102 rows/query instead of 10 — the
+    # probe checks the exponent stayed flat, constant work per query)
+    "ann_topk_ivfpq",
     "dedup_minhash_estimate",
     # round-8: the derived-band simhash family (VERDICT r7 items 1+7)
     "dedup_simhash_topk",

@@ -68,3 +68,28 @@ def test_stale_index_detected(spark, tmp_path):
     # "regenerate" the table: same bytes, new mtime
     os.utime(os.path.join(src, "embeddings.parquet"))
     assert not ai.index_fresh(idx, src)
+
+
+def test_nprobe_serve_matches_compose_and_never_trains(
+    spark, tmp_path, monkeypatch
+):
+    """Multi-probe serve (late r8): nprobe=2 over the persisted index
+    must (a) run zero training — the recall dial never rebuilds — and
+    (b) agree row-for-row with the composed train+search plan at the
+    same nprobe (the determinism argument that lets one oracle check
+    both flows)."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries
+
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, SF_DIR, idx)
+    expected = _rows(
+        ext_queries._ivfpq_compose(spark, SF_DIR, 160, 180, nprobe=2)
+    )
+
+    def _boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("nprobe serve invoked the trainer")
+
+    monkeypatch.setattr(ext_queries, "_kmeans_train", _boom)
+    monkeypatch.setattr(ai, "_kmeans_train", _boom)
+    served = ai.serve_topk(spark, SF_DIR, idx, 160, 180, nprobe=2)
+    assert _rows(served) == expected
