@@ -147,6 +147,22 @@ def cmd_build_index(args) -> int:
     return 0
 
 
+def cmd_append_index(args) -> int:
+    """Ingest new vectors against the FROZEN persisted quantizers (the
+    IVF insert path — never trains; a missing index is a refusal
+    pointing at build-index, and overlapping ranges are refused)."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+
+    idx = _cli_index_dir(args)
+    manifest = ai.append_to_index(spark=_spark("append-index"),
+                                  sf_dir=args.sf_dir,
+                                  index_dir=idx,
+                                  lo=args.lo,
+                                  hi=args.hi)
+    print(json.dumps({"index_dir": idx, **manifest}))
+    return 0
+
+
 def cmd_serve_index(args) -> int:
     """Answer ANN top-k from the persisted artifact. NEVER trains: a
     missing or stale index is a refusal pointing at build-index, not a
@@ -279,6 +295,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--work-dir", required=True)
     p.add_argument("--force", action="store_true")
     p.set_defaults(fn=cmd_build_index)
+
+    p = sub.add_parser(
+        "append-index",
+        help="ingest a vec_id range against the frozen persisted "
+        "quantizers (IVF insert; never trains)",
+    )
+    p.add_argument("--sf-dir", default=default_sf)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--lo", type=int, required=True)
+    p.add_argument("--hi", type=int, required=True)
+    p.set_defaults(fn=cmd_append_index)
 
     p = sub.add_parser(
         "serve-index",

@@ -12,12 +12,19 @@ query and served by many pull queries). This module is that split:
   persists four parquet tables + a manifest under ``out_dir``:
   ``centroids`` (cent_id, cv), ``codebook`` (sub_idx, c_idx, cv),
   ``postings`` (vec_id, cent_id — the inverted file), ``codes``
-  (vec_id, sub_idx, c_idx — the m-byte PQ codes).
-- ``serve_topk(spark, sf_dir, index_dir, lo, hi)`` answers top-k from
-  those tables WITHOUT touching any training code: assign queries to
-  cells with the persisted centroids (inlined literals — zero
-  shuffle), ADC-score each cell's postings against a broadcast
-  per-query LUT, exact-decimal re-rank of the shortlist.
+  (vec_id, sub_idx, c_idx — the m-byte PQ codes); postings/codes are
+  batch-partitioned (``batch=base`` + one partition per append).
+- ``serve_topk(spark, sf_dir, index_dir, lo, hi, nprobe=...)`` answers
+  top-k from those tables WITHOUT touching any training code: assign
+  queries to their ``nprobe`` nearest cells with the persisted
+  centroids (inlined literals — zero shuffle), ADC-score the probed
+  postings against a broadcast per-query LUT, exact-decimal re-rank of
+  the proportional shortlist. ``nprobe`` is the serve-time recall
+  dial; no rebuild.
+- ``append_to_index(spark, sf_dir, index_dir, lo, hi)`` ingests new
+  vectors against the FROZEN quantizers as an overwrite-idempotent
+  ``batch=<lo>-<hi>`` partition of postings/codes — the IVF insert
+  path; drift is monitored, rebuilds are explicit.
 
 Everything persisted is deterministic (the same decimal-ranked Lloyd
 rounds the ``ann_topk_ivfpq`` oracle replays), and doubles/floats
@@ -67,7 +74,13 @@ _MANIFEST = "manifest.json"
 #: serve codes produced by different codebooks (v2: Lloyd-trained PQ
 #: codebooks with corpus-derived k, VERDICT r7 item 2; v1 was the
 #: first-4-raw-vectors placeholder)
-_FORMAT_VERSION = 3  # v3: m=8/sub=8 PQ geometry with k_min=8 (recall receipt)
+#: v3: m=8/sub=8 PQ geometry with k_min=8 (recall receipt)
+#: v4 (late r8): postings/codes live in batch=<id> partition subdirs so
+#: ``append_to_index`` can add ingest batches as their own overwrite-
+#: idempotent partitions (a retried append rewrites ITS directory
+#: instead of duplicating rows — duplicated codes would double ADC
+#: sums, silently corrupting every distance)
+_FORMAT_VERSION = 4
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +95,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Train and persist the IVF+PQ index; returns the manifest dict."""
     e = _base(spark, sf_dir)
     n = e.count()
+    max_vec_id = e.agg(F.max("vec_id")).first()[0]
     k = _derive_k(n)
     cents = _kmeans_train(e, k)
     assign = _nearest_cent(e, cents)
@@ -109,13 +123,15 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     )
 
     assign.select("vec_id", "cent_id").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "postings")
+        os.path.join(out_dir, "postings", "batch=base")
     )
 
     codes = _pq_assign(subs, pq_cents).select(
         "vec_id", "sub_idx", "c_idx"
     )
-    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+    codes.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codes", "batch=base")
+    )
 
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -126,11 +142,110 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "pq_sub": _PQ_SUB,
         "source": os.path.abspath(sf_dir),
         "source_stat": _source_stat(sf_dir),
+        "appended": [],
+        "max_vec_id": max_vec_id,
     }
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
     tmp = os.path.join(out_dir, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=2)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def append_to_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, lo: int, hi: int
+) -> dict:
+    """Incremental ingest (late r8): encode vectors [lo, hi) with the
+    PERSISTED coarse quantizer and PQ codebook — ZERO training — and
+    add their postings and codes as a new ``batch=<lo>-<hi>``
+    partition. This is the classic IVF insert path (Jégou et al. 2011
+    insert against FROZEN quantizers): at 100 TB new embeddings arrive
+    continuously, re-running Lloyd per ingest batch is a non-starter,
+    and quantizer drift is a MONITORED quantity (`embedding_drift`,
+    `ann_recall_report`) answered by an explicit rebuild decision —
+    never something an ingest path silently does.
+
+    Safety contract: the batch directory name is derived from the
+    range, and the write is mode=overwrite INTO that directory — a
+    retried/crashed append rewrites its own partition instead of
+    appending duplicate rows (duplicate codes would DOUBLE the per-
+    neighbor ADC sums — silent distance corruption, the failure the
+    layout exists to make unrepresentable). Ranges already recorded in
+    the manifest are refused as overlaps; re-running a PARTIAL append
+    (crash before the manifest update) is safe because the manifest
+    records a batch only after both partitions land.
+
+    Zero-training and chunking-invariance (append [lo,mid)+[mid,hi)
+    == append [lo,hi)) are pinned in tests/test_ann_index.py."""
+    if lo >= hi:
+        raise ValueError(f"empty append range [{lo}, {hi})")
+    if not index_exists(index_dir):
+        raise FileNotFoundError(
+            f"no ANN index at {index_dir}; run build_ann_index first "
+            "(append never trains)"
+        )
+    with open(os.path.join(index_dir, _MANIFEST)) as fh:
+        manifest = json.load(fh)
+    if lo <= manifest["max_vec_id"]:
+        raise ValueError(
+            f"append range [{lo}, {hi}) overlaps vectors the index "
+            f"already covers (max indexed vec_id "
+            f"{manifest['max_vec_id']}) — ingest is append-only in id "
+            "space; indexing a vector twice would double its ADC sums"
+        )
+    for plo, phi in manifest.get("appended", []):
+        if lo < phi and plo < hi:
+            raise ValueError(
+                f"append range [{lo}, {hi}) overlaps already-ingested "
+                f"batch [{plo}, {phi}) — overlapping batches would "
+                "index the same vector twice"
+            )
+    e = _base(spark, sf_dir).filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    )
+    cents = sorted(
+        (r["cent_id"], list(r["cv"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+    )
+    pq_cents = sorted(
+        (r["sub_idx"], r["c_idx"], list(r["cv"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "codebook")
+        ).collect()
+    )
+    batch = f"batch={lo}-{hi}"
+    _nearest_cent(e, cents).select("vec_id", "cent_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "postings", batch))
+    stack_args = ", ".join(
+        f"{s}, slice(v, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
+    )
+    subs = e.selectExpr(
+        "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
+    )
+    _pq_assign(subs, pq_cents).select("vec_id", "sub_idx", "c_idx").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "codes", batch))
+    # n recounted from the artifact (not +=) so a retried append that
+    # overwrote its partition cannot double-count
+    manifest["n"] = spark.read.parquet(
+        os.path.join(index_dir, "postings")
+    ).count()
+    manifest["appended"] = manifest.get("appended", []) + [[lo, hi]]
+    manifest["max_vec_id"] = max(manifest["max_vec_id"], hi - 1)
+    # the append ACKNOWLEDGES the grown corpus: refresh the source
+    # fingerprint so freshness now means "no source changes since the
+    # last build/append" — serve keeps refusing a corpus regenerated
+    # BEHIND the index, but not the growth this ingest just indexed
+    manifest["source"] = os.path.abspath(sf_dir)
+    manifest["source_stat"] = _source_stat(sf_dir)
+    _write_manifest(index_dir, manifest)
     return manifest
 
 

@@ -93,3 +93,97 @@ def test_nprobe_serve_matches_compose_and_never_trains(
     monkeypatch.setattr(ai, "_kmeans_train", _boom)
     served = ai.serve_topk(spark, SF_DIR, idx, 160, 180, nprobe=2)
     assert _rows(served) == expected
+
+
+def _subset_dir(spark, tmp_path, upto=400):
+    """A source dir holding only vectors [0, upto) — the corpus as it
+    looked before an ingest batch arrived."""
+    import os
+
+    src = str(tmp_path / "sf_subset")
+    os.makedirs(src, exist_ok=True)
+    (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(f"vec_id < {upto}")
+        .write.mode("overwrite")
+        .parquet(os.path.join(src, "embeddings.parquet"))
+    )
+    return src
+
+
+def test_append_ingests_with_frozen_quantizer(spark, tmp_path, monkeypatch):
+    """append_to_index encodes new vectors with the PERSISTED
+    quantizer/codebook and runs ZERO training; appended vectors become
+    retrievable neighbors."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries
+
+    src = _subset_dir(spark, tmp_path)
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+
+    def _boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("append/serve invoked a trainer")
+
+    monkeypatch.setattr(ext_queries, "_kmeans_train", _boom)
+    monkeypatch.setattr(ext_queries, "_pq_train", _boom)
+    monkeypatch.setattr(ai, "_kmeans_train", _boom)
+    monkeypatch.setattr(ai, "_pq_train", _boom)
+    manifest = ai.append_to_index(spark, SF_DIR, idx, 400, 500)
+    assert manifest["n"] == 500 and manifest["appended"] == [[400, 500]]
+
+    served = ai.serve_topk(spark, SF_DIR, idx, 480, 500)
+    rows = served.collect()
+    assert len(rows) > 0
+    # the appended region's own vectors must be retrievable
+    assert any(r["neighbor_id"] >= 400 for r in rows)
+
+
+def test_append_chunking_invariant_and_retry_safe(spark, tmp_path):
+    """Appending [400,450)+[450,500) equals appending [400,500), and a
+    RETRIED chunk (the crashed-task replay) changes nothing — the
+    overwrite-idempotent batch partition makes duplicate rows (which
+    would double ADC sums) unrepresentable."""
+    src = _subset_dir(spark, tmp_path)
+    idx1 = str(tmp_path / "idx1")
+    idx2 = str(tmp_path / "idx2")
+    ai.build_ann_index(spark, src, idx1)
+    ai.build_ann_index(spark, src, idx2)
+
+    ai.append_to_index(spark, SF_DIR, idx1, 400, 450)
+    ai.append_to_index(spark, SF_DIR, idx1, 450, 500)
+    ai.append_to_index(spark, SF_DIR, idx2, 400, 500)
+
+    # simulate a crashed second append: the manifest write is atomic,
+    # so a crash after the partition writes leaves the manifest at its
+    # ENTIRE pre-append state — roll it back and re-run the append
+    import json as _json
+    import os as _os
+
+    mpath = _os.path.join(idx1, "manifest.json")
+    m = _json.load(open(mpath))
+    m["appended"] = [r for r in m["appended"] if r != [450, 500]]
+    m["max_vec_id"] = 449
+    open(mpath, "w").write(_json.dumps(m))
+    ai.append_to_index(spark, SF_DIR, idx1, 450, 500)
+
+    a = _rows(ai.serve_topk(spark, SF_DIR, idx1, 100, 140))
+    b = _rows(ai.serve_topk(spark, SF_DIR, idx2, 100, 140))
+    assert a == b
+    n1 = spark.read.parquet(_os.path.join(idx1, "postings")).count()
+    assert n1 == 500  # retry did not duplicate
+
+
+def test_append_refuses_overlap_empty_and_missing(spark, tmp_path):
+    src = _subset_dir(spark, tmp_path)
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+    ai.append_to_index(spark, SF_DIR, idx, 400, 450)
+    with pytest.raises(ValueError, match="overlap"):
+        ai.append_to_index(spark, SF_DIR, idx, 440, 500)
+    with pytest.raises(ValueError, match="append-only"):
+        # range the BASE build already covers (subset indexed [0,400))
+        ai.append_to_index(spark, SF_DIR, idx, 300, 350)
+    with pytest.raises(ValueError, match="empty"):
+        ai.append_to_index(spark, SF_DIR, idx, 450, 450)
+    with pytest.raises(FileNotFoundError, match="build_ann_index"):
+        ai.append_to_index(spark, SF_DIR, str(tmp_path / "nope"), 0, 5)

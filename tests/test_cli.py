@@ -240,3 +240,80 @@ def test_cli_serve_index_refuses_without_build(tmp_path, capsys):
         == 2
     )
     assert "build-index" in capsys.readouterr().err
+
+
+def test_cli_append_and_nprobe_serve(tmp_path, capsys, spark, monkeypatch):
+    """The corpus-grows-in-place flow, end to end through the CLI:
+    build-index on the corpus as it stands, the source table GROWS
+    (new vectors land in the same directory), append-index ingests the
+    new id range against the frozen quantizers (trainers poisoned),
+    and serve-index --nprobe answers from the grown index. The append
+    refreshes the manifest's source fingerprint, so serve accepts the
+    growth it just indexed while still refusing a corpus regenerated
+    behind the index."""
+    src = str(tmp_path / "sf_grow")
+    os.makedirs(src, exist_ok=True)
+    full = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full.filter("vec_id < 400").write.mode("overwrite").parquet(
+        os.path.join(src, "embeddings.parquet")
+    )
+    work = str(tmp_path / "work")
+    assert main(["build-index", "--sf-dir", src, "--work-dir", work]) == 0
+    capsys.readouterr()
+
+    # the corpus grows in place: same table dir, 100 new vectors
+    full.write.mode("overwrite").parquet(
+        os.path.join(src, "embeddings.parquet")
+    )
+
+    from olr_cdc_oracle_no_dbz_spark.workload import ann_index as ai
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries
+
+    def _boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("append/serve invoked a trainer")
+
+    monkeypatch.setattr(ext_queries, "_kmeans_train", _boom)
+    monkeypatch.setattr(ext_queries, "_pq_train", _boom)
+    monkeypatch.setattr(ai, "_kmeans_train", _boom)
+    monkeypatch.setattr(ai, "_pq_train", _boom)
+
+    assert (
+        main(
+            [
+                "append-index",
+                "--sf-dir",
+                src,
+                "--work-dir",
+                work,
+                "--lo",
+                "400",
+                "--hi",
+                "500",
+            ]
+        )
+        == 0
+    )
+    appended = json.loads(capsys.readouterr().out)
+    assert appended["n"] == 500 and appended["appended"] == [[400, 500]]
+
+    assert (
+        main(
+            [
+                "serve-index",
+                "--sf-dir",
+                src,
+                "--work-dir",
+                work,
+                "--lo",
+                "480",
+                "--hi",
+                "500",
+                "--nprobe",
+                "2",
+                "--limit",
+                "10",
+            ]
+        )
+        == 0
+    )
+    assert "query_id" in capsys.readouterr().out
