@@ -79,8 +79,21 @@ def cmd_query(args) -> int:
     if args.explain:
         # plan-only contract: constructing for --explain must not run
         # jobs (see checkpointing.truncate_lineage and the serve gate's
-        # cold-cache fallback in workload/ann_index.py)
+        # cold-cache fallback in workload/ann_index.py). Save/restore
+        # the flag — main() runs in-process (tests, embedders), and a
+        # leaked PLAN_ONLY would silently flip every later serve gate
+        # onto its composed fallback.
+        prev = os.environ.get("SPARK_GRAFT_PLAN_ONLY")
         os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
+        try:
+            spark = _spark(f"query-{args.name}")
+            _emit(qs[args.name](spark, args.sf_dir), args)
+        finally:
+            if prev is None:
+                os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
+            else:
+                os.environ["SPARK_GRAFT_PLAN_ONLY"] = prev
+        return 0
     spark = _spark(f"query-{args.name}")
     _emit(qs[args.name](spark, args.sf_dir), args)
     return 0

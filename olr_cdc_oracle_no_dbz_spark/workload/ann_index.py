@@ -91,8 +91,41 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _makedirs_private(path: str) -> None:
+    """Create every missing level of ``path`` with mode 0700 — the
+    ADVICE-r7 private-cache hardening applied to the WHOLE chain
+    (``os.makedirs(mode=...)`` sets only the leaf, leaving e.g.
+    ``~/.cache/spark_graft`` at umask defaults)."""
+    missing = []
+    cur = os.path.abspath(path)
+    while cur and not os.path.isdir(cur):
+        missing.append(cur)
+        parent = os.path.dirname(cur)
+        if parent == cur:
+            break
+        cur = parent
+    for p in reversed(missing):
+        os.mkdir(p, 0o700)
+
+
 def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Train and persist the IVF+PQ index; returns the manifest dict."""
+    """Train and persist the IVF+PQ index; returns the manifest dict.
+
+    A REBUILD into an existing directory first removes the manifest
+    (so a crash mid-rebuild leaves a refusing, not a fresh-looking,
+    artifact) and then the four table trees — stale ``batch=*``
+    partitions from a previous build's appends would otherwise survive
+    the per-directory overwrite of ``batch=base`` and be read alongside
+    the new build, duplicating postings/codes rows (duplicate codes
+    double per-neighbor ADC sums — silent distance corruption)."""
+    import shutil
+
+    _makedirs_private(out_dir)
+    mpath = os.path.join(out_dir, _MANIFEST)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    for sub in ("centroids", "codebook", "postings", "codes"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     e = _base(spark, sf_dir)
     n = e.count()
     max_vec_id = e.agg(F.max("vec_id")).first()[0]
@@ -174,10 +207,13 @@ def append_to_index(
     retried/crashed append rewrites its own partition instead of
     appending duplicate rows (duplicate codes would DOUBLE the per-
     neighbor ADC sums — silent distance corruption, the failure the
-    layout exists to make unrepresentable). Ranges already recorded in
-    the manifest are refused as overlaps; re-running a PARTIAL append
-    (crash before the manifest update) is safe because the manifest
-    records a batch only after both partitions land.
+    layout exists to make unrepresentable). Ingest is append-only in
+    id space (ranges at or below the indexed max are refused — this
+    subsumes batch-overlap checking); empty ranges and ranges with no
+    source vectors are refused; re-running a PARTIAL append (crash
+    before the manifest update) is safe because the manifest records a
+    batch only after both partitions land (atomically, with max_vec_id
+    and the coverage-gated source fingerprint in the same write).
 
     Zero-training and chunking-invariance (append [lo,mid)+[mid,hi)
     == append [lo,hi)) are pinned in tests/test_ann_index.py."""
@@ -190,6 +226,9 @@ def append_to_index(
         )
     with open(os.path.join(index_dir, _MANIFEST)) as fh:
         manifest = json.load(fh)
+    # append-only id space: every recorded batch ends at or below
+    # max_vec_id (raised to hi-1 per append), so this single guard also
+    # subsumes pairwise batch-overlap checking
     if lo <= manifest["max_vec_id"]:
         raise ValueError(
             f"append range [{lo}, {hi}) overlaps vectors the index "
@@ -197,16 +236,16 @@ def append_to_index(
             f"{manifest['max_vec_id']}) — ingest is append-only in id "
             "space; indexing a vector twice would double its ADC sums"
         )
-    for plo, phi in manifest.get("appended", []):
-        if lo < phi and plo < hi:
-            raise ValueError(
-                f"append range [{lo}, {hi}) overlaps already-ingested "
-                f"batch [{plo}, {phi}) — overlapping batches would "
-                "index the same vector twice"
-            )
     e = _base(spark, sf_dir).filter(
         (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
     )
+    if e.limit(1).count() == 0:
+        raise ValueError(
+            f"append range [{lo}, {hi}) matches no source vectors — "
+            "refusing a no-op append (recording it would raise "
+            "max_vec_id and permanently block ingest of those ids "
+            "when they actually land)"
+        )
     cents = sorted(
         (r["cent_id"], list(r["cv"]))
         for r in spark.read.parquet(
@@ -239,12 +278,31 @@ def append_to_index(
     ).count()
     manifest["appended"] = manifest.get("appended", []) + [[lo, hi]]
     manifest["max_vec_id"] = max(manifest["max_vec_id"], hi - 1)
-    # the append ACKNOWLEDGES the grown corpus: refresh the source
-    # fingerprint so freshness now means "no source changes since the
-    # last build/append" — serve keeps refusing a corpus regenerated
-    # BEHIND the index, but not the growth this ingest just indexed
-    manifest["source"] = os.path.abspath(sf_dir)
-    manifest["source_stat"] = _source_stat(sf_dir)
+    # Fingerprint refresh is COVERAGE-GATED: only when the index now
+    # holds every source vector does the append acknowledge the grown
+    # corpus (freshness then means "no source changes since the last
+    # build/append"). A partial append leaves the OLD fingerprint, so
+    # serve keeps refusing until ingest catches up or a rebuild — a
+    # refreshed fingerprint over missing ids would report "fresh" while
+    # silently dropping them from every shortlist. Limitation (stat
+    # granularity): a corpus whose ALREADY-INDEXED vectors were
+    # regenerated in the same rewrite that grew it is indistinguishable
+    # from pure growth here — base vectors are treated as immutable;
+    # regenerating them requires a rebuild.
+    src = _base(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.max("vec_id").alias("mx")
+    ).first()
+    if manifest["n"] == src["n"] and manifest["max_vec_id"] == src["mx"]:
+        manifest["source"] = os.path.abspath(sf_dir)
+        manifest["source_stat"] = _source_stat(sf_dir)
+        manifest.pop("partial_coverage", None)
+    else:
+        manifest["partial_coverage"] = {
+            "indexed_n": manifest["n"],
+            "source_n": src["n"],
+            "indexed_max_vec_id": manifest["max_vec_id"],
+            "source_max_vec_id": src["mx"],
+        }
     _write_manifest(index_dir, manifest)
     return manifest
 
@@ -407,7 +465,9 @@ def index_dir_under(root: str, sf_dir: str) -> str:
     import hashlib
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    os.makedirs(root, mode=0o700, exist_ok=True)
+    # pure path derivation — directory creation (0700 over the whole
+    # chain) happens in build_ann_index, the only writer, so read-only
+    # freshness checks and refusal paths never mutate the filesystem
     return os.path.join(root, digest)
 
 

@@ -143,13 +143,23 @@ def main(argv: list[str]) -> int:
             rows.append((name, oq[name], None, "removed"))
             continue
         o, n = oq[name], nq[name]
-        ratio = (n / o if o > 0 else float("inf")) / norm
+        raw = n / o if o > 0 else float("inf")
+        ratio = raw / norm
         if n >= MIN_ABS_SEC and ratio > ALLOWED_RATIO:
             if name in CHANGED_CONTRACT:
                 verdict = f"changed contract ({CHANGED_CONTRACT[name]})"
             else:
                 verdict = "REGRESSION"
                 regressions.append((name, o, n, ratio))
+        elif n >= MIN_ABS_SEC and raw > ALLOWED_RATIO:
+            # normalization is what saved this row — say so loudly
+            # instead of letting a possible real regression hide behind
+            # a loaded run (the norm is a blanket CPU ratio; shuffle/IO
+            # bound queries do not scale 1:1 with it)
+            verdict = (
+                f"loaded run — remeasure (raw {raw:.2f}x, "
+                f"norm {ratio:.2f}x)"
+            )
         elif ratio > 1 + VARIANCE_BAND:
             verdict = "slower (within gate)"
         elif ratio < 1 - VARIANCE_BAND:

@@ -187,3 +187,54 @@ def test_append_refuses_overlap_empty_and_missing(spark, tmp_path):
         ai.append_to_index(spark, SF_DIR, idx, 450, 450)
     with pytest.raises(FileNotFoundError, match="build_ann_index"):
         ai.append_to_index(spark, SF_DIR, str(tmp_path / "nope"), 0, 5)
+
+
+def test_rebuild_clears_stale_batches(spark, tmp_path):
+    """Rebuilding into an existing index dir removes previous appends'
+    batch partitions — otherwise the new batch=base (covering every id)
+    plus the old batch=<lo>-<hi> would double-index the appended ids,
+    doubling their ADC sums (review r8 finding)."""
+    import os as _os
+
+    src = _subset_dir(spark, tmp_path)
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+    ai.append_to_index(spark, SF_DIR, idx, 400, 500)
+    # corpus regenerated -> full rebuild into the SAME directory
+    manifest = ai.build_ann_index(spark, SF_DIR, idx)
+    assert manifest["n"] == 500
+    assert spark.read.parquet(_os.path.join(idx, "postings")).count() == 500
+    dup_codes = (
+        spark.read.parquet(_os.path.join(idx, "codes"))
+        .groupBy("vec_id", "sub_idx")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_codes == 0
+    clean = str(tmp_path / "clean")
+    ai.build_ann_index(spark, SF_DIR, clean)
+    assert _rows(ai.serve_topk(spark, SF_DIR, idx, 100, 120)) == _rows(
+        ai.serve_topk(spark, SF_DIR, clean, 100, 120)
+    )
+
+
+def test_append_refuses_phantom_range_and_gates_fingerprint(spark, tmp_path):
+    """A range with no source vectors is refused (recording it would
+    permanently block those ids), and a PARTIAL append leaves the OLD
+    source fingerprint so freshness keeps refusing until ingest covers
+    the whole corpus (review r8 finding: a refreshed fingerprint over
+    missing ids would report fresh while silently dropping them from
+    every shortlist)."""
+    src = _subset_dir(spark, tmp_path)  # holds [0, 400)
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+    with pytest.raises(ValueError, match="no source vectors"):
+        ai.append_to_index(spark, SF_DIR, idx, 600, 700)
+    # the corpus grows to 500 but this ingest covers only [400, 450)
+    m = ai.append_to_index(spark, SF_DIR, idx, 400, 450)
+    assert m["partial_coverage"]["source_n"] == 500
+    assert not ai.index_fresh(idx, SF_DIR)
+    m = ai.append_to_index(spark, SF_DIR, idx, 450, 500)
+    assert "partial_coverage" not in m
+    assert ai.index_fresh(idx, SF_DIR)

