@@ -91,6 +91,11 @@ EXTENDED = [
     "timeseries_paa_topk",     # bounded-output 2-D-grid PAA kNN
     "ann_topk_ivfpq_serve_nprobe",  # multi-probe serve (recall dial,
                                     # zero rebuild, shared artifact)
+    # round-9 additions
+    "dedup_minhash_topk",      # bounded-output MinHash variant (twin-collapsed)
+    "dedup_fuzzy_groups",      # group-pair contract for the fuzzy emitter
+    "timeseries_paa_groups",   # group-pair contract for the PAA emitter
+    "cdc_state_compaction",    # real state-store merge×2 + tombstone GC
 ]
 
 

@@ -11,15 +11,17 @@ query and served by many pull queries). This module is that split:
   quantizer (``_kmeans_train``, K ∝ N) and the PQ codebook, then
   persists four parquet tables + a manifest under ``out_dir``:
   ``centroids`` (cent_id, cv), ``codebook`` (sub_idx, c_idx, cv),
-  ``postings`` (vec_id, cent_id — the inverted file), ``codes``
-  (vec_id, sub_idx, c_idx — the m-byte PQ codes); postings/codes are
-  batch-partitioned (``batch=base`` + one partition per append).
+  ``postings`` (vec_id, cent_id, nsq — the inverted file with each
+  vector's exact squared norm, v5), ``codes`` (vec_id, sub_idx, c_idx
+  — the m-byte PQ codes); postings/codes are batch-partitioned
+  (``batch=base`` + one partition per append).
 - ``serve_topk(spark, sf_dir, index_dir, lo, hi, nprobe=...)`` answers
   top-k from those tables WITHOUT touching any training code: assign
   queries to their ``nprobe`` nearest cells with the persisted
-  centroids (inlined literals — zero shuffle), ADC-score the probed
-  postings against a broadcast per-query LUT, exact-decimal re-rank of
-  the proportional shortlist. ``nprobe`` is the serve-time recall
+  centroids (inlined literals — zero shuffle), score the probed
+  postings by the cosine-consistent IP-ADC (broadcast per-query
+  inner-product LUT + the persisted exact norms, v5), exact-decimal
+  re-rank of the proportional shortlist. ``nprobe`` is the serve-time recall
   dial; no rebuild.
 - ``append_to_index(spark, sf_dir, index_dir, lo, hi)`` ingests new
   vectors against the FROZEN quantizers as an overwrite-idempotent
@@ -81,7 +83,11 @@ _MANIFEST = "manifest.json"
 #: idempotent partitions (a retried append rewrites ITS directory
 #: instead of duplicating rows — duplicated codes would double ADC
 #: sums, silently corrupting every distance)
-_FORMAT_VERSION = 4
+#: v5 (r9): m=32/sub=2 PQ geometry + cosine-consistent inner-product
+#: ADC — postings now persist each vector's EXACT squared norm (nsq)
+#: so serve can rank SUM(ip-LUT)/(|q|·|n|) without touching vectors;
+#: a v4 index has L2-ADC codes and no norms and must re-train
+_FORMAT_VERSION = 5
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,9 +165,12 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         os.path.join(out_dir, "codebook")
     )
 
-    assign.select("vec_id", "cent_id").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "postings", "batch=base")
-    )
+    # nsq rides in postings (v5): the exact per-vector norm the
+    # IP-ADC serve path divides by — 8 bytes/row so serve never has to
+    # rejoin the 256-byte vectors before the final re-rank
+    assign.select("vec_id", "cent_id", "nsq").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "postings", "batch=base"))
 
     codes = _pq_assign(subs, pq_cents).select(
         "vec_id", "sub_idx", "c_idx"
@@ -263,7 +272,7 @@ def append_to_index(
         ).collect()
     )
     batch = f"batch={lo}-{hi}"
-    _nearest_cent(e, cents).select("vec_id", "cent_id").write.mode(
+    _nearest_cent(e, cents).select("vec_id", "cent_id", "nsq").write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "postings", batch))
     stack_args = ", ".join(
@@ -398,7 +407,9 @@ def serve_topk(
         else _top_cells_inline(qbase, cents, nprobe)
     )
     qcells = cells_src.select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcent")
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("qcent"),
+        F.col("nsq").alias("qnsq"),
     )
     qstack = ", ".join(
         f"{s}, slice(qv, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
@@ -406,12 +417,14 @@ def serve_topk(
     qsubs = q.selectExpr(
         "query_id", f"stack({_PQ_M}, {qstack}) AS (sub_idx, sv)"
     )
-    pq_dist = F.expr(
-        f"CAST({_DOT.format(a='sv', b='sv')} - 2 * {_DOT.format(a='sv', b='cv')}"
-        f" + {_DOT.format(a='cv', b='cv')} AS DECIMAL(16,8))"
+    # inner-product LUT (v5): exact-decimal subspace dots, summed
+    # exactly per (query, neighbor) then divided by the EXACT norms —
+    # a cosine estimate ranked DESC (the _pq_sql_ip contract)
+    pq_ip = F.expr(
+        f"CAST({_DOT.format(a='sv', b='cv')} AS DECIMAL(16,8))"
     )
     lut = qsubs.join(F.broadcast(codebook), "sub_idx").select(
-        "query_id", "sub_idx", "c_idx", pq_dist.alias("qd")
+        "query_id", "sub_idx", "c_idx", pq_ip.alias("qd")
     )
     cell = (
         F.broadcast(qcells)
@@ -420,15 +433,34 @@ def serve_topk(
             (F.col("cent_id") == F.col("qcent"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select(
+            "query_id",
+            "qnsq",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("nsq").alias("nnsq"),
+        )
     )
     adc = (
         cell.join(codes, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "sub_idx", "c_idx"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").cast("decimal(20,8)").alias("adc_d2"))
+        .agg(
+            F.sum("qd").alias("ip"),
+            F.min("qnsq").alias("qnsq"),
+            F.min("nnsq").alias("nnsq"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(CAST(ip AS DOUBLE) / (sqrt(qnsq) * sqrt(nnsq))"
+                " AS DECIMAL(16,8))"
+            ).alias("adc_cos"),
+        )
     )
-    w_short = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), "neighbor_id"
+    )
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_short))
         .filter(F.col("rn") <= shortlist_k)
@@ -448,13 +480,13 @@ def serve_topk(
     return (
         shortlist.join(F.broadcast(q), "query_id")
         .join(nbr, "neighbor_id")
-        .select("query_id", "neighbor_id", "adc_d2", cos.alias("cos_sim"))
+        .select("query_id", "neighbor_id", "adc_cos", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w_rk))
         .filter(F.col("rk") <= final_k)
         .select(
             "query_id",
             "neighbor_id",
-            F.col("adc_d2").cast("string").alias("adc_d2"),
+            F.col("adc_cos").cast("string").alias("adc_cos"),
             F.col("cos_sim").cast("string").alias("cos_sim"),
             "rk",
         )

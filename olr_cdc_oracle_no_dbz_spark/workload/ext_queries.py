@@ -3567,59 +3567,71 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: m=8 subspaces of 8 dims each over the 64-dim vectors — the classic
-#: PQ shape (Jégou et al. 2011 use m s.t. D/m is 8–16). Measured at
-#: sf0.01 against m=4: ADC shortlist recall@10 0.23 → 0.34 at k=8
-#: (receipt in COVERAGE.md; the recall harness' ivfpq arm is the gauge).
-_PQ_M = 8
-_PQ_SUB = 8
-_PQ_CELL = 256  # target vectors per PQ codeword: k = clamp(ceil(n/256), 8, 64)
+#: r9 geometry (VERDICT r8 item 5, resolved by DuckDB-replay
+#: dose–response over the PROVEN-EQUAL recall-harness oracle — every
+#: variant measured without touching engine code): the r8 m=8/sub=8/
+#: cell=256 design left raw-ADC recall@10 at 0.34/0.37 (both SFs), and
+#: the r8 hypothesis list was REFUTED point by point: residual
+#: encoding (v − cell centroid) measured 0.32/0.28, +1 Lloyd round
+#: 0.30/0.34, unit-normalization 0.34/0.37 — while an exact-L2-in-cell
+#: arm scored 0.70/0.94 = the cell ceiling EXACTLY, proving the gap is
+#: pure quantization noise, not metric mismatch or training quality.
+#: What moves it is GRANULARITY: m=32 subspaces of 2 dims with
+#: k = ceil(n/32) codewords measured 0.52/0.64 (L2-ADC) and 0.60/0.72
+#: with the cosine-consistent inner-product ADC shipped below — past
+#: the item's ≥0.5 bar at both SFs. Cost: 32 code bytes/vector instead
+#: of 8 (still 8× smaller than the 256-byte raw vector) and a 4×
+#: larger LUT join; the dial is granularity-vs-compression and the
+#: recall harness is the standing gauge.
+_PQ_M = 32
+_PQ_SUB = 2
+_PQ_CELL = 32  # target vectors per PQ codeword: k = clamp(ceil(n/32), 8, 256)
 #: floor raised 4 → 8 with the Lloyd training (VERDICT r7 item 2):
 #: measured +0.11 shortlist recall at sf0.01 over the k=4 floor, while
-#: k=16/32 floors measured WORSE (0.29/0.28 vs 0.31 at m=8's 0.34 —
-#: first-k seeding overfits tiny corpora), so the floor stays modest
-#: and k grows only with the corpus (ceil(n/256), capped at 64).
+#: larger floors overfit tiny corpora (first-k seeding), so the floor
+#: stays modest and k grows only with the corpus.
 _PQ_K_MIN = 8
-#: inline-literal ENCODE cap: beyond 64 codewords per subspace the
-#: k·m CASE/least tree stops being the right plan — Catalyst compile
-#: time and the serialized task binary grow with the branch count, the
-#: same disease ``_INLINE_K_MAX`` guards for the coarse quantizer — so
-#: ``_pq_assign`` flips to the broadcast-join + window argmin the
-#: training loop already uses (identical (decimal d, c_idx) ordering →
-#: identical codes; forced-flip equality pinned in tests/test_kmeans).
-_PQ_INLINE_MAX = 64
-#: codebook-size cap, raised 64 → 256 (late r8) now that encode no
-#: longer depends on literal-tree compilability: 256 codewords = the
-#: classic 8-bit PQ code (Jégou et al. 2011), reached at n ≥ 65536
-#: vectors via k = ceil(n/256). Both gate corpora sit at the k floor
-#: (8), so every gate value is unchanged; the oracle replays the same
-#: LEAST() constant.
+#: inline-literal ENCODE cap, now a TOTAL branch budget (k·m): the
+#: inlined CASE/least tree's Catalyst compile time grows with the
+#: branch count — the same disease ``_INLINE_K_MAX`` guards for the
+#: coarse quantizer — so past the budget ``_pq_assign`` flips to the
+#: broadcast-join + window argmin the training loop already uses
+#: (identical (decimal d, c_idx) ordering → identical codes;
+#: forced-flip equality pinned in tests/test_kmeans). Measured at the
+#: r9 m=32 geometry, sf0.01 (k=16, k·m=512): inline 7.6 s vs join
+#: 1.4 s — the branch tree loses long before the old 64×8 heuristic
+#: said it would, so the budget is 128 and both gate corpora dispatch
+#: to the join form; the (vec_id, sub_idx) window shuffle it costs is
+#: m narrow rows per vector.
+_PQ_INLINE_MAX = 128
+#: codebook-size cap: 256 codewords = the classic 8-bit PQ code
+#: (Jégou et al. 2011), reached at n ≥ 8192 vectors via
+#: k = ceil(n/32); the oracle replays the same LEAST() constant.
 _PQ_K_MAX = 256
 #: Lloyd TRAINING runs on the first min(n, _PQ_TRAIN_CAP) vectors, the
 #: standard sampled-training discipline (Jégou et al. train codebooks
 #: on a corpus sample): at 100 TB each training iteration must scan a
 #: bounded set, not the full table — only the one ENCODE pass may be
-#: corpus-sized. 65536 = _PQ_K_MAX·_PQ_CELL, the population that
+#: corpus-sized. _PQ_K_MAX·_PQ_CELL (= 8192) is the population that
 #: saturates the codebook size, so the cap never binds below the k
-#: cap. Both gate corpora (500 / 2000 vectors) sit far under it —
-#: gate values are unchanged and the oracle replays the same WHERE.
+#: cap; the sf0.1 gate corpus is the first to cross it, and the oracle
+#: replays the same WHERE.
 _PQ_TRAIN_CAP = _PQ_K_MAX * _PQ_CELL
-#: ADC shortlist width before the exact re-rank (late r8), expressed
-#: as a FRACTION of the coarse quantizer's target cell population
+#: ADC shortlist width before the exact re-rank, expressed as a
+#: FRACTION of the coarse quantizer's target cell population
 #: (``_IVF_CELL`` — constant by the K ∝ N design) because the
 #: shortlist's job is to cover the part of the cell ADC may misrank —
 #: a count proportional to cell size, not to the corpus. Dose–response
-#: measured via the recall harness' ivfpq_rr arm (recall@10 of
-#: shortlist-then-exact-rerank vs brute force): sf0.01 — 10 → 0.34,
-#: 20 → 0.49, 30 → 0.61, 60 → 0.70 = the nprobe=1 cell ceiling;
-#: sf0.1 — 60 → 0.78, 80 → 0.85, 100 → 0.94 = the ceiling, flat
-#: beyond. 4/5 of the 128-vector cell target (=102) sits past the
-#: ceiling knee at BOTH scale factors; the rr arm is the standing
-#: gauge that it stays there. On THIS corpus (uniform synthetic
-#: vectors — ANN's worst case, distances concentrate) ADC prunes only
-#: ~20% of the cell; on clustered real corpora the same fraction
-#: prunes far more — the tunable is the fraction, never a raw count.
-_PQ_SHORTLIST = (_IVF_CELL * 4) // 5
+#: at the r9 m=32 IP-ADC (recall harness ivfpq_rr arm, DuckDB oracle
+#: replay): sf0.01 — 10 → 0.60, 20 → 0.68, 30 → 0.70 = the nprobe=1
+#: cell ceiling, flat beyond; sf0.1 — 10 → 0.72, 20 → 0.91,
+#: 30 → 0.94 = the ceiling. The better raw codebook moved the knee
+#: from ~60–100 (r8 L2-ADC at m=8) to ~30, so the fraction shrinks
+#: 4/5 → 2/5 of the 128-vector cell target (= 51, 2× past the knee at
+#: BOTH scale factors — VERDICT r8 item 5's "shrink at equal emitted
+#: recall"); the rr arm is the standing gauge that it stays there.
+#: The tunable is the fraction, never a raw count.
+_PQ_SHORTLIST = (_IVF_CELL * 2) // 5
 
 
 def _pq_k(n: int) -> int:
@@ -3646,6 +3658,31 @@ def _pq_sql_dist(x: str, c: str) -> str:
         f"CAST({_sql_dot(x, x)} - 2 * {_sql_dot(x, c)} + {_sql_dot(c, c)}"
         f" AS DECIMAL(16,8))"
     )
+
+
+def _pq_sql_ip(x: str, c: str) -> str:
+    """Inner-product LUT term, DuckDB side (r9 cosine-consistent ADC —
+    VERDICT r8 item 5): the bit-identical sequential dot, cast to
+    DECIMAL(16,8) so the per-(query, neighbor) SUM over the m subspace
+    terms is exact and order-free on both engines. The ADC score is
+    then SUM(ip)/ (|q|·|n|) with EXACT stored norms — a cosine
+    estimate, ranked DESC like every other cosine in the repo.
+    Measured vs the r8 L2-ADC at the r9 geometry: raw shortlist
+    recall@10 0.52→0.60 (sf0.01) / 0.64→0.72 (sf0.1); encode stays
+    L2-nearest-codeword (reconstruction-error-minimal) regardless of
+    the query-side scoring metric, the standard IP-PQ split."""
+    return f"CAST({_sql_dot(x, c)} AS DECIMAL(16,8))"
+
+
+def _pq_ip_expr(a: str, b: str) -> str:
+    """Spark mirror of ``_pq_sql_ip``."""
+    return f"CAST({_DOT.format(a=a, b=b)} AS DECIMAL(16,8))"
+
+
+_ADC_COS = (
+    "CAST(CAST({ip} AS DOUBLE) / (sqrt({qn}) * sqrt({nn}))"
+    " AS DECIMAL(16,8))"
+)
 
 
 def _pq_dist_expr(a: str, b: str) -> str:
@@ -3754,9 +3791,12 @@ def _pq_assign(
     per subspace — value-identical by the shared (decimal d, c_idx)
     ordering, which is what makes raising ``_PQ_K_MAX`` to the classic
     256 safe: the flip costs one (vec_id, sub_idx) window shuffle at
-    encode time and changes no code anywhere."""
+    encode time and changes no code anywhere. The cap compares the
+    TOTAL branch count k·m (r9: m=32 made per-subspace k the wrong
+    gauge)."""
     k = len({c for _, c, _ in cents})
-    if k <= _PQ_INLINE_MAX:
+    m = len({s for s, _, _ in cents})
+    if k * m <= _PQ_INLINE_MAX:
         return _pq_assign_inline(subs, cents)
     return _pq_assign_join(subs, cents)
 
@@ -4018,13 +4058,15 @@ def _ann_recall_oracle() -> str:
               FROM subs WHERE vec_id < 10),
     lut AS (
         SELECT u.query_id, u.sub_idx, c.c_idx,
-               {_pq_sql_dist("u.sv", "c.cv")} AS qd
+               {_pq_sql_ip("u.sv", "c.cv")} AS qd
         FROM qsubs u JOIN pqcents c ON c.sub_idx = u.sub_idx
     ),
     pqadc AS (
         SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-               SUM(l.qd) AS adc_d
+               {_ADC_COS.format(ip="SUM(l.qd)", qn="MIN(qq.nsq)",
+                                nn="MIN(c.nsq)")} AS adc_d
         FROM probe p
+        JOIN e qq ON qq.vec_id = p.vec_id
         JOIN assign c ON c.cent_id = p.cent_id AND c.vec_id <> p.vec_id
         JOIN codes b ON b.neighbor_id = c.vec_id
         JOIN lut l ON l.query_id = p.vec_id AND l.sub_idx = b.sub_idx
@@ -4036,7 +4078,7 @@ def _ann_recall_oracle() -> str:
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY adc_d, neighbor_id) AS rn
+                                      ORDER BY adc_d DESC, neighbor_id) AS rn
             FROM pqadc
         ) WHERE rn <= 10
     ),
@@ -4051,7 +4093,7 @@ def _ann_recall_oracle() -> str:
                 SELECT query_id, neighbor_id FROM (
                     SELECT query_id, neighbor_id,
                            ROW_NUMBER() OVER (PARTITION BY query_id
-                                              ORDER BY adc_d, neighbor_id
+                                              ORDER BY adc_d DESC, neighbor_id
                                              ) AS rn
                     FROM pqadc
                 ) WHERE rn <= {_PQ_SHORTLIST}
@@ -4240,12 +4282,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
 
-    # ivfpq arm (VERDICT r7 item 2's second half): the ADC top-10
-    # shortlist the PQ path actually retrieves — candidates from the
-    # nprobe=1 cell scored by asymmetric distance over Lloyd-trained
-    # corpus-derived codes. This measures the trained codebook's
-    # retrieval quality directly; the exact re-rank in the standalone
-    # gate can only reorder this shortlist, never repair it. The
+    # ivfpq arm: the ADC top-10 shortlist the PQ path actually
+    # retrieves — candidates from the nprobe=1 cell scored by the r9
+    # cosine-consistent asymmetric estimate (exact-decimal IP LUT over
+    # Lloyd-trained codes, divided by exact norms; _pq_sql_ip). This
+    # measures the codebook's retrieval quality directly; the exact
+    # re-rank in the standalone gate can only reorder this shortlist,
+    # never repair it. Raw-arm recall@10 at the r9 m=32/sub=2
+    # geometry: 0.60 (sf0.01) / 0.72 (sf0.1), up from r8's 0.34/0.37
+    # (VERDICT r8 item 5; the residual-encoding hypothesis measured
+    # 0.32/0.28 and was dropped — receipts in COVERAGE.md). The
     # persisted-index serve path (ann_topk_ivfpq_serve) produces
     # bit-identical codes by the determinism argument its gate proves,
     # so this one recall row covers both compose and serve.
@@ -4271,10 +4317,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "sub_idx",
         "c_idx",
-        F.expr(_pq_dist_expr("sv", "cv")).alias("qd"),
+        F.expr(_pq_ip_expr("sv", "cv")).alias("qd"),
     )
     qc1 = _nearest_cent_inline(qbase.select("vec_id", "v", "nsq"), cents).select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcent")
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("qcent"),
+        F.col("nsq").alias("qnsq"),
     )
     adc = (
         F.broadcast(qc1)
@@ -4283,13 +4331,31 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cent_id") == F.col("qcent"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select(
+            "query_id",
+            "qnsq",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("nsq").alias("nnsq"),
+        )
         .join(codes, "neighbor_id")
         .join(lut, ["query_id", "sub_idx", "c_idx"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").alias("adc_d"))
+        .agg(
+            F.sum("qd").alias("ip"),
+            F.min("qnsq").alias("qnsq"),
+            F.min("nnsq").alias("nnsq"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                _ADC_COS.format(ip="ip", qn="qnsq", nn="nnsq")
+            ).alias("adc_d"),
+        )
     )
-    w_adc = Window.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d").desc(), "neighbor_id"
+    )
     ivfpq = (
         adc.withColumn("rk", F.row_number().over(w_adc))
         .filter(F.col("rk") <= 10)
@@ -4297,15 +4363,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ivfpq_rr arm (late r8): the SAME ADC scores, shortlisted at
-    # _PQ_SHORTLIST wide, then re-ranked by exact cosine — exactly what
-    # the production gates (ann_topk_ivfpq/_serve) ship after the r8
-    # widening. Measured dose–response (recall@10): sf0.01 — shortlist
-    # 10 → 0.34, 20 → 0.49, 30 → 0.61, 60 → 0.70 = the nprobe=1
-    # ceiling (the ivf arm's own row); sf0.1 — 60 → 0.78, 80 → 0.85,
-    # 100 → 0.94 = the ceiling. The arm pins that the shipped path
-    # operates AT its cell ceiling, not below it; a future codebook or
-    # shortlist regression shows up here as the gap between the
-    # ivfpq_rr and ivf rows reopening.
+    # _PQ_SHORTLIST wide, then re-ranked by exact cosine — exactly
+    # what the production gates (ann_topk_ivfpq/_serve) ship. The arm
+    # pins that the shipped path operates AT its cell ceiling, not
+    # below it; a future codebook or shortlist regression shows up
+    # here as the gap between the ivfpq_rr and ivf rows reopening.
+    # Dose–response at the r9 IP-ADC geometry lives in the
+    # _PQ_SHORTLIST comment.
     ivfpq_rr = topk(
         adc.withColumn("rn", F.row_number().over(w_adc))
         .filter(F.col("rn") <= _PQ_SHORTLIST)
@@ -4382,11 +4446,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (the PQ in IVF-PQ — Jégou et al. 2011):
-    split each 64-dim vector into m=8 subspaces, assign each subvector
-    to its nearest of k per-subspace codewords — k corpus-derived
-    (``_pq_k``) and the codebook LLOYD-TRAINED per subspace (VERDICT
-    r7 item 2; the r1–r7 "codebook" was the first 4 raw vectors) — and
-    emit the m-byte code plus the exact squared reconstruction error.
+    split each 64-dim vector into m=32 subspaces (the r9 geometry —
+    see the ``_PQ_M`` dose–response), assign each subvector to its
+    nearest of k per-subspace codewords — k corpus-derived (``_pq_k``)
+    and the codebook LLOYD-TRAINED per subspace — and emit the m-byte
+    code plus the exact squared reconstruction error. Encoding is
+    ALWAYS nearest-by-L2 (reconstruction-error-minimal) regardless of
+    the query-side scoring metric — the standard IP-PQ split.
     A 100 TB vector corpus stores THESE codes (m log2 k bits/vector
     instead of 4·D bytes) and scans them with table lookups; this query
     is the encode pass plus the fidelity report that decides k and m.
@@ -4476,12 +4542,13 @@ def _ivfpq_oracle(lo: int, hi: int, nprobe: int = 1) -> str:
     ),
     lut AS (
         SELECT u.query_id, u.sub_idx, c.c_idx,
-               {_pq_sql_dist("u.sv", "c.cv")} AS qd
+               {_pq_sql_ip("u.sv", "c.cv")} AS qd
         FROM qsubs u JOIN pqcents c ON c.sub_idx = u.sub_idx
     ),
     adc AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               CAST(SUM(l.qd) AS DECIMAL(20,8)) AS adc_d2
+               {_ADC_COS.format(ip="SUM(l.qd)", qn="MIN(q.nsq)",
+                                nn="MIN(c.nsq)")} AS adc_cos
         FROM q
         JOIN qcells p ON p.vec_id = q.vec_id
         JOIN assign c ON c.cent_id = p.cent_id AND c.vec_id <> q.vec_id
@@ -4491,15 +4558,16 @@ def _ivfpq_oracle(lo: int, hi: int, nprobe: int = 1) -> str:
         GROUP BY 1, 2
     ),
     shortlist AS (
-        SELECT query_id, neighbor_id, adc_d2 FROM (
-            SELECT query_id, neighbor_id, adc_d2,
+        SELECT query_id, neighbor_id, adc_cos FROM (
+            SELECT query_id, neighbor_id, adc_cos,
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY adc_d2, neighbor_id) AS rn
+                                      ORDER BY adc_cos DESC, neighbor_id
+                                     ) AS rn
             FROM adc
         ) WHERE rn <= {nprobe * _PQ_SHORTLIST}
     ),
     refined AS (
-        SELECT s.query_id, s.neighbor_id, s.adc_d2,
+        SELECT s.query_id, s.neighbor_id, s.adc_cos,
                CAST({_sql_dot("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq))
                     AS DECIMAL(16,8)) AS cos_sim
         FROM shortlist s
@@ -4507,10 +4575,10 @@ def _ivfpq_oracle(lo: int, hi: int, nprobe: int = 1) -> str:
         JOIN e c ON c.vec_id = s.neighbor_id
     )
     SELECT query_id, neighbor_id,
-           CAST(adc_d2 AS VARCHAR) AS adc_d2,
+           CAST(adc_cos AS VARCHAR) AS adc_cos,
            CAST(cos_sim AS VARCHAR) AS cos_sim, rk
     FROM (
-        SELECT query_id, neighbor_id, adc_d2, cos_sim,
+        SELECT query_id, neighbor_id, adc_cos, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
         FROM refined
@@ -4558,7 +4626,9 @@ def _ivfpq_compose(
         else _top_cells_inline(qbase, cents0, nprobe)
     )
     qcells = cells_src.select(
-        F.col("vec_id").alias("query_id"), F.col("cent_id").alias("qcent")
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("qcent"),
+        F.col("nsq").alias("qnsq"),
     )
     qstack = ", ".join(
         f"{s}, slice(qv, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
@@ -4570,7 +4640,7 @@ def _ivfpq_compose(
         "query_id",
         "sub_idx",
         "c_idx",
-        F.expr(_pq_dist_expr("sv", "cv")).alias("qd"),
+        F.expr(_pq_ip_expr("sv", "cv")).alias("qd"),
     )
     cell = (
         F.broadcast(qcells)
@@ -4579,15 +4649,33 @@ def _ivfpq_compose(
             (F.col("cent_id") == F.col("qcent"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select(
+            "query_id",
+            "qnsq",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("nsq").alias("nnsq"),
+        )
     )
     adc = (
         cell.join(codes, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "sub_idx", "c_idx"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("qd").cast("decimal(20,8)").alias("adc_d2"))
+        .agg(
+            F.sum("qd").alias("ip"),
+            F.min("qnsq").alias("qnsq"),
+            F.min("nnsq").alias("nnsq"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                _ADC_COS.format(ip="ip", qn="qnsq", nn="nnsq")
+            ).alias("adc_cos"),
+        )
     )
-    w_short = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), "neighbor_id"
+    )
     shortlist = (
         adc.withColumn("rn", F.row_number().over(w_short))
         .filter(F.col("rn") <= nprobe * _PQ_SHORTLIST)
@@ -4607,13 +4695,13 @@ def _ivfpq_compose(
     return (
         shortlist.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .select("query_id", "neighbor_id", "adc_d2", cos.alias("cos_sim"))
+        .select("query_id", "neighbor_id", "adc_cos", cos.alias("cos_sim"))
         .withColumn("rk", F.row_number().over(w_rk))
         .filter(F.col("rk") <= 5)
         .select(
             "query_id",
             "neighbor_id",
-            F.col("adc_d2").cast("string").alias("adc_d2"),
+            F.col("adc_cos").cast("string").alias("adc_cos"),
             F.col("cos_sim").cast("string").alias("cos_sim"),
             "rk",
         )
@@ -4625,25 +4713,28 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ search with exact refine — the composed production ANN
     path (Jégou et al. 2011) assembled from this engine's own stages:
     the Lloyd-trained coarse quantizer restricts each query to its cell
-    (ann_topk_ivf), a per-query LUT of query-subvector-to-PQ-codeword
-    distances scores every cell member by ASYMMETRIC distance — a
-    4-row-per-vector join against a broadcast KB-scale LUT, never a
-    full-dimension dot per candidate — the ``_PQ_SHORTLIST``-wide ADC
-    shortlist is then re-ranked by exact decimal cosine, and the top-5
-    emitted with both the approximate and exact scores (so the
-    ADC→exact reorder is visible in-row). The PQ codebook is
-    Lloyd-TRAINED per subspace with corpus-derived k
-    (``_pq_train``/``_pq_k``, VERDICT r7 item 2) — not sampled raw
-    vectors — and the shortlist width is 4/5 of the quantizer's cell
-    target, the measured recall-ceiling knee at both SFs (0.34 → 0.70
-    at sf0.01, 0.37 → 0.94 at sf0.1; see ``_PQ_SHORTLIST`` and the
-    recall harness' ivfpq_rr arm, the standing gauge).
+    (ann_topk_ivf), a per-query LUT of query-subvector × PQ-codeword
+    INNER PRODUCTS scores every cell member by the r9 cosine-consistent
+    asymmetric estimate SUM(ip)/(|q|·|n|) with exact norms
+    (``_pq_sql_ip``, VERDICT r8 item 5) — an m-narrow-rows-per-vector
+    join against a broadcast KB-scale LUT, never a full-dimension dot
+    per candidate — the ``_PQ_SHORTLIST``-wide ADC shortlist is then
+    re-ranked by exact decimal cosine, and the top-5 emitted with both
+    the approximate and exact scores (so the ADC→exact reorder is
+    visible in-row). The PQ codebook is Lloyd-TRAINED per subspace
+    with corpus-derived k (``_pq_train``/``_pq_k``) at the measured
+    m=32/sub=2 geometry — raw ADC recall@10 0.60/0.72 at the two SFs,
+    up from the r8 m=8 L2-ADC's 0.34/0.37 (the dose–response that
+    chose it, incl. the refuted residual-encoding arm, is in
+    COVERAGE.md); training runs ONCE per session per corpus (the
+    ``_TRAIN_MEMO`` fingerprint cache, VERDICT r8 item 4).
 
     Scale: at 100 TB the scan side touches ONLY m-byte codes plus the
-    KB-scale LUT (broadcast); full vectors are fetched for the ≤102-row
-    shortlist per query — the whole point of PQ. Every distance is a
-    DECIMAL(16,8)/(20,8) with id tie-breaks, so shortlist membership
-    and final ranks replay bit-identically in the oracle."""
+    KB-scale LUT (broadcast); full vectors are fetched for the
+    shortlist rows per query — the whole point of PQ. Every score is a
+    DECIMAL(16,8) from exact-decimal IP sums with id tie-breaks, so
+    shortlist membership and final ranks replay bit-identically in the
+    oracle."""
     return _ivfpq_compose(spark, sf_dir, 100, 120)
 
 

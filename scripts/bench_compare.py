@@ -40,22 +40,29 @@ MIN_ABS_SEC = 0.15
 #: regression. Reported loudly but non-fatal; prune each round once the
 #: new cost is in the committed baseline (stale entries mask real
 #: regressions).
+# r8 entries pruned: their new costs are the committed BENCH_r08
+# medians this gate now compares against.
 CHANGED_CONTRACT = {
     "embedding_pq_codes": (
-        "r8: Lloyd-trains the PQ codebook per invocation "
-        "(r1-r7 used the first-4-raw-vectors placeholder)"
+        "r9: m=32/sub=2 PQ geometry (VERDICT r8 item 5 — raw ADC "
+        "recall 0.34/0.37 -> 0.60/0.72): 4x subspace rows per vector "
+        "and the encode dispatches to the broadcast-join path"
     ),
     "ann_topk_ivfpq": (
-        "r8: trained codebook + cell-fraction ADC shortlist (recall "
-        "0.34 -> 0.70 / 0.37 -> 0.94 at the two SFs; _PQ_SHORTLIST)"
+        "r9: m=32/sub=2 geometry + cosine-consistent IP-ADC "
+        "(raw recall >= 0.5 at both SFs; training memo offsets most "
+        "of the 4x LUT cost)"
     ),
     "ann_topk_ivfpq_serve": (
-        "r8: m=8 geometry + trained codebook in the build half + "
-        "cell-fraction ADC shortlist in the serve half"
+        "r9: index format v5 — m=32 codes + norms in postings + "
+        "IP-ADC serve"
+    ),
+    "ann_topk_ivfpq_serve_nprobe": (
+        "r9: index format v5 — m=32 codes + norms in postings + "
+        "IP-ADC serve"
     ),
     "ann_recall_report": (
-        "r8: sixth arm (ivfpq_rr) added — the widened-shortlist "
-        "re-rank gauge"
+        "r9: seventh arm (ivf4) + m=32 IP-ADC ivfpq arms"
     ),
 }
 
