@@ -5863,13 +5863,28 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
         ).alias("nsq"),
     )
+    # r9 (VERDICT r8 item 2's computation half): the emitted member-pair
+    # relation stays the contract (`timeseries_paa_groups` is the
+    # bounded-output alternative), but every array fold now runs once
+    # per DISTINCT-series pair — identical series collapse to one
+    # representative (groupBy on the dense value array), the salted
+    # band join and both distance folds run over representatives, and
+    # surviving group pairs fan back out to member pairs with two
+    # id-only joins; within-group twin pairs emit (0.0, 0.0) exactly,
+    # the value the naive subtraction of identical folds produces.
+    grp = feat.groupBy("dv", "pv", "nsq").agg(
+        F.min("user_id").alias("gid"), F.count("*").alias("n")
+    )
+    members = feat.join(
+        grp.select("dv", "gid"), ["dv"]
+    ).select("gid", "user_id")
     # SALTED band self-join (r6, found by the scale probe): white-noise
     # seg-0 means concentrate ~all users into band 0, so the plain
     # equi-join on b put every candidate pair into ONE sort-merge task —
     # and AQE's skew-join never fires because it detects input-byte
     # skew, not join-EXPLOSION skew (the hot partition's input is a few
     # KB; its output is |band|^2 pairs). The salt splits the y side by
-    # user-hash into `salt` buckets and replicates the (already
+    # gid-hash into `salt` buckets and replicates the (already
     # band-exploded, tiny) x side across them: identical pair set,
     # |band|^2 enumeration spread over `salt` parallel tasks. The
     # fan-out is DERIVED from measured hot-band occupancy (_ts_salt,
@@ -5877,8 +5892,8 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the band table between the occupancy probe and both join sides
     # (lazy: the occupancy .first() below is the materializing action).
     block = truncate_lineage(
-        feat.select(
-            "user_id",
+        grp.select(
+            "gid",
             F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b"),
             "pv",
             "dv",
@@ -5901,16 +5916,16 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     )
     y = block.withColumn(
-        "salt", F.pmod(F.xxhash64("user_id"), F.lit(salt)).cast("int")
+        "salt", F.pmod(F.xxhash64("gid"), F.lit(salt)).cast("int")
     ).alias("y")
     cand = x.join(
         y,
         (F.col("y.b") == F.col("x.b"))
         & (F.col("y.salt") == F.col("x.salt"))
-        & (F.col("y.user_id") > F.col("x.user_id")),
+        & (F.col("y.gid") > F.col("x.gid")),
     ).select(
-        F.col("x.user_id").alias("ua"),
-        F.col("y.user_id").alias("ub"),
+        F.col("x.gid").alias("ga"),
+        F.col("y.gid").alias("gb"),
         F.col("x.pv").alias("pa"),
         F.col("y.pv").alias("pb"),
         F.col("x.dv").alias("dva"),
@@ -5926,17 +5941,41 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(dva, dvb, (p, q) -> p * q),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
-    return (
+    gpairs = (
         cand.withColumn("lb2", lb2)
         .filter(F.col("lb2") <= _TS_T2)
         .select(
-            F.col("ua").alias("user_a"),
-            F.col("ub").alias("user_b"),
+            "ga",
+            "gb",
             F.col("lb2").alias("paa_lb2"),
             (F.col("na") + F.col("nb") - 2 * cross).alias("dist2"),
         )
         .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
+    ma = members.select(F.col("gid").alias("ga"), F.col("user_id").alias("xa"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("user_id").alias("xb"))
+    crossp = (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("xa", "xb").alias("user_a"),
+            F.greatest("xa", "xb").alias("user_b"),
+            "paa_lb2",
+            "dist2",
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    twins = m1.join(
+        m2,
+        (F.col("m1.gid") == F.col("m2.gid"))
+        & (F.col("m1.user_id") < F.col("m2.user_id")),
+    ).select(
+        F.col("m1.user_id").alias("user_a"),
+        F.col("m2.user_id").alias("user_b"),
+        F.lit(0.0).alias("paa_lb2"),
+        F.lit(0.0).alias("dist2"),
+    )
+    return crossp.unionAll(twins)
 
 
 @register(
@@ -6920,6 +6959,25 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").getItem(0).alias("blk"),
         F.substring("text", 1, 80).alias("head"),
     )
+    # r9 (VERDICT r8 item 2's computation half): the emitted member-pair
+    # relation is the CONTRACT and stays — under twin skew its row count
+    # is ~K² because the true near-dup mass is (the group-pair gate
+    # `dedup_fuzzy_groups` is the bounded-output alternative) — but the
+    # O(80²) Levenshtein DP now runs once per DISTINCT-content pair:
+    # collapse identical (blk, head) to one representative, join and
+    # refine representatives only, then fan the surviving group pairs
+    # back out to member pairs with two id-only joins (plus the C(n,2)
+    # within-group twin pairs at distance 0). On twin-free corpora the
+    # group table IS the doc table and the plan degenerates to the old
+    # one plus one groupBy; on twin-heavy corpora the DP count is
+    # invariant under replication and only row EMISSION scales with the
+    # output.
+    g = d.groupBy("blk", "head").agg(
+        F.min("doc_id").alias("gid"), F.count("*").alias("n")
+    )
+    members = d.join(
+        g.select("blk", "head", "gid"), ["blk", "head"]
+    ).select("gid", F.col("doc_id").alias("member_id"))
     # spread blocks across tasks BEFORE the pair fan-out: the doc table
     # arrives as one file -> one partition, and without this every
     # candidate pair's O(80^2) DP would run in a single task (measured
@@ -6927,20 +6985,45 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key is also the co-location a cluster deployment wants; width
     # follows the session's shuffle-partition setting, not a constant.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = d.repartition(n_part, "blk").alias("a")
-    b = d.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("a_id"),
-        F.col("b.doc_id").alias("b_id"),
-        F.levenshtein(F.col("a.head"), F.col("b.head"))
-        .cast("bigint")
-        .alias("edit_dist"),
+    a = g.repartition(n_part, "blk").alias("a")
+    b = g.alias("b")
+    gpairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
+            F.levenshtein(F.col("a.head"), F.col("b.head"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
     )
-    return cand.filter(F.col("edit_dist") <= 40).select(
+    ma = members.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
+    cross = (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("xa", "xb").alias("a_id"),
+            F.greatest("xa", "xb").alias("b_id"),
+            "edit_dist",
+        )
+    )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    twins = m1.join(
+        m2,
+        (F.col("m1.gid") == F.col("m2.gid"))
+        & (F.col("m1.member_id") < F.col("m2.member_id")),
+    ).select(
+        F.col("m1.member_id").alias("a_id"),
+        F.col("m2.member_id").alias("b_id"),
+        F.lit(0).cast("bigint").alias("edit_dist"),
+    )
+    return cross.unionAll(twins).select(
         "a_id",
         "b_id",
         "edit_dist",
