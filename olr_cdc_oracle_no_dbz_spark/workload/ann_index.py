@@ -52,6 +52,7 @@ from pyspark.sql.window import Window
 
 from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+    _ADC_COS,
     _DOT,
     _derive_k,
     _dot,
@@ -133,8 +134,10 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         os.remove(mpath)
     for sub in ("centroids", "codebook", "postings", "codes"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import _memo_count
+
     e = _base(spark, sf_dir)
-    n = e.count()
+    n = _memo_count(e, _emb_fingerprint(sf_dir))
     max_vec_id = e.agg(F.max("vec_id")).first()[0]
     k = _derive_k(n)
     # within-session memo (VERDICT r8 item 4): a gate that already
@@ -239,6 +242,19 @@ def append_to_index(
         )
     with open(os.path.join(index_dir, _MANIFEST)) as fh:
         manifest = json.load(fh)
+    # format guard (r9 code review): appending to an older-format index
+    # would produce a corrupt HYBRID artifact — e.g. a v4 base postings
+    # partition without nsq next to a v5 appended one with it, where
+    # serve either throws on the missing column or NULL-norm-sorts the
+    # entire original corpus out of every shortlist. The gate path
+    # enforces this via index_fresh; the direct append path must too.
+    if manifest.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version "
+            f"{manifest.get('format_version')}, this build writes "
+            f"{_FORMAT_VERSION} — appending would mix incompatible "
+            "postings/codes layouts; rebuild the index first"
+        )
     # append-only id space: every recorded batch ends at or below
     # max_vec_id (raised to hi-1 per append), so this single guard also
     # subsumes pairwise batch-overlap checking
@@ -324,18 +340,11 @@ def _source_stat(sf_dir: str) -> list[list]:
     """Driver-side fingerprint of the source vector table: (relative
     path, size, mtime_ns) of every file under embeddings.parquet. Zero
     Spark jobs; changes whenever the table is regenerated, so a cached
-    index can detect it serves a dead corpus."""
-    root = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    if os.path.isfile(root):
-        st = os.stat(root)
-        return [["", st.st_size, st.st_mtime_ns]]
-    out = []
-    for dirpath, _, files in sorted(os.walk(root)):
-        for f in sorted(files):
-            p = os.path.join(dirpath, f)
-            st = os.stat(p)
-            out.append([os.path.relpath(p, root), st.st_size, st.st_mtime_ns])
-    return out
+    index can detect it serves a dead corpus. Delegates to
+    ``_emb_fingerprint`` — the SAME scan keys the training memo, so
+    the two mechanisms that must agree on "same corpus" cannot drift
+    (r9 code review; lists because the manifest round-trips JSON)."""
+    return [list(entry) for entry in _emb_fingerprint(sf_dir)]
 
 
 def index_exists(out_dir: str) -> bool:
@@ -453,8 +462,7 @@ def serve_topk(
             "query_id",
             "neighbor_id",
             F.expr(
-                "CAST(CAST(ip AS DOUBLE) / (sqrt(qnsq) * sqrt(nnsq))"
-                " AS DECIMAL(16,8))"
+                _ADC_COS.format(ip="ip", qn="qnsq", nn="nnsq")
             ).alias("adc_cos"),
         )
     )

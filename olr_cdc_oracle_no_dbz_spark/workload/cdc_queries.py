@@ -146,6 +146,9 @@ def cdc_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACT_WM = "2024-01-15 00:00:00"
+#: per-corpus state-store dirs for cdc_state_compaction (one per
+#: process, rebuilt in place on each invocation)
+_COMPACT_DIRS: dict[str, str] = {}
 
 
 @register(
@@ -204,8 +207,18 @@ def cdc_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from olr_cdc_oracle_no_dbz_spark.streaming.state import ParquetStateTable
 
-    tmp = tempfile.mkdtemp(prefix="spark_graft_compaction_gate_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    # ONE store dir per corpus per process, rebuilt in place (r9 code
+    # review: a fresh mkdtemp per invocation left N corpus-sized store
+    # copies on disk until atexit under bench's repeated invocations)
+    key = os.path.realpath(sf_dir)
+    tmp = _COMPACT_DIRS.get(key)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="spark_graft_compaction_gate_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        _COMPACT_DIRS[key] = tmp
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
     table = ParquetStateTable(
         spark, tmp, key_cols=("user_id",), order_cols=("ts", "event_id")
     )

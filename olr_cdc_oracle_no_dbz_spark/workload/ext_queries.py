@@ -1427,6 +1427,21 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
     return tuple(out)
 
 
+def _memo_count(e: DataFrame, memo: tuple | None) -> int:
+    """Corpus row count, memoized under the same fingerprint as the
+    trainers (r9 code review: a training-memo hit still paid one
+    full-table COUNT job per invocation purely to re-derive a k the
+    fingerprint already determines)."""
+    if memo is None:
+        return e.count()
+    key = ("n", memo)
+    hit = _TRAIN_MEMO.get(key)
+    if hit is None:
+        hit = e.count()
+        _TRAIN_MEMO[key] = hit
+    return hit
+
+
 def _kmeans_assign(
     e: DataFrame,
     k: int | None = None,
@@ -1483,9 +1498,11 @@ def _kmeans_train(
     bounded collect). ``memo`` (a corpus fingerprint from
     ``_emb_fingerprint``) enables the within-session training memo —
     ``k`` is resolved BEFORE the key is built so explicit-k callers
-    (build_ann_index) and derive-k gates share one training."""
+    (build_ann_index) and derive-k gates share one training; the count
+    behind the derivation is itself memoized (``_memo_count``) so a
+    memo hit runs ZERO jobs."""
     if k is None:
-        k = _derive_k(e.count())
+        k = _derive_k(_memo_count(e, memo))
     if memo is not None:
         mk = ("kmeans", memo, k, iters)
         hit = _TRAIN_MEMO.get(mk)
@@ -3793,7 +3810,11 @@ def _pq_assign(
     256 safe: the flip costs one (vec_id, sub_idx) window shuffle at
     encode time and changes no code anywhere. The cap compares the
     TOTAL branch count k·m (r9: m=32 made per-subspace k the wrong
-    gauge)."""
+    gauge). NOTE: at the production constants (k ≥ _PQ_K_MIN=8,
+    m=_PQ_M=32 ⇒ k·m ≥ 256 > 128) every production call takes the
+    join path — the inline encoder is retained as the proven-equal
+    low-branch form for small/test codebooks (forced-flip equality is
+    what test_kmeans pins), not as a production code path."""
     k = len({c for _, c, _ in cents})
     m = len({s for s, _, _ in cents})
     if k * m <= _PQ_INLINE_MAX:
@@ -4181,7 +4202,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     its row sitting ON the ivf row (both 0.70 at sf0.01) is the
     receipt that the widened shortlist reaches the cell ceiling."""
     emb = t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _memo_count(emb, _emb_fingerprint(sf_dir))
     bits = _sign_bits(n)
     e = emb.select(
         "vec_id",
@@ -4472,7 +4493,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = e.selectExpr(
         "vec_id", f"stack({_PQ_M}, {stack_args}) AS (sub_idx, sv)"
     )
-    cents = _pq_train(subs, e.count(), memo=_emb_fingerprint(sf_dir))
+    cents = _pq_train(
+        subs, _memo_count(e, _emb_fingerprint(sf_dir)),
+        memo=_emb_fingerprint(sf_dir),
+    )
     best = _pq_assign(subs, cents)
     return best.groupBy("vec_id").agg(
         F.array_join(
@@ -4601,7 +4625,7 @@ def _ivfpq_compose(
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
     )
-    cnt = e.count()
+    cnt = _memo_count(e, _emb_fingerprint(sf_dir))
     cents0 = _kmeans_train(e, memo=_emb_fingerprint(sf_dir))
     assign = _nearest_cent(e, cents0)
     stack_args = ", ".join(
@@ -6379,16 +6403,27 @@ def timeseries_paa_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(x.dv, y.dv, (p, q) -> p * q),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
-    gpairs = x.join(
+    # join on < then symmetrize so the 30-element distance folds run
+    # ONCE per unordered group pair (r9 code review found the fuzzy
+    # sibling's != join computing both directions; same fix here).
+    # dist2 is symmetric: x.nsq + y.nsq is an exact IEEE add of two
+    # doubles (commutative), and the zip_with product fold visits the
+    # same element order either way.
+    undirected = x.join(
         y,
         (F.col("y.b0") == F.col("x.b0"))
         & (F.col("y.b1") == F.col("x.b1"))
         & (F.col("y.salt") == F.col("x.salt"))
-        & (F.col("y.gid") != F.col("x.gid")),
+        & (F.col("x.gid") < F.col("y.gid")),
     ).select(
         F.col("x.gid").alias("g"),
         F.col("y.gid").alias("h"),
         (F.col("x.nsq") + F.col("y.nsq") - 2 * cross).alias("dist2"),
+    )
+    gpairs = undirected.unionAll(
+        undirected.select(
+            F.col("h").alias("g"), F.col("g").alias("h"), "dist2"
+        )
     )
     wtop = Window.partitionBy("g").orderBy("dist2", "h")
     topg = (
@@ -7111,16 +7146,24 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     x = reps.repartition(n_part, "blk").alias("x")
     y = reps.alias("y")
-    gpairs = x.join(
+    # join on < then symmetrize (the dedup_minhash_topk shape) so the
+    # O(80²) DP runs ONCE per unordered group pair, not twice (r9 code
+    # review — the != join evaluated levenshtein in both orders)
+    undirected = x.join(
         y,
         (F.col("y.blk") == F.col("x.blk"))
-        & (F.col("y.gid") != F.col("x.gid")),
+        & (F.col("x.gid") < F.col("y.gid")),
     ).select(
         F.col("x.gid").alias("g"),
         F.col("y.gid").alias("h"),
         F.levenshtein(F.col("x.head"), F.col("y.head"))
         .cast("bigint")
         .alias("edit_dist"),
+    )
+    gpairs = undirected.unionAll(
+        undirected.select(
+            F.col("h").alias("g"), F.col("g").alias("h"), "edit_dist"
+        )
     )
     wtop = Window.partitionBy("g").orderBy("edit_dist", "h")
     topg = (

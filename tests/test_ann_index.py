@@ -189,6 +189,26 @@ def test_append_refuses_overlap_empty_and_missing(spark, tmp_path):
         ai.append_to_index(spark, SF_DIR, str(tmp_path / "nope"), 0, 5)
 
 
+def test_append_refuses_older_format_index(spark, tmp_path):
+    """Appending to a pre-v5 index must refuse, not write a hybrid
+    artifact (v4 postings carry no nsq; mixing layouts would NULL the
+    base corpus out of every IP-ADC shortlist — r9 code review)."""
+    import json as _json
+    import os as _os
+
+    src = _subset_dir(spark, tmp_path)
+    idx = str(tmp_path / "index")
+    ai.build_ann_index(spark, src, idx)
+    mpath = _os.path.join(idx, "manifest.json")
+    with open(mpath) as fh:
+        manifest = _json.load(fh)
+    manifest["format_version"] = 4
+    with open(mpath, "w") as fh:
+        _json.dump(manifest, fh)
+    with pytest.raises(ValueError, match="format_version"):
+        ai.append_to_index(spark, SF_DIR, idx, 400, 450)
+
+
 def test_rebuild_clears_stale_batches(spark, tmp_path):
     """Rebuilding into an existing index dir removes previous appends'
     batch partitions — otherwise the new batch=base (covering every id)
