@@ -46,7 +46,7 @@ SHOWCASE = {
     "text_perplexity_filter": "vocabulary-sized LM stats joined back map-side; one partial-agg per doc",
     "corpus_dedup_apply": "cluster labels broadcast onto the corpus; keep rule row-local",
     "window_skyline_2d": "2-D Pareto front as one partitioned running-max window (no dominance anti-join)",
-    "timeseries_paa_similarity": "PAA band blocking (SALTED 32-way vs hot-band explosion) + sparse cross-term refine",
+    "timeseries_paa_similarity": "series collapse; PAA band blocking (occupancy-DERIVED salt vs hot-band explosion) + rep-only refine + member expansion",
     "dedup_simhash": (
         "corpus-derived w-bit banding; popcount-xor hamming per candidate;"
         " the two Cross BNLJs are ONE-ROW broadcasts (the COUNT-derived"
@@ -54,7 +54,7 @@ SHOWCASE = {
         " — the scalar-subquery shape, not a data cartesian"
     ),
     "join_band_bucketed": "band theta join rewritten to (key, bucket) equi-join + residual",
-    "ann_topk_ivfpq": "IVF cell restriction + broadcast PQ LUT join over m-byte codes + exact refine on the cell-fraction (_PQ_SHORTLIST=102-row) shortlist",
+    "ann_topk_ivfpq": "IVF cell restriction + broadcast IP-LUT join over m-byte codes + exact refine on the cell-fraction (_PQ_SHORTLIST=51-row) shortlist",
     "cdc_multi_table_routing": "per-table decode/filter/unwrap over ONE raw scan; per-table LWW max_by shuffle",
     "cdc_schema_evolution_merge": "widen-and-union then one partial-agg LWW shuffle (schema evolution adds no exchange)",
     "dedup_semantic": "corpus-derived K: zero-shuffle inline-centroid assignment; within-cell pairs bounded by cell size",
@@ -73,7 +73,7 @@ SHOWCASE = {
     "cdc_key_lifecycle_report": "per-key lag window + cohort-bounded rollup",
     "events_activity_concentration": "bin-bounded agg; cumulative window after explicit limit",
     "join_geo_neighbors": "3x3 grid-cell equi-join candidates + row-local haversine refine (no cartesian)",
-    "dedup_fuzzy_levenshtein": "block-key repartition then equi-join candidates; row-local integer DP refine",
+    "dedup_fuzzy_levenshtein": "group collapse; block-key repartition; DP once per distinct pair; member-expansion joins",
     "multimodal_exact_dedup": "map-side blob->md5 reduction; one 16-byte-key shuffle",
     "events_association_rules": "distinct baskets; per-user pair fan-out; broadcast supports; post-limit rank",
     # round-7 additions
@@ -83,6 +83,12 @@ SHOWCASE = {
     "ann_topk_ivf_nprobe": "multi-probe fan-out as zero-shuffle inlined-centroid projection; one cell equi-join",
     "dedup_minhash_estimate": "band equi-join candidates; signature agreement row-local; exact Jaccard on candidates only",
     "ann_topk_lsh_bands": "4 sign-band equi-joins unioned + distinct; exact top-k only on the candidate set",
+    # round-9 additions
+    "dedup_fuzzy_topk": "twin-collapse windows on (blk, head); rep-only block join; bounded expansion joins + WindowGroupLimit top-3",
+    "dedup_minhash_topk": "content-group collapse; rep-only shingle/band/verify; bounded expansion joins + per-doc top-3",
+    "dedup_fuzzy_groups": "one (blk, head) groupBy; rep-only block join; DP once per distinct pair; self-rows from the group agg",
+    "timeseries_paa_groups": "series groupBy collapse; occupancy-derived salted band join over reps; row-local folds",
+    "cdc_state_compaction": "plan-only logical form: one LWW max_by shuffle + dead-tombstone filter (the physical path is the bucketed store)",
 }
 
 _KEEP = re.compile(
