@@ -1293,7 +1293,27 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K_MIN = 8  # centroid-count floor (keeps tiny corpora trainable)
-_IVF_CELL = 128  # target vectors per cell; K = max(8, ceil(n / 128))
+_IVF_CELL = 128  # target vectors per cell; K = clamp(ceil(n / 128), 8, 4096)
+#: centroid-count cap (r9 — the PQ-stage discipline applied to the
+#: coarse quantizer; closes the open item SCALING.md named): K ∝ N
+#: unbounded meant N·K-per-Lloyd-round training (latent N²/128), a
+#: driver centroid collect that grows with the corpus, and a probe
+#: K=125 at ×8 already. 4096 cells × 64 dims ≈ 2 MB of centroids —
+#: comfortably collectable/broadcastable; past n = 524288 the cells
+#: grow instead (IVF's classic fixed-K regime; the deployment dial for
+#: a 100 TB corpus is THIS constant, raised with cluster memory).
+#: Neither gate corpus (500 / 2000 vectors) nor the ×8 probe (16000)
+#: reaches the cap, so every gate value is unchanged; the oracle
+#: replays the same LEAST().
+_IVF_K_MAX = 4096
+#: coarse Lloyd TRAINING scans only the first min(n, _IVF_TRAIN_CAP)
+#: vectors — the sampled-training bound the PQ stage has had since r8
+#: (_PQ_TRAIN_CAP): at 100 TB each training iteration must touch a
+#: bounded set, not the full table; only the one ASSIGN pass is
+#: corpus-sized. K_MAX·cell = the population that saturates the
+#: codebook, so the cap never binds below the K cap. Differentially
+#: pinned at BINDING caps (monkeypatched small) in test_kmeans.
+_IVF_TRAIN_CAP = _IVF_K_MAX * _IVF_CELL
 _KMEANS_T = 2  # Lloyd iterations refining the deterministic first-K seed
 
 
@@ -1304,8 +1324,10 @@ def _derive_k(n: int) -> int:
     CONSTANT per row instead of quadratic at fixed K (the one
     super-linear row in SCALING_PROBE_r5, alpha=1.55). Integer ceil
     (no float), replayed bit-identically by the oracle's
-    ``GREATEST(8, (COUNT(*) + 127) // 128)``."""
-    return max(_IVF_K_MIN, (n + _IVF_CELL - 1) // _IVF_CELL)
+    ``GREATEST(8, LEAST(4096, (COUNT(*) + 127) // 128))``."""
+    return max(
+        _IVF_K_MIN, min(_IVF_K_MAX, (n + _IVF_CELL - 1) // _IVF_CELL)
+    )
 
 
 def _array_sql_literal(values: list[float]) -> str:
@@ -1508,8 +1530,12 @@ def _kmeans_train(
         hit = _TRAIN_MEMO.get(mk)
         if hit is not None:
             return hit
+    # sampled-training bound (r9): Lloyd rounds scan only the first
+    # min(n, _IVF_TRAIN_CAP) vectors (the _pq_train discipline); the
+    # seed (vec_id < k <= K_MAX) is always inside the sample
+    train = e.filter(F.col("vec_id") < _IVF_TRAIN_CAP)
     seed = (
-        e.filter(F.col("vec_id") < k)
+        train.filter(F.col("vec_id") < k)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.expr("transform(v, x -> cast(x as double))").alias("cv"),
@@ -1518,7 +1544,7 @@ def _kmeans_train(
     )
     cents = sorted((r["cent_id"], list(r["cv"])) for r in seed)
     for _ in range(iters):
-        assign = _nearest_cent(e, cents)
+        assign = _nearest_cent(train, cents)
         pos = assign.select("cent_id", F.posexplode("v").alias("p", "x"))
         means = (
             pos.groupBy("cent_id", "p")
@@ -1556,15 +1582,18 @@ def _sql_kmeans_ctes(k: int | None = None, iters: int = _KMEANS_T) -> str:
         k_expr = "(SELECT k FROM kparam)"
         kparam = f"""
     kparam AS (
-        SELECT GREATEST({_IVF_K_MIN},
-                        (COUNT(*) + {_IVF_CELL - 1}) // {_IVF_CELL}) AS k
+        SELECT GREATEST({_IVF_K_MIN}, LEAST({_IVF_K_MAX},
+                        (COUNT(*) + {_IVF_CELL - 1}) // {_IVF_CELL})) AS k
         FROM e
     ),"""
     else:
         k_expr = str(k)
         kparam = ""
 
-    def nearest(cent: str, out: str) -> str:
+    def nearest(cent: str, out: str, train_only: bool = False) -> str:
+        where = (
+            f"WHERE e.vec_id < {_IVF_TRAIN_CAP}" if train_only else ""
+        )
         return f"""
     {out} AS (
         SELECT vec_id, v, nsq, cent_id FROM (
@@ -1574,7 +1603,7 @@ def _sql_kmeans_ctes(k: int | None = None, iters: int = _KMEANS_T) -> str:
                        ORDER BY CAST({_sql_dot("e.v", f"{cent}.cv")}
                                 / (sqrt(e.nsq) * sqrt({cent}.cnsq))
                                 AS DECIMAL(16,8)) DESC, {cent}.cent_id) AS rk
-            FROM e CROSS JOIN {cent}
+            FROM e CROSS JOIN {cent} {where}
         ) WHERE rk = 1
     )"""
 
@@ -1589,7 +1618,7 @@ def _sql_kmeans_ctes(k: int | None = None, iters: int = _KMEANS_T) -> str:
     ]
     prev = "cent0"
     for i in range(1, iters + 1):
-        parts.append(nearest(prev, f"assign{i}"))
+        parts.append(nearest(prev, f"assign{i}", train_only=True))
         parts.append(f"""
     pos{i} AS (
         SELECT cent_id, pp AS p, v[pp] AS x

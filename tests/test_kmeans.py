@@ -148,3 +148,65 @@ def test_pq_dispatcher_flips_past_cap(spark, monkeypatch):
         for r in x._pq_assign(subs, cents).collect()
     }
     assert called.get("join") and got == ref
+
+
+def test_coarse_caps_bind_and_replay_in_duckdb(spark, monkeypatch):
+    """r9 coarse-quantizer caps, differentially pinned AT BINDING
+    VALUES (the gate corpora never reach the real 4096/524288, so this
+    is the only place the capped math is exercised): with tiny
+    monkeypatched caps, (a) K derives through the LEAST clamp, (b) the
+    Lloyd rounds train ONLY on the first _IVF_TRAIN_CAP vectors, and
+    (c) DuckDB's _sql_kmeans_ctes — rendered AFTER the monkeypatch, as
+    the oracle reads the module constants at call time — reproduces
+    the trained centroid list exactly."""
+    import duckdb
+
+    import olr_cdc_oracle_no_dbz_spark.workload.ext_queries as x
+
+    monkeypatch.setattr(x, "_IVF_CELL", 8)
+    monkeypatch.setattr(x, "_IVF_K_MAX", 16)
+    monkeypatch.setattr(x, "_IVF_TRAIN_CAP", 128)
+
+    e = _base(spark)
+    n = e.count()
+    assert x._derive_k(n) == 16  # ceil(500/8)=63 clamps to the cap
+
+    cents = x._kmeans_train(e)
+    assert len(cents) == 16
+
+    # (b) only the first 128 vectors can influence training: retraining
+    # on exactly that subset must give identical centroids
+    sub = e.filter(F.col("vec_id") < 128)
+    assert x._kmeans_train(sub) == cents
+
+    # (c) DuckDB replay with the capped CTEs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS v,
+               list_reduce(list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)),
+                   (a, b) -> a + b) AS nsq
+        FROM embeddings
+    ),
+    {x._sql_kmeans_ctes()}
+    SELECT cent_id, cv FROM cent{x._KMEANS_T} ORDER BY cent_id
+    """
+    got = {cid: list(cv) for cid, cv in con.execute(sql).fetchall()}
+    want = {cid: cv for cid, cv in cents}
+    # compare at 12 dp: the raw centroid doubles may differ in the
+    # last ulp across engines (the DECIMAL(30,15) mean path rounds the
+    # sum->double conversion independently); every USE of a centroid
+    # goes through a DECIMAL(16,8) cosine rank, which absorbs it —
+    # this test pins the capped TRAINING TRAJECTORY (same assignments,
+    # same member sets, same means to 1e-12), not raw bit equality
+    assert sorted(got) == sorted(want)
+    for cid in want:
+        assert [round(v, 12) for v in got[cid]] == [
+            round(v, 12) for v in want[cid]
+        ], f"centroid {cid} diverges beyond ulp"
