@@ -96,6 +96,7 @@ EXTENDED = [
     "dedup_fuzzy_groups",      # group-pair contract for the fuzzy emitter
     "timeseries_paa_groups",   # group-pair contract for the PAA emitter
     "cdc_state_compaction",    # real state-store merge×2 + tombstone GC
+    "dedup_minhash_groups",    # group-pair contract for the MinHash emitter
 ]
 
 

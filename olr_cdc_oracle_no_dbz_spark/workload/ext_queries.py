@@ -620,6 +620,197 @@ def dedup_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH g AS (
+        SELECT MIN(doc_id) AS gid, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(text) AS text
+        FROM documents GROUP BY md5(text)
+    ),
+    rsh AS (
+        SELECT DISTINCT gid, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+        FROM (SELECT gid, string_split(text, ' ') AS ws FROM g),
+             LATERAL unnest(generate_series(1, len(ws) - 2)) AS u(i)
+    ),
+    mh AS (
+        SELECT gid,
+               {", ".join(
+                   f"MIN(substr(md5(s || ':{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+                   for i in range(16)
+               )}
+        FROM rsh GROUP BY gid
+    ),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT gid, {b} AS band_idx, "
+            f"md5(mh{4 * b} || mh{4 * b + 1} || mh{4 * b + 2} || mh{4 * b + 3}) AS band_hash "
+            f"FROM mh"
+            for b in range(4)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT x.gid AS a_gid, y.gid AS b_gid
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         AND x.gid < y.gid
+    ),
+    sizes AS (SELECT gid, COUNT(*) AS n_sh FROM rsh GROUP BY gid),
+    inter AS (
+        SELECT c.a_gid, c.b_gid, COUNT(*) AS n_common
+        FROM cand c
+        JOIN rsh sa ON sa.gid = c.a_gid
+        JOIN rsh sb ON sb.gid = c.b_gid AND sb.s = sa.s
+        GROUP BY c.a_gid, c.b_gid
+    ),
+    crossp AS (
+        SELECT i.a_gid AS group_a, i.b_gid AS group_b,
+               ga.n AS n_a, gb.n AS n_b,
+               CAST(i.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_common)
+                   AS jaccard,
+               CAST(ga.n * gb.n AS BIGINT) AS n_member_pairs
+        FROM inter i
+        JOIN sizes za ON za.gid = i.a_gid
+        JOIN sizes zb ON zb.gid = i.b_gid
+        JOIN g ga ON ga.gid = i.a_gid
+        JOIN g gb ON gb.gid = i.b_gid
+    ),
+    selfp AS (
+        SELECT g.gid AS group_a, g.gid AS group_b, g.n AS n_a, g.n AS n_b,
+               CAST(1.0 AS DOUBLE) AS jaccard,
+               CAST(g.n * (g.n - 1) // 2 AS BIGINT) AS n_member_pairs
+        FROM g JOIN sizes z ON z.gid = g.gid
+        WHERE g.n > 1
+    )
+    SELECT group_a, group_b, n_a, n_b, jaccard,
+           (jaccard >= 0.8) AS is_dup, n_member_pairs
+    FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp)
+    """,
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-PAIR contract for MinHash near-dup (r9 — completes the
+    contract matrix: the fuzzy and PAA families each ship pair-emit +
+    per-doc top-k + group-pair forms; this is the MinHash family's
+    third): byte-identical documents collapse to one md5 content group
+    (id = min member doc_id), shingling / signatures / the band join /
+    the exact-Jaccard verify all run once per DISTINCT text, and the
+    emitted relation is one row per qualifying group pair plus one
+    self-row per multi-member group WITH a signature (≥ 1 shingle —
+    short-text groups have no bands, no candidates, and no self-row,
+    matching ``dedup_minhash_lsh``'s behavior exactly) at Jaccard
+    exactly 1.0, carrying member counts and the implied member-pair
+    count. Under K-fold exact-twin replication the pair gate's output
+    grows ~K² by contract while this relation is invariant, and
+    Σ n_member_pairs over it reproduces the pair gate's row count
+    (pinned in tests/test_group_contracts.py).
+
+    Scale: the collapse is one md5 groupBy; every downstream relation
+    is sized by distinct content; no distance threshold is lost —
+    is_dup carries the pair gate's 0.8 verdict per group pair."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5(F.col("text").cast("binary")).alias("ch")).agg(
+        F.min("doc_id").alias("gid"),
+        F.count("*").alias("n"),
+        F.min("text").alias("text"),
+    )
+    rsh = g.withColumn("w", F.split("text", " ")).select(
+        "gid",
+        F.explode(
+            F.when(F.size("w") >= 3, F.expr(_shingle_expr(3))).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("s"),
+    )
+    mh = rsh.groupBy("gid").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
+                    ),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
+        for b in range(_MINHASH_BANDS)
+    )
+    bands = mh.selectExpr(
+        "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+    )
+    bx, by = bands.alias("bx"), bands.alias("by")
+    gcand = (
+        bx.join(
+            by,
+            (F.col("bx.band_idx") == F.col("by.band_idx"))
+            & (F.col("bx.band_hash") == F.col("by.band_hash"))
+            & (F.col("bx.gid") < F.col("by.gid")),
+        )
+        .select(F.col("bx.gid").alias("a_gid"), F.col("by.gid").alias("b_gid"))
+        .distinct()
+    )
+    sizes = rsh.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    sa, sb = rsh.alias("sa"), rsh.alias("sb")
+    inter = (
+        gcand.join(sa, F.col("sa.gid") == F.col("a_gid"))
+        .join(
+            sb,
+            (F.col("sb.gid") == F.col("b_gid")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("a_gid", "b_gid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    ga = g.select(F.col("gid").alias("a_gid"), F.col("n").alias("n_a"))
+    gb = g.select(F.col("gid").alias("b_gid"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+    )
+    crossp = (
+        inter.join(za, F.col("za.gid") == F.col("a_gid"))
+        .join(zb, F.col("zb.gid") == F.col("b_gid"))
+        .join(ga, "a_gid")
+        .join(gb, "b_gid")
+        .select(
+            F.col("a_gid").alias("group_a"),
+            F.col("b_gid").alias("group_b"),
+            "n_a",
+            "n_b",
+            jac.alias("jaccard"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias(
+                "n_member_pairs"
+            ),
+        )
+    )
+    selfp = (
+        g.join(sizes.select("gid"), "gid")
+        .filter(F.col("n") > 1)
+        .select(
+            F.col("gid").alias("group_a"),
+            F.col("gid").alias("group_b"),
+            F.col("n").alias("n_a"),
+            F.col("n").alias("n_b"),
+            F.lit(1.0).alias("jaccard"),
+            F.expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)").alias(
+                "n_member_pairs"
+            ),
+        )
+    )
+    return crossp.unionAll(selfp).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "jaccard",
+        (F.col("jaccard") >= 0.8).alias("is_dup"),
+        "n_member_pairs",
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_sql_shingles(5)}),

@@ -86,6 +86,7 @@ SHOWCASE = {
     # round-9 additions
     "dedup_fuzzy_topk": "twin-collapse windows on (blk, head); rep-only block join; bounded expansion joins + WindowGroupLimit top-3",
     "dedup_minhash_topk": "content-group collapse; rep-only shingle/band/verify; bounded expansion joins + per-doc top-3",
+    "dedup_minhash_groups": "md5 content-group collapse; rep-only band join + Jaccard verify; self-rows from the group agg",
     "dedup_fuzzy_groups": "one (blk, head) groupBy; rep-only block join; DP once per distinct pair; self-rows from the group agg",
     "timeseries_paa_groups": "series groupBy collapse; occupancy-derived salted band join over reps; row-local folds",
     "cdc_state_compaction": "plan-only logical form: one LWW max_by shuffle + dead-tombstone filter (the physical path is the bucketed store)",

@@ -113,6 +113,7 @@ QUERIES = [
     "dedup_fuzzy_groups",
     "timeseries_paa_groups",
     "dedup_minhash_topk",
+    "dedup_minhash_groups",
 ]
 
 _VOWELS = "aeiou"

@@ -182,3 +182,13 @@ def test_minhash_topk_bounded_output(spark, q, twin_sf):
     for doc, rks in per_doc.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+def test_minhash_groups_matches_oracle_on_twin_heavy(spark, q, twin_sf):
+    _assert_matches_oracle(spark, q, twin_sf, "dedup_minhash_groups")
+
+
+def test_minhash_groups_expansion_count_identity(spark, q):
+    groups = q["dedup_minhash_groups"](spark, SF).collect()
+    pairs = q["dedup_minhash_lsh"](spark, SF).count()
+    assert sum(r.n_member_pairs for r in groups) == pairs
