@@ -87,12 +87,14 @@ _MANIFEST = "manifest.json"
 #: v5 (r9): m=32/sub=2 PQ geometry + cosine-consistent inner-product
 #: ADC — postings now persist each vector's EXACT squared norm (nsq)
 #: so serve can rank SUM(ip-LUT)/(|q|·|n|) without touching vectors;
-#: a v4 index has L2-ADC codes and no norms and must re-train. Late
-#: r9 (same version — the caps cannot have bound for any v5 artifact
-#: this code could have written: they bind only past 524288 vectors):
-#: the coarse quantizer gained K ≤ _IVF_K_MAX and a sampled-training
-#: cap, mirroring the PQ stage.
-_FORMAT_VERSION = 5
+#: a v4 index has L2-ADC codes and no norms and must re-train.
+#: v6 (late r9): the coarse quantizer gained K ≤ _IVF_K_MAX and a
+#: sampled-training cap (mirroring the PQ stage) — a training-math
+#: change, so the version bumps even though the caps bind only past
+#: 524288 vectors: a pre-cap v5 artifact from a larger corpus would
+#: otherwise pass freshness while the oracle replays DIFFERENT
+#: centroids (r9 code review).
+_FORMAT_VERSION = 6
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -403,6 +403,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared representative-level MinHash machinery for the r9
+    twin-collapsed gates (``dedup_minhash_topk``,
+    ``dedup_minhash_groups``): (gid, text) representatives → distinct
+    3-shingles → 16-permutation md5-slice signature → 4-band candidate
+    self-join → exact-Jaccard verify on candidates. Returns
+    ``(pairs, sizes)``: one (a_gid, b_gid, jaccard) row per undirected
+    candidate group pair (a_gid < b_gid), and (gid, n_sh) for the
+    groups that HAVE a signature (≥ 1 shingle). ONE definition because
+    the md5-slice geometry (the ':perm' salt, the (i%4)·8+1 hex
+    offsets, the band count) is a cross-engine protocol — a tuning
+    change applied to one family member and missed in another would
+    silently desynchronize their candidate sets (r9 code review)."""
+    rsh = reps.withColumn("w", F.split("text", " ")).select(
+        "gid",
+        F.explode(
+            F.when(F.size("w") >= 3, F.expr(_shingle_expr(3))).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("s"),
+    )
+    mh = rsh.groupBy("gid").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
+                    ),
+                    (i % 4) * 8 + 1,
+                    8,
+                )
+            ).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
+        for b in range(_MINHASH_BANDS)
+    )
+    bands = mh.selectExpr(
+        "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
+    )
+    bx, by = bands.alias("bx"), bands.alias("by")
+    gcand = (
+        bx.join(
+            by,
+            (F.col("bx.band_idx") == F.col("by.band_idx"))
+            & (F.col("bx.band_hash") == F.col("by.band_hash"))
+            & (F.col("bx.gid") < F.col("by.gid")),
+        )
+        .select(F.col("bx.gid").alias("a_gid"), F.col("by.gid").alias("b_gid"))
+        .distinct()
+    )
+    sizes = rsh.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    sa, sb = rsh.alias("sa"), rsh.alias("sb")
+    inter = (
+        gcand.join(sa, F.col("sa.gid") == F.col("a_gid"))
+        .join(
+            sb,
+            (F.col("sb.gid") == F.col("b_gid")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("a_gid", "b_gid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(za, F.col("za.gid") == F.col("a_gid"))
+        .join(zb, F.col("zb.gid") == F.col("b_gid"))
+        .select("a_gid", "b_gid", jac.alias("jaccard"))
+    )
+    return pairs, sizes
+
+
 @register(
     "dedup_minhash_topk",
     oracle=f"""
@@ -504,66 +580,9 @@ def dedup_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m4 = ranked.filter(F.col("grn") <= 4).select(
         "gid", F.col("doc_id").alias("member_id")
     )
-    # representative shingles (the _shingles shape over the rep table)
-    rsh = reps.withColumn("w", F.split("text", " ")).select(
-        "gid",
-        F.explode(
-            F.when(F.size("w") >= 3, F.expr(_shingle_expr(3))).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("s"),
-    )
-    mh = rsh.groupBy("gid").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
-                    ),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ]
-    )
-    stack_args = ", ".join(
-        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
-        for b in range(_MINHASH_BANDS)
-    )
-    bands = mh.selectExpr(
-        "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
-    )
-    bx, by = bands.alias("bx"), bands.alias("by")
-    gcand = (
-        bx.join(
-            by,
-            (F.col("bx.band_idx") == F.col("by.band_idx"))
-            & (F.col("bx.band_hash") == F.col("by.band_hash"))
-            & (F.col("bx.gid") < F.col("by.gid")),
-        )
-        .select(F.col("bx.gid").alias("g"), F.col("by.gid").alias("h"))
-        .distinct()
-    )
-    sizes = rsh.groupBy("gid").agg(F.count("*").alias("n"))
-    sa, sb = rsh.alias("sa"), rsh.alias("sb")
-    inter = (
-        gcand.join(sa, F.col("sa.gid") == F.col("g"))
-        .join(
-            sb,
-            (F.col("sb.gid") == F.col("h")) & (F.col("sb.s") == F.col("sa.s")),
-        )
-        .groupBy("g", "h")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("za.n") + F.col("zb.n") - F.col("n_common")
-    )
-    gpairs = (
-        inter.join(za, F.col("za.gid") == F.col("g"))
-        .join(zb, F.col("zb.gid") == F.col("h"))
-        .select("g", "h", jac.alias("jaccard"))
+    pairs, sizes = _minhash_rep_pairs(reps)
+    gpairs = pairs.select(
+        F.col("a_gid").alias("g"), F.col("b_gid").alias("h"), "jaccard"
     )
     gsym = gpairs.unionAll(
         gpairs.select(
@@ -712,74 +731,18 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("text").alias("text"),
     )
-    rsh = g.withColumn("w", F.split("text", " ")).select(
-        "gid",
-        F.explode(
-            F.when(F.size("w") >= 3, F.expr(_shingle_expr(3))).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("s"),
-    )
-    mh = rsh.groupBy("gid").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
-                    ),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ]
-    )
-    stack_args = ", ".join(
-        f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
-        for b in range(_MINHASH_BANDS)
-    )
-    bands = mh.selectExpr(
-        "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
-    )
-    bx, by = bands.alias("bx"), bands.alias("by")
-    gcand = (
-        bx.join(
-            by,
-            (F.col("bx.band_idx") == F.col("by.band_idx"))
-            & (F.col("bx.band_hash") == F.col("by.band_hash"))
-            & (F.col("bx.gid") < F.col("by.gid")),
-        )
-        .select(F.col("bx.gid").alias("a_gid"), F.col("by.gid").alias("b_gid"))
-        .distinct()
-    )
-    sizes = rsh.groupBy("gid").agg(F.count("*").alias("n_sh"))
-    sa, sb = rsh.alias("sa"), rsh.alias("sb")
-    inter = (
-        gcand.join(sa, F.col("sa.gid") == F.col("a_gid"))
-        .join(
-            sb,
-            (F.col("sb.gid") == F.col("b_gid")) & (F.col("sb.s") == F.col("sa.s")),
-        )
-        .groupBy("a_gid", "b_gid")
-        .agg(F.count("*").alias("n_common"))
-    )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    pairs, sizes = _minhash_rep_pairs(g.select("gid", "text"))
     ga = g.select(F.col("gid").alias("a_gid"), F.col("n").alias("n_a"))
     gb = g.select(F.col("gid").alias("b_gid"), F.col("n").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
-    )
     crossp = (
-        inter.join(za, F.col("za.gid") == F.col("a_gid"))
-        .join(zb, F.col("zb.gid") == F.col("b_gid"))
-        .join(ga, "a_gid")
+        pairs.join(ga, "a_gid")
         .join(gb, "b_gid")
         .select(
             F.col("a_gid").alias("group_a"),
             F.col("b_gid").alias("group_b"),
             "n_a",
             "n_b",
-            jac.alias("jaccard"),
+            "jaccard",
             (F.col("n_a") * F.col("n_b")).cast("bigint").alias(
                 "n_member_pairs"
             ),

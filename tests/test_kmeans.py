@@ -207,6 +207,8 @@ def test_coarse_caps_bind_and_replay_in_duckdb(spark, monkeypatch):
     # same member sets, same means to 1e-12), not raw bit equality
     assert sorted(got) == sorted(want)
     for cid in want:
-        assert [round(v, 12) for v in got[cid]] == [
-            round(v, 12) for v in want[cid]
-        ], f"centroid {cid} diverges beyond ulp"
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(got[cid], want[cid])
+        ) and len(got[cid]) == len(want[cid]), (
+            f"centroid {cid} diverges beyond ulp"
+        )
