@@ -6384,7 +6384,10 @@ def timeseries_paa_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
-    selfp = grp.filter(F.col("n") > 1).select(
+    # self-rows come from the CHECKPOINTED block (it carries gid and
+    # n), not from grp — reading grp here would recompute the whole
+    # events→daily→vec→feat lineage a second time just to count twins
+    selfp = block.filter(F.col("n") > 1).select(
         F.col("gid").alias("group_a"),
         F.col("gid").alias("group_b"),
         F.col("n").alias("n_a"),
