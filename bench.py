@@ -44,6 +44,14 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",  # exists/not-exists decorrelated to windows
     "text_rolling_fingerprint",    # ext: zero-shuffle rolling-hash sketch
     "embedding_quantize_sq8",      # ext: int8 vector quantization
+    # round-10 promotions (VERDICT r9 item 6): one representative of
+    # each r9 group-pair contract family joins the headline so the
+    # round-over-round trend line covers the 100 TB-shaped emitters.
+    # BASELINE.md is re-baselined with a same-run load receipt — the
+    # 22-query "operative baseline" median is NOT comparable to this
+    # 24-query roster.
+    "dedup_minhash_groups",    # ext: group-pair contract (MinHash family)
+    "timeseries_paa_groups",   # ext: group-pair contract (PAA family)
 ]
 
 # Second tier, timed by default since r6 (VERDICT r5 item 6: an
@@ -91,12 +99,11 @@ EXTENDED = [
     "timeseries_paa_topk",     # bounded-output 2-D-grid PAA kNN
     "ann_topk_ivfpq_serve_nprobe",  # multi-probe serve (recall dial,
                                     # zero rebuild, shared artifact)
-    # round-9 additions
+    # round-9 additions (dedup_minhash_groups and timeseries_paa_groups
+    # promoted to HEADLINE in r10 — VERDICT r9 item 6)
     "dedup_minhash_topk",      # bounded-output MinHash variant (twin-collapsed)
     "dedup_fuzzy_groups",      # group-pair contract for the fuzzy emitter
-    "timeseries_paa_groups",   # group-pair contract for the PAA emitter
     "cdc_state_compaction",    # real state-store merge×2 + tombstone GC
-    "dedup_minhash_groups",    # group-pair contract for the MinHash emitter
 ]
 
 
@@ -188,7 +195,17 @@ def main() -> int:
     if extended:
         # a second timing pass AFTER all headline runs complete (ADVICE
         # r4), embedded in the SAME single JSON line so the driver's
-        # one-line contract holds while the tier is tracked per round
+        # one-line contract holds while the tier is tracked per round.
+        # Warm/cold split (VERDICT r9 item 7): the persisted-index
+        # serve gates build their artifact on first invocation, so run
+        # each once UNTIMED first — every timed sample below is then a
+        # WARM serve and regression detection stops aliasing build
+        # cost (build is receipted separately under "ann_index").
+        for name in ("ann_topk_ivfpq_serve", "ann_topk_ivfpq_serve_nprobe"):
+            if name in qs:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
         ext = measure(EXTENDED)
         out["extended"] = {
             "value": round(sum(ext.values()), 3),

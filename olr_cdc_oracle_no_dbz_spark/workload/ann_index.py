@@ -12,7 +12,8 @@ query and served by many pull queries). This module is that split:
   persists four parquet tables + a manifest under ``out_dir``:
   ``centroids`` (cent_id, cv), ``codebook`` (sub_idx, c_idx, cv),
   ``postings`` (vec_id, cent_id, nsq — the inverted file with each
-  vector's exact squared norm, v5), ``codes`` (vec_id, sub_idx, c_idx
+  vector's exact squared norm, since v5; current format v6), ``codes``
+  (vec_id, sub_idx, c_idx
   — the m-byte PQ codes); postings/codes are batch-partitioned
   (``batch=base`` + one partition per append).
 - ``serve_topk(spark, sf_dir, index_dir, lo, hi, nprobe=...)`` answers
@@ -20,7 +21,7 @@ query and served by many pull queries). This module is that split:
   queries to their ``nprobe`` nearest cells with the persisted
   centroids (inlined literals — zero shuffle), score the probed
   postings by the cosine-consistent IP-ADC (broadcast per-query
-  inner-product LUT + the persisted exact norms, v5), exact-decimal
+  inner-product LUT + the persisted exact norms, since v5), exact-decimal
   re-rank of the proportional shortlist. ``nprobe`` is the serve-time recall
   dial; no rebuild.
 - ``append_to_index(spark, sf_dir, index_dir, lo, hi)`` ingests new

@@ -1680,7 +1680,13 @@ def _kmeans_train(
     if k is None:
         k = _derive_k(_memo_count(e, memo))
     if memo is not None:
-        mk = ("kmeans", memo, k, iters)
+        # the key binds every constant the trajectory depends on
+        # (r9 ADVICE: a test monkeypatching the caps with the memo
+        # warm would otherwise read centroids from a different
+        # configuration). Callers must pass the FULL-corpus vector
+        # projection — the fingerprint identifies the corpus, not an
+        # arbitrary filtered subset of it.
+        mk = ("kmeans", memo, k, iters, _IVF_TRAIN_CAP, _IVF_CELL)
         hit = _TRAIN_MEMO.get(mk)
         if hit is not None:
             return hit
@@ -3879,9 +3885,16 @@ def _pq_ip_expr(a: str, b: str) -> str:
     return f"CAST({_DOT.format(a=a, b=b)} AS DECIMAL(16,8))"
 
 
+#: ADC cosine estimate. The norm product is floored at 1e-12 on BOTH
+#: engines (r9 ADVICE): an all-zero vector would otherwise yield
+#: +Inf/NaN, which Spark casts to NULL DECIMAL while DuckDB errors —
+#: a structural cross-engine divergence because nsq persists in the
+#: postings. With the floor, a zero vector scores 0/1e-12 = 0 on both
+#: engines; any real embedding's norm product is orders of magnitude
+#: above the floor, so non-degenerate values are unchanged.
 _ADC_COS = (
-    "CAST(CAST({ip} AS DOUBLE) / (sqrt({qn}) * sqrt({nn}))"
-    " AS DECIMAL(16,8))"
+    "CAST(CAST({ip} AS DOUBLE) / greatest(cast(1e-12 as double),"
+    " sqrt({qn}) * sqrt({nn})) AS DECIMAL(16,8))"
 )
 
 
@@ -3952,17 +3965,97 @@ def _pq_assign_inline(
     )
 
 
+#: grid prefilter floor on the cell width: the accept bound's safety
+#: margin is 0.002·w² (the gap between the (0.999·w)² threshold and
+#: the > w² outside-block distance), which must dominate BOTH the
+#: float cell-boundary rounding (~1e-12 relative) and the
+#: DECIMAL(16,8) distance quantum (1e-8 absolute — otherwise a
+#: decimal-tie on d could straddle the 3×3 boundary and flip the
+#: c_idx tie-break): 0.002·w² > 1e-8 ⇔ w > 2.3e-3, floored at 1e-2
+#: for headroom. Collapsed subspaces below the floor skip the grid
+#: and take the plain full-codebook scan.
+_PQ_GRID_MIN_W = 1e-2
+
+
+def _pq_grid(
+    cents: list[tuple[int, int, list[float]]],
+) -> tuple[list, list] | None:
+    """±1-cell grid prefilter over the 2-D PQ codewords (VERDICT r9
+    item 1 — the PAA family's cell trick applied to codeword
+    assignment): per subspace, bucket the k codewords on a
+    g×g grid (g = ceil(sqrt(k)), so cell width ≈ inter-codeword
+    spacing) and pre-expand each codeword into its 3×3 cell
+    neighborhood. A subvector in cell (i, j) then compares against
+    only the neighborhood's codewords (~9·k/g² ≈ 9 of k=256), and the
+    result is PROVABLY the global nearest whenever its distance is
+    ≤ (0.999·w)²: any codeword outside the 3×3 block differs by > w
+    in some coordinate, so its distance strictly exceeds the accepted
+    one — rows that miss the bound fall back to the full scan, so the
+    output is value-identical to brute force and the DuckDB oracle
+    keeps its full-argmin form unchanged. Returns (params, neighbor
+    rows), or None when any subspace is non-2-D or collapsed (then
+    the caller scans the full codebook). A COLLAPSED subspace
+    (extent below the _PQ_GRID_MIN_W floor) is simply omitted from
+    the returned params (r10 code review — all-or-nothing would let
+    one low-variance slice silently revert all m subspaces to the
+    full k·m scan): its rows miss the params join and take the
+    caller's existing full-scan fallback path, while the other
+    subspaces keep the prefilter."""
+    import math
+
+    by_sub: dict[int, list] = {}
+    for s, cid, cv in cents:
+        if len(cv) != 2:
+            return None
+        by_sub.setdefault(s, []).append((cid, cv))
+    params = []
+    nbrs = []
+    for s, lst in sorted(by_sub.items()):
+        k = len(lst)
+        g = max(2, math.isqrt(max(k - 1, 0)) + 1)
+        xs = [cv[0] for _, cv in lst]
+        ys = [cv[1] for _, cv in lst]
+        x0, y0 = min(xs), min(ys)
+        ext = max(max(xs) - x0, max(ys) - y0)
+        w = ext / g
+        if not (w > _PQ_GRID_MIN_W):
+            continue
+        thr = (0.999 * w) ** 2
+        params.append((s, float(x0), float(y0), float(w), float(thr)))
+        seen = set()
+        for cid, cv in lst:
+            a = math.floor((cv[0] - x0) / w)
+            b = math.floor((cv[1] - y0) / w)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    key = (a + dx, b + dy, cid)
+                    if key not in seen:
+                        seen.add(key)
+                        nbrs.append((s, a + dx, b + dy, cid, list(cv)))
+    if not params:
+        return None
+    return params, nbrs
+
+
 def _pq_assign_join(
     subs: DataFrame, cents: list[tuple[int, int, list[float]]]
 ) -> DataFrame:
-    """Training-iteration assignment: broadcast-codebook join + window
-    argmin — the SAME (decimal dist, c_idx) ordering as
-    ``_pq_assign_inline`` (so the Lloyd trajectory, and with it every
-    code the oracle replays, is unchanged) but with a constant-size
-    plan: re-deriving the inlined k·m-branch CASE tree every iteration
-    made Catalyst recompile seconds of codegen per Lloyd round. The
-    extra (vec_id, sub_idx) window shuffle is m rows per vector —
-    irrelevant next to the training collects it feeds."""
+    """Broadcast-codebook assignment with the SAME (decimal dist,
+    c_idx) ordering as ``_pq_assign_inline`` (so the Lloyd trajectory,
+    and with it every code the oracle replays, is unchanged) and a
+    constant-size plan. r10 reshape (VERDICT r9 item 1 — the
+    embedding_pq_codes 2.59× regression): the per-(vec, sub) argmin is
+    a ``groupBy().agg(min(struct(d, c_idx, sv)))`` — ties beyond
+    (d, c_idx) are impossible (c_idx is unique per group), so the
+    struct-min IS the window's (d, c_idx) first-row, but the partial
+    aggregate combines map-side and only n·m group rows ride the
+    exchange, where the old row_number window shuffled and sorted all
+    n·m·k candidate rows. Candidate generation itself goes through the
+    ``_pq_grid`` ±1-cell prefilter (~9 of k=256 codewords per
+    subvector) with a provable accept bound; rows that miss the bound
+    — and the whole call when the geometry isn't grid-able — take the
+    full-codebook scan, so values are brute-force-identical and the
+    oracle replays the plain argmin."""
     spark = subs.sparkSession
     cb = _pq_cents_df(spark, cents).withColumn(
         "cvsq", F.expr(_DOT.format(a="cv", b="cv"))
@@ -3971,15 +4064,67 @@ def _pq_assign_join(
         f"CAST(__svsq - 2 * {_DOT.format(a='sv', b='cv')}"
         f" + cvsq AS DECIMAL(16,8))"
     )
-    w = Window.partitionBy("vec_id", "sub_idx").orderBy("d", "c_idx")
-    return (
-        subs.withColumn("__svsq", F.expr(_DOT.format(a="sv", b="sv")))
-        .join(F.broadcast(cb), "sub_idx")
-        .select("vec_id", "sub_idx", "sv", "c_idx", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_idx", "sv", "c_idx", "d")
+    base = subs.withColumn("__svsq", F.expr(_DOT.format(a="sv", b="sv")))
+
+    def best_of(joined: DataFrame, extra_keys: list[str] = []) -> DataFrame:
+        return (
+            joined.groupBy("vec_id", "sub_idx", *extra_keys)
+            .agg(
+                F.min(
+                    F.struct(
+                        dist.alias("d"),
+                        F.col("c_idx").alias("c"),
+                        F.col("sv").alias("s"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                "sub_idx",
+                *extra_keys,
+                F.col("b.s").alias("sv"),
+                F.col("b.c").alias("c_idx"),
+                F.col("b.d").alias("d"),
+            )
+        )
+
+    grid = _pq_grid(cents)
+    if grid is None:
+        return best_of(base.join(F.broadcast(cb), "sub_idx")).select(
+            "vec_id", "sub_idx", "sv", "c_idx", "d"
+        )
+    params, nbrs = grid
+    pdf = spark.createDataFrame(
+        params, "sub_idx int, x0 double, y0 double, w double, thr double"
     )
+    ndf = spark.createDataFrame(
+        nbrs, "sub_idx int, ncx long, ncy long, c_idx long, cv array<double>"
+    ).withColumn("cvsq", F.expr(_DOT.format(a="cv", b="cv")))
+    cell = (
+        base.join(F.broadcast(pdf), "sub_idx")
+        .withColumn(
+            "cx", F.floor((F.col("sv")[0].cast("double") - F.col("x0")) / F.col("w"))
+        )
+        .withColumn(
+            "cy", F.floor((F.col("sv")[1].cast("double") - F.col("y0")) / F.col("w"))
+        )
+    )
+    gj = cell.join(
+        F.broadcast(ndf.withColumnRenamed("sub_idx", "nsub")),
+        (F.col("sub_idx") == F.col("nsub"))
+        & (F.col("cx") == F.col("ncx"))
+        & (F.col("cy") == F.col("ncy")),
+    )
+    acc = best_of(gj, ["thr"]).filter(
+        F.col("d").cast("double") <= F.col("thr")
+    ).select("vec_id", "sub_idx", "sv", "c_idx", "d")
+    rest = base.join(
+        acc.select("vec_id", "sub_idx"), ["vec_id", "sub_idx"], "left_anti"
+    )
+    full = best_of(rest.join(F.broadcast(cb), "sub_idx")).select(
+        "vec_id", "sub_idx", "sv", "c_idx", "d"
+    )
+    return acc.unionAll(full)
 
 
 def _pq_assign(
@@ -4026,7 +4171,10 @@ def _pq_train(
     the (fingerprint, k, iters) key pins the input exactly."""
     k = _pq_k(n)
     if memo is not None:
-        mk = ("pq", memo, k, iters)
+        # binds the sampled-training cap and the subspace geometry
+        # (r9 ADVICE — see the _kmeans_train key note); callers feed
+        # raw full-corpus subvector slices of the _PQ_M/_PQ_SUB shape.
+        mk = ("pq", memo, k, iters, _PQ_TRAIN_CAP, _PQ_M, _PQ_SUB)
         hit = _TRAIN_MEMO.get(mk)
         if hit is not None:
             return hit
@@ -6058,32 +6206,45 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dv"),
         )
     )
-    feat = vec.select(
-        "user_id",
-        "dv",
-        F.expr(
-            f"transform(sequence(0, {n_seg - 1}),"
-            " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
-            " (acc, x) -> acc + x) / 5)"
-        ).alias("pv"),
-        F.expr(
-            "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
-        ).alias("nsq"),
-    )
     # r9 (VERDICT r8 item 2's computation half): the emitted member-pair
     # relation stays the contract (`timeseries_paa_groups` is the
     # bounded-output alternative), but every array fold now runs once
     # per DISTINCT-series pair — identical series collapse to one
-    # representative (groupBy on the dense value array), the salted
-    # band join and both distance folds run over representatives, and
-    # surviving group pairs fan back out to member pairs with two
-    # id-only joins; within-group twin pairs emit (0.0, 0.0) exactly,
-    # the value the naive subtraction of identical folds produces.
-    grp = feat.groupBy("dv", "pv", "nsq").agg(
-        F.min("user_id").alias("gid"), F.count("*").alias("n")
+    # representative, the salted band join and both distance folds run
+    # over representatives, and surviving group pairs fan back out to
+    # member pairs with two id-only joins; within-group twin pairs emit
+    # (0.0, 0.0) exactly, the value the naive subtraction of identical
+    # folds produces. r10 (VERDICT r9 item 4): the collapse keys and
+    # the members join run on two independent hashes of the array
+    # (8-byte xxhash64 + 16-byte md5) instead of the array itself —
+    # see timeseries_paa_groups for the collision argument — and
+    # pv/nsq fold once per DISTINCT series after the collapse.
+    vh = vec.select(
+        "user_id",
+        "dv",
+        F.xxhash64("dv").alias("hk"),
+        F.md5(F.col("dv").cast("string").cast("binary")).alias("h128"),
     )
-    members = feat.join(
-        grp.select("dv", "gid"), ["dv"]
+    grp = (
+        vh.groupBy("hk", "h128")
+        .agg(F.min("user_id").alias("gid"), F.first("dv").alias("dv"))
+        .select(
+            "hk",
+            "h128",
+            "gid",
+            "dv",
+            F.expr(
+                f"transform(sequence(0, {n_seg - 1}),"
+                " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
+                " (acc, x) -> acc + x) / 5)"
+            ).alias("pv"),
+            F.expr(
+                "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
+            ).alias("nsq"),
+        )
+    )
+    members = vh.select("hk", "h128", "user_id").join(
+        grp.select("hk", "h128", "gid"), ["hk", "h128"]
     ).select("gid", "user_id")
     # SALTED band self-join (r6, found by the scale probe): white-noise
     # seg-0 means concentrate ~all users into band 0, so the plain
@@ -6275,11 +6436,14 @@ def timeseries_paa_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     to member pairs remains the consumer's choice instead of the
     emitter's obligation.
 
-    Scale: the collapse is one groupBy on the dense value array
-    (shuffle key = the series bytes — exact-twin mass collapses before
-    any pair math); the salted ±1 band join (occupancy-derived fan-out,
-    ``_ts_salt``) touches one row per DISTINCT series; every distance
-    is a row-local whole-stage-codegen array fold."""
+    Scale: the collapse is one groupBy keyed on two independent hashes
+    of the dense value array (8-byte xxhash64 + 16-byte md5, r10 —
+    VERDICT r9 item 4: the array itself rides the exchange once per
+    group as first(dv), never as the key), so exact-twin mass
+    collapses before any pair math; the salted ±1 band join
+    (occupancy-derived fan-out, ``_ts_salt``) touches one row per
+    DISTINCT series; every distance is a row-local whole-stage-codegen
+    array fold."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
@@ -6300,20 +6464,41 @@ def timeseries_paa_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dv"),
         )
     )
-    feat = vec.select(
-        "user_id",
-        "dv",
-        F.expr(
-            f"transform(sequence(0, {n_seg - 1}),"
-            " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
-            " (acc, x) -> acc + x) / 5)"
-        ).alias("pv"),
-        F.expr(
-            "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
-        ).alias("nsq"),
-    )
-    grp = feat.groupBy("dv", "pv", "nsq").agg(
-        F.min("user_id").alias("gid"), F.count("*").alias("n")
+    # r10 (VERDICT r9 item 4): the collapse's shuffle KEY shrinks from
+    # the full dense array (~8·days bytes — the widest column in the
+    # table riding the exchange as the key) to two independent hashes
+    # of it (8-byte xxhash64 + 16-byte md5 ≈ 40 bytes); the array
+    # itself is carried once per group as first(dv) — deterministic
+    # because every member of a (hk, h128) group holds the IDENTICAL
+    # array unless xxhash64 AND md5 collide on the same pair
+    # simultaneously (the md5-collapse assumption the dedup family
+    # already rests on). pv/nsq are pure functions of dv, so grouping
+    # is value-identical to the oracle's GROUP BY dv — and computing
+    # them AFTER the collapse folds each distinct series once instead
+    # of once per twin member.
+    grp = (
+        vec.groupBy(
+            F.xxhash64("dv").alias("hk"),
+            F.md5(F.col("dv").cast("string").cast("binary")).alias("h128"),
+        )
+        .agg(
+            F.min("user_id").alias("gid"),
+            F.count("*").alias("n"),
+            F.first("dv").alias("dv"),
+        )
+        .select(
+            "gid",
+            "n",
+            "dv",
+            F.expr(
+                f"transform(sequence(0, {n_seg - 1}),"
+                " s -> aggregate(slice(dv, s * 5 + 1, 5), cast(0 as double),"
+                " (acc, x) -> acc + x) / 5)"
+            ).alias("pv"),
+            F.expr(
+                "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
+            ).alias("nsq"),
+        )
     )
     block = truncate_lineage(
         grp.select(
@@ -6519,8 +6704,26 @@ def timeseries_paa_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dv"),
         )
     )
-    feat = vec.select(
+    # twin-collapse: rank users within identical-series groups. r10
+    # (VERDICT r9 item 4): the collapse windows partition on two
+    # independent hashes of the array (xxhash64 + md5 — see
+    # timeseries_paa_groups for the collision argument) so the wide
+    # series rides the exchange as a VALUE, never as the key; the
+    # pv/nsq folds run once per REPRESENTATIVE (projection after the
+    # grn filter), not once per member.
+    vh = vec.select(
         "user_id",
+        "dv",
+        F.xxhash64("dv").alias("hk"),
+        F.md5(F.col("dv").cast("string").cast("binary")).alias("h128"),
+    )
+    wg = Window.partitionBy("hk", "h128")
+    wgo = Window.partitionBy("hk", "h128").orderBy("user_id")
+    ranked = vh.withColumn("gid", F.min("user_id").over(wg)).withColumn(
+        "grn", F.row_number().over(wgo)
+    )
+    reps = ranked.filter(F.col("grn") == 1).select(
+        "gid",
         "dv",
         F.expr(
             f"transform(sequence(0, {n_seg - 1}),"
@@ -6530,15 +6733,6 @@ def timeseries_paa_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(dv, cast(0 as double), (acc, x) -> acc + x * x)"
         ).alias("nsq"),
-    )
-    # twin-collapse: rank users within identical-series groups
-    wg = Window.partitionBy("dv")
-    wgo = Window.partitionBy("dv").orderBy("user_id")
-    ranked = feat.withColumn("gid", F.min("user_id").over(wg)).withColumn(
-        "grn", F.row_number().over(wgo)
-    )
-    reps = ranked.filter(F.col("grn") == 1).select(
-        "gid", "dv", "pv", "nsq"
     )
     # the 4 smallest member ids per group cover any member's 3 mates
     m4 = ranked.filter(F.col("grn") <= 4).select(
@@ -7140,6 +7334,53 @@ def embedding_label_separation(
     )
 
 
+#: probe alphabet for the fuzzy family's bag-of-characters lower
+#: bound (VERDICT r9 item 2): high-frequency English characters, so
+#: the count-vector L1 distance carries signal on real text. ANY
+#: subset of the alphabet yields a valid bound (subset L1 ≤ total L1).
+_FUZZY_PROBE_CHARS = " etaoins"
+
+
+def _fuzzy_probe_cols(head: str = "head") -> list:
+    """Per-distinct-head columns feeding the Levenshtein lower bound:
+    the head length and the probe-character count vector — computed
+    ONCE per content group (codegen string ops on the representative),
+    so the per-PAIR bound evaluation is 8 integer |Δ|s + 2 compares
+    instead of the O(80²) DP."""
+    cnts = [
+        F.expr(
+            f"length({head}) - length(replace({head}, '{c}', ''))"
+        )
+        for c in _FUZZY_PROBE_CHARS
+    ]
+    return [
+        F.length(F.col(head)).alias("hlen"),
+        F.array(*cnts).alias("pcnt"),
+    ]
+
+
+def _fuzzy_lb(la: str, lb: str, ca: str, cb: str):
+    """Levenshtein LOWER BOUND from precomputed per-head statistics —
+    a theorem, not a heuristic, so discharging a pair on it is exact:
+    (1) lev ≥ |len(a) − len(b)| (each edit changes length by ≤ 1);
+    (2) lev ≥ ⌈L1(charcounts)/2⌉ — a substitution moves two character
+    counts by 1 each, insert/delete one, so each edit changes the
+    count-vector L1 by ≤ 2; restricting counts to the probe alphabet
+    only weakens (never invalidates) the bound. Pairs whose bound
+    already exceeds the emit threshold (or the doc's certified
+    3rd-best, in the top-k gate) skip the O(80²) DP entirely. The
+    ORACLES stay the naive full-DP enumeration — the differential gate
+    certifies the theorem on every corpus it runs."""
+    l1 = (
+        f"aggregate(zip_with({ca}, {cb}, (x, y) -> abs(x - y)),"
+        f" 0, (s, v) -> s + v)"
+    )
+    return F.greatest(
+        F.abs(F.col(la) - F.col(lb)),
+        F.expr(f"CAST(({l1} + 1) DIV 2 AS INT)"),
+    )
+
+
 @register(
     "dedup_fuzzy_levenshtein",
     oracle="""
@@ -7195,7 +7436,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output.
     g = d.groupBy("blk", "head").agg(
         F.min("doc_id").alias("gid"), F.count("*").alias("n")
-    )
+    ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols())
     members = d.join(
         g.select("blk", "head", "gid"), ["blk", "head"]
     ).select("gid", F.col("doc_id").alias("member_id"))
@@ -7208,6 +7449,11 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = g.repartition(n_part, "blk").alias("a")
     b = g.alias("b")
+    # r10 (VERDICT r9 item 2): the cheap lower bound discharges a pair
+    # before the O(80²) DP — the bound is a theorem (_fuzzy_lb), the
+    # conjunct order short-circuits in codegen, and the oracle keeps
+    # the naive full-DP WHERE so the gate certifies the pruning.
+    lb = _fuzzy_lb("a.hlen", "b.hlen", "a.pcnt", "b.pcnt")
     gpairs = (
         a.join(
             b,
@@ -7217,11 +7463,12 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.gid").alias("ga"),
             F.col("b.gid").alias("gb"),
+            lb.alias("lb"),
             F.levenshtein(F.col("a.head"), F.col("b.head"))
             .cast("bigint")
             .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 40)
+        .filter((F.col("lb") <= 40) & (F.col("edit_dist") <= 40))
     )
     ma = members.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
     mb = members.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
@@ -7321,10 +7568,14 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = Window.partitionBy("blk", "head")
     wgo = Window.partitionBy("blk", "head").orderBy("doc_id")
-    ranked = d.withColumn("gid", F.min("doc_id").over(wg)).withColumn(
-        "grn", F.row_number().over(wgo)
+    ranked = (
+        d.withColumn("gid", F.min("doc_id").over(wg))
+        .withColumn("grn", F.row_number().over(wgo))
+        .withColumn("gn", F.count("*").over(wg))
     )
-    reps = ranked.filter(F.col("grn") == 1).select("gid", "blk", "head")
+    reps = ranked.filter(F.col("grn") == 1).select(
+        "gid", "blk", "head", "gn"
+    )
     # the 4 smallest member ids per group cover any member's 3 mates
     m4 = ranked.filter(F.col("grn") <= 4).select(
         "gid", F.col("doc_id").alias("member_id")
@@ -7332,25 +7583,52 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     x = reps.repartition(n_part, "blk").alias("x")
     y = reps.alias("y")
-    # join on < then symmetrize (the dedup_minhash_topk shape) so the
+    # r10 mates-fill prune (VERDICT r9 item 2, the sound-and-FREE
+    # slice): a group with gn ≥ 4 fills every member's top-3 with
+    # distance-0 twin mates (cross-group distance is ≥ 1 by
+    # same-block/different-head), so it never needs cross-group
+    # candidates in its own direction, and a pair needs enumerating
+    # only if EITHER side still does — one extra join conjunct, no new
+    # shuffle, and under K-fold exact-twin skew both the DP count and
+    # the pair-enumeration volume collapse to zero. The ORACLE stays
+    # the naive enumerate-and-rank, so the gate certifies the prune.
+    # The _fuzzy_lb seeded-cutoff variant (DP only the 3 smallest-
+    # bound candidates, discharge the rest against their worst exact
+    # distance) was BUILT and MEASURED here in r10: value-identical
+    # and gate-green, but 2.2–3.2× slower at sf0.1 (3.3 → 7.4–10.6 s)
+    # because the candidate heads must ride the ranking window (~8×
+    # the shuffle bytes of these narrow rows) or be re-joined per
+    # phase — while the DP itself is ~1–2 µs/pair and measures < 20%
+    # of the family's probe cost (SCALING_PROBE_r10 fuzzy_dp_share
+    # receipt). Enumeration volume, not DP arithmetic, is this
+    # family's scale term, and the r9 collapse already bounds it by
+    # distinct-content volume; the threshold gates keep the theorem
+    # bound where it IS free (one short-circuit conjunct).
+    # Join on < then symmetrize (the dedup_minhash_topk shape) so the
     # O(80²) DP runs ONCE per unordered group pair, not twice (r9 code
-    # review — the != join evaluated levenshtein in both orders)
+    # review — the != join evaluated levenshtein in both orders).
     undirected = x.join(
         y,
         (F.col("y.blk") == F.col("x.blk"))
-        & (F.col("x.gid") < F.col("y.gid")),
+        & (F.col("x.gid") < F.col("y.gid"))
+        & ((F.col("x.gn") <= 3) | (F.col("y.gn") <= 3)),
     ).select(
         F.col("x.gid").alias("g"),
         F.col("y.gid").alias("h"),
+        F.col("x.gn").alias("gna"),
+        F.col("y.gn").alias("gnb"),
         F.levenshtein(F.col("x.head"), F.col("y.head"))
         .cast("bigint")
         .alias("edit_dist"),
     )
-    gpairs = undirected.unionAll(
+    gpairs = undirected.select("g", "h", "edit_dist", F.col("gna").alias("gn")).unionAll(
         undirected.select(
-            F.col("h").alias("g"), F.col("g").alias("h"), "edit_dist"
+            F.col("h").alias("g"),
+            F.col("g").alias("h"),
+            "edit_dist",
+            F.col("gnb").alias("gn"),
         )
-    )
+    ).filter(F.col("gn") <= 3)
     wtop = Window.partitionBy("g").orderBy("edit_dist", "h")
     topg = (
         gpairs.withColumn("grk", F.row_number().over(wtop))
@@ -7456,10 +7734,13 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = d.groupBy("blk", "head").agg(
         F.min("doc_id").alias("gid"), F.count("*").alias("n")
-    )
+    ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols())
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a = g.repartition(n_part, "blk").alias("a")
     b = g.alias("b")
+    # r10 (VERDICT r9 item 2): theorem lower bound gates the DP; the
+    # oracle keeps the naive WHERE, so the gate certifies the prune.
+    lb = _fuzzy_lb("a.hlen", "b.hlen", "a.pcnt", "b.pcnt")
     crossp = (
         a.join(
             b,
@@ -7471,6 +7752,7 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.gid").alias("group_b"),
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
+            lb.alias("lb"),
             F.levenshtein(F.col("a.head"), F.col("b.head"))
             .cast("bigint")
             .alias("edit_dist"),
@@ -7478,7 +7760,8 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_member_pairs"
             ),
         )
-        .filter(F.col("edit_dist") <= 40)
+        .filter((F.col("lb") <= 40) & (F.col("edit_dist") <= 40))
+        .drop("lb")
     )
     selfp = g.filter(F.col("n") > 1).select(
         F.col("gid").alias("group_a"),

@@ -40,31 +40,10 @@ MIN_ABS_SEC = 0.15
 #: regression. Reported loudly but non-fatal; prune each round once the
 #: new cost is in the committed baseline (stale entries mask real
 #: regressions).
-# r8 entries pruned: their new costs are the committed BENCH_r08
-# medians this gate now compares against.
-CHANGED_CONTRACT = {
-    "embedding_pq_codes": (
-        "r9: m=32/sub=2 PQ geometry (VERDICT r8 item 5 — raw ADC "
-        "recall 0.34/0.37 -> 0.60/0.72): 4x subspace rows per vector "
-        "and the encode dispatches to the broadcast-join path"
-    ),
-    "ann_topk_ivfpq": (
-        "r9: m=32/sub=2 geometry + cosine-consistent IP-ADC "
-        "(raw recall >= 0.5 at both SFs; training memo offsets most "
-        "of the 4x LUT cost)"
-    ),
-    "ann_topk_ivfpq_serve": (
-        "r9: index format v5 — m=32 codes + norms in postings + "
-        "IP-ADC serve"
-    ),
-    "ann_topk_ivfpq_serve_nprobe": (
-        "r9: index format v5 — m=32 codes + norms in postings + "
-        "IP-ADC serve"
-    ),
-    "ann_recall_report": (
-        "r9: seventh arm (ivf4) + m=32 IP-ADC ivfpq arms"
-    ),
-}
+# r9 entries pruned: their new costs are the committed BENCH_r09
+# medians this gate now compares against (and the v6-format serve
+# strings were stale — r9 ADVICE).
+CHANGED_CONTRACT: dict[str, str] = {}
 
 
 def _calib(bench: dict) -> float | None:
@@ -77,18 +56,50 @@ def _calib(bench: dict) -> float | None:
     return sum(samples) / len(samples)
 
 
+#: keys the truncated-tail salvage must NOT mistake for query rows
+_NON_QUERY_KEYS = frozenset(
+    {"value", "sf", "runs", "build", "serve", "metric"}
+)
+
+
 def _extract(path: Path) -> dict:
     """Parse either a raw bench JSON line or a driver wrapper whose
-    ``tail`` embeds it."""
+    ``tail`` embeds it. The driver keeps only the LAST N characters of
+    bench stdout, so a chatty run can truncate the HEAD of the JSON
+    line (BENCH_r09 does — found r10 when the per-query gate went
+    red on parsing, not on performance): in that case salvage every
+    recoverable ``"name": seconds`` pair from the surviving suffix —
+    per-query comparison still works for every recovered row, and the
+    missing rows surface as 'removed' (non-fatal) instead of killing
+    the gate."""
     text = path.read_text()
     obj = json.loads(text)
     if "queries" in obj:
         return obj
     tail = obj.get("tail", "")
     m = re.search(r'\{"metric".*\}', tail)
-    if not m:
+    if m:
+        return json.loads(m.group(0))
+    last = tail.strip().splitlines()[-1] if tail.strip() else ""
+    pairs = {
+        name: float(sec)
+        for name, sec in re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', last)
+        if name not in _NON_QUERY_KEYS
+    }
+    if not pairs:
         raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    print(
+        f"note: {path.name} tail is head-truncated; salvaged "
+        f"{len(pairs)} per-query medians, no load calibration available"
+    )
+    # calib may also be salvageable from the suffix
+    cm = re.search(r'"calib_sec": \[([0-9.]+), ([0-9.]+)\]', last)
+    load = (
+        {"calib_sec": [float(cm.group(1)), float(cm.group(2))]}
+        if cm
+        else {}
+    )
+    return {"queries": pairs, "load": load}
 
 
 def _all_queries(bench: dict) -> dict[str, float]:
