@@ -104,6 +104,10 @@ EXTENDED = [
     "dedup_minhash_topk",      # bounded-output MinHash variant (twin-collapsed)
     "dedup_fuzzy_groups",      # group-pair contract for the fuzzy emitter
     "cdc_state_compaction",    # real state-store merge×2 + tombstone GC
+    # round-10 additions: contract-matrix completion cells
+    "dedup_simhash_groups",    # group-pair contract (SimHash family)
+    "dedup_embedding_cosine_topk",    # bounded-output embedding near-dup
+    "dedup_embedding_cosine_groups",  # group-pair contract (embedding family)
 ]
 
 

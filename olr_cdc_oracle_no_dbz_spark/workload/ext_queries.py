@@ -1124,15 +1124,20 @@ _SQL_SIMHASH_GRAMS = (
 )
 
 
-def _sql_simhash_cand(tok_src: str) -> str:
+def _sql_simhash_cand(tok_src: str, pre: str = "", params_from: str = "documents") -> str:
     """Shared oracle prefix: params → tokens → 60 sums → 1-row global
     offsets → width-gated mean-centered signature → derived bands →
-    banded candidate pairs."""
+    banded candidate pairs. ``pre`` prepends extra CTEs (the groups
+    gate defines its content-group CTE ``g`` first); ``params_from``
+    swaps the corpus the width/centering derive from (``documents``
+    for the doc-level gates, ``g`` for the twin-collapsed group gate —
+    the derivation source is part of each gate's contract)."""
     glob_cols = ", ".join(
         f"SUM(s{j}) AS g{j}" for j in range(_SIMHASH_NB_MAX)
     )
+    params = _SQL_SIMHASH_PARAMS.replace("FROM documents", f"FROM {params_from}")
     return f"""
-    WITH shp AS ({_SQL_SIMHASH_PARAMS}),
+    WITH {pre}shp AS ({params}),
     tok AS (
         SELECT doc_id, {_SQL_SIMHASH_HV} AS hv, COUNT(*) AS cnt
         FROM ({tok_src})
@@ -1309,6 +1314,115 @@ def dedup_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_groups",
+    oracle=f"""{_sql_simhash_cand(
+        "SELECT gid AS doc_id, unnest(string_split(text, ' ')) AS tk FROM g",
+        pre=(
+            "g AS (SELECT MIN(doc_id) AS gid, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(text) AS text FROM documents GROUP BY md5(text)), "
+        ),
+        params_from="g",
+    )},
+    crossp AS (
+        SELECT c.a_id AS group_a, c.b_id AS group_b,
+               ga.n AS n_a, gb.n AS n_b,
+               CAST(bit_count(xor(c.xsig, c.ysig)) AS BIGINT) AS hamming,
+               CAST(ga.n * gb.n AS BIGINT) AS n_member_pairs
+        FROM cand c
+        JOIN g ga ON ga.gid = c.a_id
+        JOIN g gb ON gb.gid = c.b_id
+    ),
+    selfp AS (
+        SELECT gid AS group_a, gid AS group_b, n AS n_a, n AS n_b,
+               CAST(0 AS BIGINT) AS hamming,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n_member_pairs
+        FROM g WHERE n > 1
+    )
+    SELECT group_a, group_b, n_a, n_b, hamming,
+           (hamming <= 3) AS is_dup, n_member_pairs
+    FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp)
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-PAIR contract for SimHash near-dup (r10 — completes the
+    contract matrix cell the r9 families already ship: pair-emit +
+    per-doc top-k + group-pair): byte-identical documents collapse to
+    one md5 content group (id = min member doc_id); the signature
+    pipeline, banding, and the hamming verify all run once per
+    DISTINCT text; the emitted relation is one row per banded group
+    pair plus one self-row per multi-member group at hamming 0,
+    carrying member counts and the implied member-pair count.
+
+    Parameter derivation is part of the contract and is what makes
+    the output K-invariant under exact-twin replication: band width w
+    AND the mean-centering offsets derive from the DISTINCT-content
+    corpus (CTE ``g``), not the member corpus — so the emitted
+    relation is bit-identical across K-fold twin corpora (modulo the
+    K-scaled counts and the self-rows appearing once n > 1; pinned in
+    tests/test_group_contracts.py). Relation to ``dedup_simhash``:
+    per-bit definitions are shared and the centered bits agree on any
+    pure K-fold twin corpus (N·s_j > Σ_docs s_j scales both sides by
+    K), so the two signatures are PREFIXES of one bit sequence; a
+    narrower group signature can only LOWER hamming, and pigeonhole
+    covers hamming ≤ 3 at every width — hence the is_dup group rows
+    always COVER the pair gate's member pairs, with exact equality
+    (Σ n_member_pairs over is_dup == pair-gate rows) whenever the two
+    derived widths coincide, e.g. on any corpus without exact twins.
+    The candidate (non-dup) rows are w-dependent by contract, exactly
+    as the pair gate's are.
+
+    Scale: the collapse is one md5 groupBy; signatures, band join, and
+    the popcount verify are sized by distinct content — invariant at
+    any twin skew; self-rows are arithmetic on group sizes."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5(F.col("text").cast("binary")).alias("ch")).agg(
+        F.min("doc_id").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+        F.min("text").alias("text"),
+    )
+    reps = g.select(F.col("gid").alias("doc_id"), "text")
+    sig, w = _simhash_sig(
+        reps, F.explode(F.split("text", " ")), reps.count()
+    )
+    cand = _simhash_cand(sig, w)
+    ga = g.select(F.col("gid").alias("a_id"), F.col("n").alias("n_a"))
+    gb = g.select(F.col("gid").alias("b_id"), F.col("n").alias("n_b"))
+    crossp = (
+        cand.join(ga, "a_id")
+        .join(gb, "b_id")
+        .select(
+            F.col("a_id").alias("group_a"),
+            F.col("b_id").alias("group_b"),
+            "n_a",
+            "n_b",
+            F.expr("bit_count(xsig ^ ysig)").cast("long").alias("hamming"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias(
+                "n_member_pairs"
+            ),
+        )
+    )
+    selfp = g.filter(F.col("n") > 1).select(
+        F.col("gid").alias("group_a"),
+        F.col("gid").alias("group_b"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        F.expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)").alias(
+            "n_member_pairs"
+        ),
+    )
+    return crossp.unionAll(selfp).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "hamming",
+        (F.col("hamming") <= 3).alias("is_dup"),
+        "n_member_pairs",
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH lshp AS ({_SQL_LSH_PARAMS}),
@@ -1368,6 +1482,299 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survive the driver's pandas hashing intact.
         cos.cast("string").alias("cos_sim"),
         (cos >= F.lit("0.4").cast("decimal(16,8)")).alias("is_near"),
+    )
+
+
+#: group-collapse CTE shared by the embedding-cosine contract gates:
+#: byte-identical vectors → one group (id = min member vec_id). The
+#: LSH bit count derives from the DISTINCT-vector corpus (CTE ``g``) —
+#: part of the contract, and what keeps candidate volume invariant
+#: under exact-twin replication.
+_SQL_EMB_GROUPS = (
+    "g AS (SELECT embedding AS v, MIN(vec_id) AS gid, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY embedding)"
+)
+_SQL_EMB_LSHP_G = _SQL_LSH_PARAMS.replace("FROM embeddings", "FROM g")
+_SQL_EMB_REPS = f"""
+    e AS (
+        SELECT gid, n, v,
+               {_SQL_SIGN_BUCKET.format(v="v")} AS bucket,
+               {_sql_dot("v", "v")} AS nsq
+        FROM g
+    )"""
+
+
+@register(
+    "dedup_embedding_cosine_topk",
+    oracle=f"""
+    WITH {_SQL_EMB_GROUPS},
+    lshp AS ({_SQL_EMB_LSHP_G}),
+    {_SQL_EMB_REPS},
+    gp AS (
+        SELECT a.gid AS gq, b.gid AS gn,
+               CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                    AS DECIMAL(16,8)) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.gid < b.gid
+    ),
+    gsym AS (
+        SELECT gq AS g, gn AS h, cos FROM gp
+        UNION ALL
+        SELECT gn, gq, cos FROM gp
+    ),
+    mem AS (
+        SELECT vec_id, MIN(vec_id) OVER (PARTITION BY embedding) AS gid
+        FROM embeddings
+    ),
+    cself AS (
+        SELECT gid, CAST(nsq / (sqrt(nsq) * sqrt(nsq)) AS DECIMAL(16,8))
+                   AS cos
+        FROM e
+    ),
+    -- NAIVE expansion on purpose: every twin mate and EVERY member of
+    -- EVERY candidate group enters the ranking, so the differential
+    -- gate certifies the Spark side's top-3-groups / 4-member /
+    -- 3-member prunes are lossless, not just replayed.
+    mates AS (
+        SELECT d.vec_id, m.vec_id AS neighbor_id, c.cos
+        FROM mem d
+        JOIN mem m ON m.gid = d.gid AND m.vec_id <> d.vec_id
+        JOIN cself c ON c.gid = d.gid
+    ),
+    crossc AS (
+        SELECT d.vec_id, m.vec_id AS neighbor_id, s.cos
+        FROM mem d
+        JOIN gsym s ON s.g = d.gid
+        JOIN mem m ON m.gid = s.h
+    )
+    SELECT vec_id, neighbor_id, CAST(cos AS VARCHAR) AS cos_sim,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM (SELECT * FROM mates UNION ALL SELECT * FROM crossc)
+    ) WHERE rk <= 3
+    """,
+)
+def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output embedding near-dup (r10 — the per-doc top-k cell
+    of the embedding-cosine contract matrix): per vector, the 3
+    most-similar sign-bucket candidates by (exact-decimal cosine DESC,
+    neighbor id) — ≤ 3N output rows at ANY duplicate skew, where
+    ``dedup_embedding_cosine`` emits every in-bucket pair (~K² under
+    K-fold twin replication, an output-volume fact of its contract).
+
+    Twin-collapse (the ``dedup_minhash_topk`` machinery on the vector
+    table): byte-identical embeddings collapse to one representative
+    per group — identical vectors mean identical sign bucket, identical
+    norms, and a self-cosine every twin pair shares bit-for-bit (the
+    same nsq/(√nsq·√nsq) both engines fold), so bucketing and the
+    pairwise cosines run over REPRESENTATIVES only, and per-vector
+    answers expand from (a) up to 3 same-group twin mates at the
+    group's self-cosine and (b) the members of the group's top-3
+    neighbor groups. Sufficiency (the dedup_minhash_topk argument):
+    candidates rank by (cos DESC, id); within a group all members
+    share one cosine, so only the 3 smallest ids can reach anyone's
+    top-3, and any group holding a vector's top-3 cross-group neighbor
+    must be among the top-3 groups by (cos DESC, gid) since each
+    earlier group contributes a strictly-earlier candidate (its min
+    member). The LSH bit count derives from the DISTINCT-vector count
+    (contract; the ORACLE replays the same derivation but expands
+    members naively, certifying every Spark-side prune).
+
+    Scale: collapse is one window over the vector; the bucket join and
+    cosines are sized by distinct content; the final per-vector top-3
+    executes as a WindowGroupLimit over ≤ 3 + 9 candidate rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    wg = Window.partitionBy("embedding")
+    wgo = Window.partitionBy("embedding").orderBy("vec_id")
+    ranked = emb.withColumn("gid", F.min("vec_id").over(wg)).withColumn(
+        "grn", F.row_number().over(wgo)
+    )
+    reps = ranked.filter(F.col("grn") == 1).select(
+        "gid", F.col("embedding").alias("v")
+    )
+    bits = _sign_bits(reps.count())
+    e = reps.select(
+        "gid",
+        "v",
+        F.expr(_sign_bucket(bits).format(v="v")).alias("bucket"),
+        _dot("v", "v").alias("nsq"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
+    ).cast("decimal(16,8)")
+    gp = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.gid") < F.col("b.gid")),
+    ).select(
+        F.col("a.gid").alias("gq"), F.col("b.gid").alias("gn"), cos.alias("cos")
+    )
+    # both orientations via ONE explode (the dedup_simhash_topk trick:
+    # a union of two selects re-executes the bucket join per branch)
+    gsym = gp.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("gq").alias("g"), F.col("gn").alias("h"), F.col("cos")
+                ),
+                F.struct(
+                    F.col("gn").alias("g"), F.col("gq").alias("h"), F.col("cos")
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    wtop = Window.partitionBy("g").orderBy(F.col("cos").desc(), "h")
+    topg = (
+        gsym.withColumn("grk", F.row_number().over(wtop))
+        .filter(F.col("grk") <= 3)
+        .select("g", "h", "cos")
+    )
+    docs = ranked.select("vec_id", "gid")
+    m4 = ranked.filter(F.col("grn") <= 4).select(
+        "gid", F.col("vec_id").alias("member_id")
+    )
+    cself = e.select(
+        "gid",
+        (F.col("nsq") / (F.sqrt("nsq") * F.sqrt("nsq")))
+        .cast("decimal(16,8)")
+        .alias("cos"),
+    )
+    mates = (
+        docs.join(m4, "gid")
+        .filter(F.col("member_id") != F.col("vec_id"))
+        .join(cself, "gid")
+        .select("vec_id", F.col("member_id").alias("neighbor_id"), "cos")
+    )
+    h3 = (
+        m4.withColumn(
+            "mrn",
+            F.row_number().over(
+                Window.partitionBy("gid").orderBy("member_id")
+            ),
+        )
+        .filter(F.col("mrn") <= 3)
+        .select(F.col("gid").alias("h"), "member_id")
+    )
+    crossc = (
+        docs.join(topg, docs["gid"] == topg["g"])
+        .join(h3, "h")
+        .select("vec_id", F.col("member_id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    return (
+        mates.unionAll(crossc)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("cos").cast("string").alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine_groups",
+    oracle=f"""
+    WITH {_SQL_EMB_GROUPS},
+    lshp AS ({_SQL_EMB_LSHP_G}),
+    {_SQL_EMB_REPS},
+    crossp AS (
+        SELECT a.gid AS group_a, b.gid AS group_b, a.n AS n_a, b.n AS n_b,
+               CAST({_sql_dot("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq))
+                    AS DECIMAL(16,8)) AS cos,
+               CAST(a.n * b.n AS BIGINT) AS n_member_pairs
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.gid < b.gid
+    ),
+    selfp AS (
+        SELECT gid AS group_a, gid AS group_b, n AS n_a, n AS n_b,
+               CAST(nsq / (sqrt(nsq) * sqrt(nsq)) AS DECIMAL(16,8)) AS cos,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n_member_pairs
+        FROM e WHERE n > 1
+    )
+    SELECT group_a, group_b, n_a, n_b, CAST(cos AS VARCHAR) AS cos_sim,
+           (cos >= CAST(0.4 AS DECIMAL(16,8))) AS is_near, n_member_pairs
+    FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp)
+    """,
+)
+def dedup_embedding_cosine_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-PAIR contract for embedding-cosine near-dup (r10 — the
+    group cell of the matrix): byte-identical vectors collapse to one
+    group (id = min member vec_id); bucketing and the pairwise cosine
+    run once per DISTINCT vector; the emitted relation is one row per
+    in-bucket group pair plus one self-row per multi-member group at
+    the group's own self-cosine (nsq/(√nsq·√nsq) — the exact value a
+    naive twin pair computes, identical on both engines), carrying
+    member counts and the implied member-pair count. Under K-fold
+    twin replication the pair gate's output grows ~K² by contract
+    while this relation is invariant, and Σ n_member_pairs over it
+    reproduces the pair gate's row count whenever the derived bit
+    count agrees (it does on every gate corpus and the twin-test
+    corpus: the 8-bit floor binds through n ≤ 2048 — pinned in
+    tests/test_group_contracts.py). The bit count derives from the
+    DISTINCT-vector corpus by contract.
+
+    Scale: collapse is one groupBy on the vector; every downstream
+    relation is sized by distinct content; no threshold is lost —
+    is_near carries the pair gate's 0.4 verdict per group pair."""
+    emb = t(spark, sf_dir, "embeddings")
+    g = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"), F.count("*").cast("long").alias("n")
+    )
+    bits = _sign_bits(g.count())
+    e = g.select(
+        "gid",
+        "n",
+        F.col("embedding").alias("v"),
+    ).select(
+        "gid",
+        "n",
+        "v",
+        F.expr(_sign_bucket(bits).format(v="v")).alias("bucket"),
+        _dot("v", "v").alias("nsq"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = (
+        _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
+    ).cast("decimal(16,8)")
+    crossp = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.gid") < F.col("b.gid")),
+    ).select(
+        F.col("a.gid").alias("group_a"),
+        F.col("b.gid").alias("group_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        cos.alias("cos"),
+        (F.col("a.n") * F.col("b.n")).cast("bigint").alias("n_member_pairs"),
+    )
+    selfp = e.filter(F.col("n") > 1).select(
+        F.col("gid").alias("group_a"),
+        F.col("gid").alias("group_b"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        (F.col("nsq") / (F.sqrt("nsq") * F.sqrt("nsq")))
+        .cast("decimal(16,8)")
+        .alias("cos"),
+        F.expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)").alias(
+            "n_member_pairs"
+        ),
+    )
+    return crossp.unionAll(selfp).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.col("cos").cast("string").alias("cos_sim"),
+        (F.col("cos") >= F.lit("0.4").cast("decimal(16,8)")).alias("is_near"),
+        "n_member_pairs",
     )
 
 

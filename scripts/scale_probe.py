@@ -114,6 +114,11 @@ QUERIES = [
     "timeseries_paa_groups",
     "dedup_minhash_topk",
     "dedup_minhash_groups",
+    # round-10: the matrix-completion cells (simhash group-pair,
+    # embedding-cosine top-k + group-pair)
+    "dedup_simhash_groups",
+    "dedup_embedding_cosine_topk",
+    "dedup_embedding_cosine_groups",
 ]
 
 _VOWELS = "aeiou"

@@ -100,8 +100,8 @@ def _spark_rows(spark, q, sf_dir: str, name: str, cols):
     ]
 
 
-def _assert_matches_oracle(spark, q, sf_dir, name):
-    cols, want = _oracle_rows(sf_dir, name)
+def _assert_matches_oracle(spark, q, sf_dir, name, tables=("documents", "events")):
+    cols, want = _oracle_rows(sf_dir, name, tables=tables)
     got = _spark_rows(spark, q, sf_dir, name, cols)
     canon = lambda rows: sorted(  # noqa: E731
         tuple(round(v, 9) if isinstance(v, float) else v for v in r)
@@ -192,3 +192,171 @@ def test_minhash_groups_expansion_count_identity(spark, q):
     groups = q["dedup_minhash_groups"](spark, SF).collect()
     pairs = q["dedup_minhash_lsh"](spark, SF).count()
     assert sum(r.n_member_pairs for r in groups) == pairs
+
+
+# --- r10 matrix completions: simhash groups + embedding-cosine topk/groups --
+
+
+@pytest.fixture(scope="module")
+def twin_emb_sf(spark, tmp_path_factory):
+    """sf0.001 with every document AND every embedding replicated
+    TWIN_K times under fresh ids — the adversarial corpus for the r10
+    embedding-family collapse paths (byte-identical vectors)."""
+    out = str(tmp_path_factory.mktemp("twin_emb_sf"))
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    d = None
+    for k in range(TWIN_K):
+        p = docs.select(
+            (F.col("doc_id") + k * n_doc).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        d = p if d is None else d.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    cols = [c for c in emb.columns if c != "vec_id"]
+    e = None
+    for k in range(TWIN_K):
+        p = emb.select(
+            (F.col("vec_id") + k * n_vec).alias("vec_id"), *cols
+        )
+        e = p if e is None else e.unionByName(p)
+    e.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def test_simhash_groups_matches_oracle_on_twin_heavy(spark, q, twin_sf):
+    _assert_matches_oracle(spark, q, twin_sf, "dedup_simhash_groups")
+
+
+def test_simhash_groups_expansion_identity_on_base(spark, q):
+    """On a corpus without exact twins the derived widths coincide
+    (G == N) and the group gate IS the pair gate: Σ n_member_pairs
+    over the is_dup rows == the pair gate's row count exactly."""
+    groups = q["dedup_simhash_groups"](spark, SF).collect()
+    pairs = q["dedup_simhash"](spark, SF).count()
+    assert sum(r.n_member_pairs for r in groups if r.is_dup) == pairs
+
+
+def test_simhash_groups_covers_pair_gate_on_twin_heavy(spark, q, twin_sf):
+    """On the twin corpus the two gates derive DIFFERENT widths (w from
+    2000 members vs 500 distinct texts), so hamming values are measured
+    in different-width prefixes of one shared bit sequence: the group
+    gate's narrower hamming can only be lower, hence its is_dup rows
+    must COVER every pair-gate member pair (the sound direction of the
+    contract; exact equality is a same-width property)."""
+    groups = q["dedup_simhash_groups"](spark, twin_sf).collect()
+    pairs = q["dedup_simhash"](spark, twin_sf).collect()
+    docs = (
+        spark.read.parquet(os.path.join(twin_sf, "documents.parquet"))
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("ch"))
+        .collect()
+    )
+    by_ch: dict[str, list[int]] = {}
+    for r in docs:
+        by_ch.setdefault(r.ch, []).append(r.doc_id)
+    members = {min(ids): sorted(ids) for ids in by_ch.values()}
+    covered = set()
+    for g in groups:
+        if not g.is_dup:
+            continue
+        if g.group_a == g.group_b:
+            ms = members[g.group_a]
+            covered.update(
+                (a, b) for i, a in enumerate(ms) for b in ms[i + 1 :]
+            )
+        else:
+            covered.update(
+                (min(a, b), max(a, b))
+                for a in members[g.group_a]
+                for b in members[g.group_b]
+            )
+    want = {(r.a_id, r.b_id) for r in pairs}
+    assert want <= covered, (
+        f"{len(want - covered)} pair-gate dup pairs not covered by "
+        "is_dup group rows"
+    )
+
+
+def test_simhash_groups_k_invariant_on_twin_heavy(spark, q, twin_sf):
+    """The K-invariance receipt itself: the twin corpus keeps replica 0
+    at the original doc ids, so the group relation's (group_a, group_b,
+    hamming) triples must be IDENTICAL to the base corpus's, with
+    member counts scaled K-fold and one hamming-0 self-row appearing
+    per group (n went 1 → TWIN_K)."""
+    base = q["dedup_simhash_groups"](spark, SF).collect()
+    twin = q["dedup_simhash_groups"](spark, twin_sf).collect()
+    base_cross = {
+        (r.group_a, r.group_b, r.hamming) for r in base
+        if r.group_a != r.group_b
+    }
+    twin_cross = {
+        (r.group_a, r.group_b, r.hamming) for r in twin
+        if r.group_a != r.group_b
+    }
+    assert base_cross == twin_cross
+    for r in twin:
+        assert r.n_a == TWIN_K and r.n_b == TWIN_K
+        if r.group_a == r.group_b:
+            assert r.hamming == 0
+            assert r.n_member_pairs == TWIN_K * (TWIN_K - 1) // 2
+        else:
+            assert r.n_member_pairs == TWIN_K * TWIN_K
+    n_groups = len({r.group_a for r in twin})
+    assert sum(1 for r in twin if r.group_a == r.group_b) == n_groups
+
+
+def test_embedding_cosine_topk_matches_oracle_on_twin_heavy(
+    spark, q, twin_emb_sf
+):
+    _assert_matches_oracle(
+        spark, q, twin_emb_sf, "dedup_embedding_cosine_topk",
+        tables=("embeddings",),
+    )
+
+
+def test_embedding_cosine_groups_matches_oracle_on_twin_heavy(
+    spark, q, twin_emb_sf
+):
+    _assert_matches_oracle(
+        spark, q, twin_emb_sf, "dedup_embedding_cosine_groups",
+        tables=("embeddings",),
+    )
+
+
+def test_embedding_cosine_groups_expansion_count_identity(
+    spark, q, twin_emb_sf
+):
+    """Σ n_member_pairs (cross + self rows) == the pair gate's full
+    in-bucket pair count: the derived bit count agrees between the
+    member- and group-level corpora on both the base and twin corpora
+    (8-bit floor binds through n ≤ 2048), twins share buckets, so the
+    expansion is exact."""
+    for sf in (SF, twin_emb_sf):
+        groups = q["dedup_embedding_cosine_groups"](spark, sf).collect()
+        pairs = q["dedup_embedding_cosine"](spark, sf).count()
+        assert (
+            sum(r.n_member_pairs for r in groups) == pairs
+        ), f"embedding-cosine group expansion mismatch at {sf}"
+
+
+def test_embedding_cosine_topk_bounded_output(spark, q, twin_emb_sf):
+    rows = q["dedup_embedding_cosine_topk"](spark, twin_emb_sf).collect()
+    per_vec: dict[int, list[int]] = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, []).append(r.rk)
+    for vec, rks in per_vec.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+    # every vector has >= TWIN_K - 1 >= 3 twin mates, so exactly 3 rows
+    n_vec = (
+        q["dedup_embedding_cosine_topk"](spark, twin_emb_sf)
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == 3 * n_vec

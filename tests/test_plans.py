@@ -144,6 +144,9 @@ _BNLJ_ALLOWED = {
     # signature sums rows (VERDICT r7 item 1) — bounded by construction.
     "dedup_simhash",
     "dedup_simhash_topk",
+    # r10: same bounded goff BNLJ, signature sums sized by DISTINCT
+    # content (the group-pair contract runs the pipeline over reps)
+    "dedup_simhash_groups",
     "multimodal_phash_neardup",
     # composes dedup_simhash verbatim, inheriting its bounded goff BNLJ
     "dedup_overlap_report",
