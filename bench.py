@@ -186,6 +186,22 @@ def main() -> int:
     load_before = os.getloadavg()[0]
     calib_before = _calibration_sec()
 
+    # PAA warm/cold split (ADVICE r10): the three PAA gates share a
+    # memoized events→daily→dense-vector upstream, so after sample 1
+    # every timed sample is warm — which silently confounded the
+    # r9↔r10 per-query comparison. Run ONE explicit cold invocation of
+    # the headline PAA gate first and receipt it separately (the serve
+    # gates' discipline): every timed sample below is then a pure WARM
+    # median, and the cold number keeps round-over-round attribution
+    # honest.
+    paa_cold = None
+    if "timeseries_paa_groups" in qs:
+        t0 = time.time()
+        qs["timeseries_paa_groups"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        paa_cold = round(time.time() - t0, 3)
+
     head = measure(HEADLINE)
     total = round(sum(head.values()), 3)
     out = {
@@ -247,7 +263,26 @@ def main() -> int:
         "calib_sec": [calib_before, _calibration_sec()],
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
+    if paa_cold is not None:
+        out["paa_upstream"] = {
+            "cold_first_run_sec": paa_cold,
+            "warm_median_sec": head.get("timeseries_paa_groups"),
+        }
     print(json.dumps(out))
+    # truncation-proof summary LAST (VERDICT r10 item 5): the driver's
+    # stdout-tail capture clipped BENCH_r10's headline value, forcing a
+    # reconstruct-by-sum audit. This compact line keeps the numbers
+    # that matter inside any tail window.
+    print(
+        json.dumps(
+            {
+                "headline_sec": total,
+                "extended_sec": out.get("extended", {}).get("value"),
+                "calib_sec": out["load"]["calib_sec"],
+                "n_headline": len(head),
+            }
+        )
+    )
     spark.stop()
     return 0
 

@@ -1753,26 +1753,29 @@ def dedup_embedding_cosine_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     relation is sized by distinct content; no threshold is lost —
     is_near carries the pair gate's 0.4 verdict per group pair."""
     emb = t(spark, sf_dir, "embeddings")
-    g = emb.groupBy("embedding").agg(
-        F.min("vec_id").alias("gid"), F.count("*").cast("long").alias("n")
-    )
-    bits = _sign_bits(g.count())
-    # lazy lineage cut: e feeds both join sides and the self-rows —
-    # without it each consumer re-runs the collapse groupBy and the
-    # 32-plane sign projection
-    e = truncate_lineage(
-        g.select(
-            "gid",
-            "n",
-            F.col("embedding").alias("v"),
-        ).select(
-            "gid",
-            "n",
-            "v",
-            F.expr(_sign_bucket(bits).format(v="v")).alias("bucket"),
-            _dot("v", "v").alias("nsq"),
+    # lazy lineage cut on the collapse ITSELF (ADVICE r10): the bit
+    # derivation's g.count() is the first action, so it materializes
+    # the cut and every downstream consumer — both join sides and the
+    # self-rows — reuses the collapsed blocks instead of re-running
+    # the groupBy (the sibling topk gate's `ranked`-before-count shape)
+    g = truncate_lineage(
+        emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("gid"),
+            F.count("*").cast("long").alias("n"),
         ),
         eager=False,
+    )
+    bits = _sign_bits(g.count())
+    e = g.select(
+        "gid",
+        "n",
+        F.col("embedding").alias("v"),
+    ).select(
+        "gid",
+        "n",
+        "v",
+        F.expr(_sign_bucket(bits).format(v="v")).alias("bucket"),
+        _dot("v", "v").alias("nsq"),
     )
     a, b = e.alias("a"), e.alias("b")
     cos = (
@@ -6529,15 +6532,22 @@ _TS_BAND_POP = 256
 _TS_SALT_MAX = 64
 
 
-#: per-(session, corpus) memo of the PAA family's shared upstream —
-#: (max_d, lazily-checkpointed dense-series DataFrame). The three PAA
+#: per-application memo of the PAA family's shared upstream —
+#: (fingerprint, max_d, persisted dense-series DataFrame), ONE entry
+#: per application (ADVICE r10: unbounded entries + non-recomputable
+#: localCheckpoint blocks accumulated across the probe's replica
+#: corpora and risked storage-eviction job failure). The three PAA
 #: gates derive from ONE events→daily→dense-vector pipeline; without
 #: the memo each gate (and each bench sample) re-pays the full events
 #: scan + two shuffles + the map-build just to reach its own collapse.
-#: The _TRAIN_MEMO discipline: keyed on the table files' fingerprint
-#: (size+mtime per file — zero Spark jobs) AND the Spark application
-#: id, because a checkpointed DataFrame dies with its session.
-_PAA_VEC_MEMO: dict[tuple, tuple] = {}
+#: Keyed on the Spark application id (a persisted DataFrame dies with
+#: its session); the stored fingerprint (size+mtime per file — zero
+#: Spark jobs) detects corpus switches, and the OLD entry is
+#: unpersisted on replacement. The blocks are persist() (not
+#: localCheckpoint) blocks: evictable under storage pressure — a miss
+#: recomputes from lineage instead of failing the job — and cleanly
+#: releasable from the DataFrame handle.
+_PAA_VEC_MEMO: dict[str, tuple] = {}
 
 
 def _ev_fingerprint(sf_dir: str) -> tuple:
@@ -6563,14 +6573,23 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
     zeros; per-day sums exact-decimal then double — the order-free
     contract every family oracle replays) plus the driver-side
     ``max_d`` the dense length derives from. Returns
-    ``(max_d, vec)`` where ``vec`` is (user_id, dv) behind one LAZY
-    lineage cut, so repeat invocations — the other family gates, or
-    bench's 3 samples — reuse one materialization instead of re-paying
-    the events scan + two shuffles per query."""
-    key = (spark.sparkContext.applicationId, _ev_fingerprint(sf_dir))
-    hit = _PAA_VEC_MEMO.get(key)
+    ``(max_d, vec)`` where ``vec`` is (user_id, dv) persisted lazily,
+    so repeat invocations — the other family gates, or bench's 3
+    samples — reuse one materialization instead of re-paying the
+    events scan + two shuffles per query."""
+    app = spark.sparkContext.applicationId
+    fp = _ev_fingerprint(sf_dir)
+    hit = _PAA_VEC_MEMO.get(app)
     if hit is not None:
-        return hit
+        if hit[0] == fp:
+            return hit[1], hit[2]
+        # corpus switched within the session (the scale probe's replica
+        # dirs): release the old blocks before building the new entry
+        try:
+            hit[2].unpersist()
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+        del _PAA_VEC_MEMO[app]
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
@@ -6581,7 +6600,7 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("v")
     )
     max_d = daily.agg(F.max("d")).first()[0]
-    vec = truncate_lineage(
+    vec = (
         daily.groupBy("user_id")
         .agg(
             F.map_from_entries(F.collect_list(F.struct("d", "v"))).alias(
@@ -6594,11 +6613,11 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
                 f"transform(sequence(0, {max_d}),"
                 " i -> coalesce(mp[i], cast(0 as double)))"
             ).alias("dv"),
-        ),
-        eager=False,
+        )
+        .persist()
     )
-    _PAA_VEC_MEMO[key] = (max_d, vec)
-    return _PAA_VEC_MEMO[key]
+    _PAA_VEC_MEMO[app] = (fp, max_d, vec)
+    return max_d, vec
 
 
 def _ts_salt(max_occ: int) -> int:
@@ -7820,45 +7839,83 @@ def embedding_label_separation(
 #: subset of the alphabet yields a valid bound (subset L1 ≤ total L1).
 _FUZZY_PROBE_CHARS = " etaoins"
 
+#: probe BIGRAMS for the q-gram lower bound (VERDICT r10 item 1b):
+#: the highest-frequency bigrams of the corpus vocabulary, chosen with
+#: two structural properties — (a) the two characters DIFFER, so
+#: occurrences can never overlap and `replace`-based counting is exact
+#: (occurrences of xy overlap only when x == y), and (b) each bigram is
+#: asymmetric under reversal, so reordering/reversal — the exact
+#: adversarial construction the char-bag theorem is provably blind to
+#: (same length, same character counts) — destroys these counts and
+#: the bound fires. ANY subset of the 2-gram alphabet yields a valid
+#: bound (subset L1 ≤ total L1).
+_FUZZY_PROBE_BIGRAMS = ("er", "e ", "st", "or", "in", "at", "al", "ar")
+
 
 def _fuzzy_probe_cols(head: str = "head") -> list:
     """Per-distinct-head columns feeding the Levenshtein lower bound:
-    the head length and the probe-character count vector — computed
-    ONCE per content group (codegen string ops on the representative),
-    so the per-PAIR bound evaluation is 8 integer |Δ|s + 2 compares
-    instead of the O(80²) DP."""
+    the head length, the probe-character count vector, and the probe-
+    bigram count vector — computed ONCE per content group (codegen
+    string ops on the representative), so the per-PAIR bound
+    evaluation is 16 integer |Δ|s + 3 compares instead of the
+    O(80·threshold) DP."""
     cnts = [
         F.expr(
             f"length({head}) - length(replace({head}, '{c}', ''))"
         )
         for c in _FUZZY_PROBE_CHARS
     ]
+    # distinct-char bigrams cannot overlap, so replace removes every
+    # occurrence and the length delta is exactly 2·count
+    bcnts = [
+        F.expr(
+            f"CAST((length({head}) - length(replace({head}, '{b}', '')))"
+            " DIV 2 AS INT)"
+        )
+        for b in _FUZZY_PROBE_BIGRAMS
+    ]
     return [
         F.length(F.col(head)).alias("hlen"),
         F.array(*cnts).alias("pcnt"),
+        F.array(*bcnts).alias("bcnt"),
     ]
 
 
-def _fuzzy_lb(la: str, lb: str, ca: str, cb: str):
+def _fuzzy_lb(la: str, lb: str, ca: str, cb: str,
+              ba: str | None = None, bb: str | None = None):
     """Levenshtein LOWER BOUND from precomputed per-head statistics —
     a theorem, not a heuristic, so discharging a pair on it is exact:
     (1) lev ≥ |len(a) − len(b)| (each edit changes length by ≤ 1);
     (2) lev ≥ ⌈L1(charcounts)/2⌉ — a substitution moves two character
     counts by 1 each, insert/delete one, so each edit changes the
     count-vector L1 by ≤ 2; restricting counts to the probe alphabet
-    only weakens (never invalidates) the bound. Pairs whose bound
-    already exceeds the emit threshold (or the doc's certified
-    3rd-best, in the top-k gate) skip the O(80²) DP entirely. The
-    ORACLES stay the naive full-DP enumeration — the differential gate
-    certifies the theorem on every corpus it runs."""
+    only weakens (never invalidates) the bound;
+    (3) lev ≥ ⌈L1(bigramcounts)/4⌉ (VERDICT r10 item 1b) — one edit at
+    position i touches at most the two bigrams covering i (the one
+    ending and the one starting there); each touched bigram moves at
+    most two counts by 1 (old type −1, new type +1), so each edit
+    changes the bigram count-vector L1 by ≤ 4. This bound fires
+    precisely on the reordering-adversarial pairs (same length, same
+    character multiset — anagrams/reversals) where (1) and (2) are
+    provably zero. Pairs whose bound already exceeds the emit
+    threshold skip the banded DP entirely. The ORACLES stay the naive
+    full-DP enumeration — the differential gate certifies the theorem
+    on every corpus it runs."""
     l1 = (
         f"aggregate(zip_with({ca}, {cb}, (x, y) -> abs(x - y)),"
         f" 0, (s, v) -> s + v)"
     )
-    return F.greatest(
+    terms = [
         F.abs(F.col(la) - F.col(lb)),
         F.expr(f"CAST(({l1} + 1) DIV 2 AS INT)"),
-    )
+    ]
+    if ba is not None and bb is not None:
+        bl1 = (
+            f"aggregate(zip_with({ba}, {bb}, (x, y) -> abs(x - y)),"
+            f" 0, (s, v) -> s + v)"
+        )
+        terms.append(F.expr(f"CAST(({bl1} + 3) DIV 4 AS INT)"))
+    return F.greatest(*terms)
 
 
 @register(
@@ -7930,25 +7987,48 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = g.repartition(n_part, "blk").alias("a")
     b = g.alias("b")
     # r10 (VERDICT r9 item 2): the cheap lower bound discharges a pair
-    # before the O(80²) DP — the bound is a theorem (_fuzzy_lb), the
-    # conjunct order short-circuits in codegen, and the oracle keeps
-    # the naive full-DP WHERE so the gate certifies the pruning.
-    lb = _fuzzy_lb("a.hlen", "b.hlen", "a.pcnt", "b.pcnt")
+    # before the DP — the bound is a theorem (_fuzzy_lb, now with the
+    # r11 bigram term that fires on reorder-adversarial pairs) and the
+    # oracle keeps the naive full-DP WHERE so the gate certifies it.
+    # r11 (VERDICT r10 item 1): two changes, both receipted by the r11
+    # dp-variant micro-probe (SCALING_PROBE_r11 fuzzy_dp_variants):
+    # (a) the emit threshold is a STATIC 40, so the DP runs in the
+    # three-arg banded form (−1 past the threshold, exact within it —
+    # edit_dist ≥ 0 ⟺ edit_dist ≤ 40, identical rows, oracle
+    # unchanged); (b) the DP is evaluated exactly ONCE per pair, in a
+    # Generate node: Catalyst pushes a Filter through a Project by
+    # INLINING the projected expression into the predicate, so the r10
+    # select-then-filter shape paid the Levenshtein twice on every
+    # surviving pair (measured 48.0 s vs 24.2 s single-pass on the
+    # overlap ×4 corpus, where ~98% of candidates survive). Computing
+    # the banded distance inside array() and exploding the singleton
+    # filtered to ≥ 0 makes the Generate node the single evaluation
+    # site — a row past the threshold yields an empty array and simply
+    # disappears, no re-evaluation anywhere.
+    lb = _fuzzy_lb(
+        "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"
+    )
     gpairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.gid") < F.col("b.gid")),
         )
+        .filter(lb <= 40)
         .select(
             F.col("a.gid").alias("ga"),
             F.col("b.gid").alias("gb"),
-            lb.alias("lb"),
-            F.levenshtein(F.col("a.head"), F.col("b.head"))
-            .cast("bigint")
-            .alias("edit_dist"),
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.levenshtein(
+                            F.col("a.head"), F.col("b.head"), 40
+                        ).cast("bigint")
+                    ),
+                    lambda x: x >= 0,
+                )
+            ).alias("edit_dist"),
         )
-        .filter((F.col("lb") <= 40) & (F.col("edit_dist") <= 40))
     )
     ma = members.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
     mb = members.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
@@ -8233,28 +8313,41 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.alias("b")
     # r10 (VERDICT r9 item 2): theorem lower bound gates the DP; the
     # oracle keeps the naive WHERE, so the gate certifies the prune.
-    lb = _fuzzy_lb("a.hlen", "b.hlen", "a.pcnt", "b.pcnt")
+    # r11 (VERDICT r10 item 1): bigram term in the bound (fires on the
+    # reorder-adversarial pairs the char-bag theorem misses) + the
+    # three-arg banded DP evaluated exactly ONCE per pair in a
+    # Generate node (explode of the ≥0-filtered singleton — the r10
+    # select-then-filter shape re-evaluated the DP in the pushed-down
+    # predicate, 2× the arithmetic; see dedup_fuzzy_levenshtein).
+    lb = _fuzzy_lb(
+        "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"
+    )
     crossp = (
         a.join(
             b,
             (F.col("b.blk") == F.col("a.blk"))
             & (F.col("a.gid") < F.col("b.gid")),
         )
+        .filter(lb <= 40)
         .select(
             F.col("a.gid").alias("group_a"),
             F.col("b.gid").alias("group_b"),
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
-            lb.alias("lb"),
-            F.levenshtein(F.col("a.head"), F.col("b.head"))
-            .cast("bigint")
-            .alias("edit_dist"),
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.levenshtein(
+                            F.col("a.head"), F.col("b.head"), 40
+                        ).cast("bigint")
+                    ),
+                    lambda x: x >= 0,
+                )
+            ).alias("edit_dist"),
             (F.col("a.n") * F.col("b.n")).cast("bigint").alias(
                 "n_member_pairs"
             ),
         )
-        .filter((F.col("lb") <= 40) & (F.col("edit_dist") <= 40))
-        .drop("lb")
     )
     selfp = g.filter(F.col("n") > 1).select(
         F.col("gid").alias("group_a"),

@@ -299,13 +299,28 @@ def test_simhash_groups_k_invariant_on_twin_heavy(spark, q, twin_sf):
         if r.group_a != r.group_b
     }
     assert base_cross == twin_cross
+    # expected per-group n from the BASE corpus's content-group sizes
+    # (ADVICE r10: hard-coding TWIN_K silently assumed the generator
+    # never emits natural byte-identical texts — a corpus tweak would
+    # fail the test spuriously instead of signaling a contract break)
+    base_n = {
+        r.gid: r.n
+        for r in spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("ch"))
+        .agg(
+            F.min("doc_id").alias("gid"), F.count("*").alias("n")
+        )
+        .collect()
+    }
     for r in twin:
-        assert r.n_a == TWIN_K and r.n_b == TWIN_K
+        na = base_n[r.group_a] * TWIN_K
+        nb = base_n[r.group_b] * TWIN_K
+        assert r.n_a == na and r.n_b == nb
         if r.group_a == r.group_b:
             assert r.hamming == 0
-            assert r.n_member_pairs == TWIN_K * (TWIN_K - 1) // 2
+            assert r.n_member_pairs == na * (na - 1) // 2
         else:
-            assert r.n_member_pairs == TWIN_K * TWIN_K
+            assert r.n_member_pairs == na * nb
     n_groups = len({r.group_a for r in twin})
     assert sum(1 for r in twin if r.group_a == r.group_b) == n_groups
 
