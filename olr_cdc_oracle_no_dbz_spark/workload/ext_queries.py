@@ -4026,6 +4026,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = (
         _dot("a.v", "b.v") / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq")))
     ).cast("decimal(16,8)")
+    # r11: the 64-dim decimal cosine is evaluated exactly ONCE per
+    # in-cell pair, in a Generate node — the previous select-then-
+    # filter shape re-evaluated the dot fold in the pushed-down
+    # predicate for every surviving pair (the fuzzy family's r11
+    # double-eval finding; within-cell pairs survive the 0.25
+    # threshold often, so the duplication was near-2× of the
+    # pairwise stage). Emitted rows are identical: an under-threshold
+    # pair yields an empty array and disappears.
+    thr = F.lit("0.25").cast("decimal(16,8)")
     pairs = a.join(
         b,
         (F.col("a.cent_id") == F.col("b.cent_id"))
@@ -4033,11 +4042,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("b.vec_id").alias("vec_id"),
         F.col("b.cent_id").alias("cent_id"),
-        cos.alias("cos_sim"),
+        F.explode(
+            F.filter(F.array(cos), lambda x: x >= thr)
+        ).alias("cos_sim"),
     )
     return (
-        pairs.filter(F.col("cos_sim") >= F.lit("0.25").cast("decimal(16,8)"))
-        .groupBy("vec_id", "cent_id")
+        pairs.groupBy("vec_id", "cent_id")
         .agg(
             F.max("cos_sim").cast("string").alias("max_cos_to_earlier"),
             F.count("*").alias("n_near_earlier"),
@@ -7912,9 +7922,20 @@ _FUZZY_PROBE_CHARS = " etaoins"
 #: (occurrences of xy overlap only when x == y), and (b) each bigram is
 #: asymmetric under reversal, so reordering/reversal — the exact
 #: adversarial construction the char-bag theorem is provably blind to
-#: (same length, same character counts) — destroys these counts and
-#: the bound fires. ANY subset of the 2-gram alphabet yields a valid
-#: bound (subset L1 ≤ total L1).
+#: (same length, same character counts) — destroys these counts. ANY
+#: subset of the 2-gram alphabet yields a valid bound (subset L1 ≤
+#: total L1). HONEST LIMIT (r11 receipt, dp_count): at THIS family's
+#: contract — threshold 40 on 80-char heads — the bound is PROVABLY
+#: vacuous for every pair: a head has ≤ 79 bigrams, so the bigram-count
+#: L1 is ≤ 158 < 4·41, i.e. no q-gram count bound of per-edit impact 4
+#: can certify lev > 40 when the threshold is half the string length —
+#: the r10-item-1b hope is refuted by arithmetic, not by a weak corpus.
+#: The term stays because it is nearly free (SCALING_PROBE_r11
+#: dp_variants: lb evaluation ≈ 0.4 s of a 26 s gate) and is the
+#: right tool on prose-like corpora with tight thresholds; on THIS
+#: word-salad corpus even hypothetical t=10/20 contracts show it
+#: adding 0 over the char bound (heads carry only ~15–25 probe-bigram
+#: occurrences, capping the bound near 10 — the dp_count receipt).
 _FUZZY_PROBE_BIGRAMS = ("er", "e ", "st", "or", "in", "at", "al", "ar")
 
 

@@ -207,15 +207,37 @@ def dp_count() -> dict:
                 100.0 * (n_all - n_full) / max(n_all, 1), 1
             ),
         }
+        if mode == "mixed":
+            # hypothetical tighter contracts: the bound's firing power
+            # where the threshold/length geometry PERMITS firing
+            for t_hyp in (10, 20):
+                nc = pairs.filter(lb_char <= t_hyp).count()
+                nf = pairs.filter(lb_full <= t_hyp).count()
+                out[mode][f"hypothetical_t{t_hyp}"] = {
+                    "char_discharged_pct": round(
+                        100.0 * (n_all - nc) / max(n_all, 1), 1
+                    ),
+                    "char_plus_bigram_discharged_pct": round(
+                        100.0 * (n_all - nf) / max(n_all, 1), 1
+                    ),
+                }
     spark.stop()
     out["note"] = (
         "mixed = identical twins + anagram-far (reversed) texts + "
-        "length-divergent texts sharing block keys; the r10 receipt "
-        "proved the char-bag bound discharges ~0.6% there because the "
-        "anagram arm preserves length and character counts by "
-        "construction. The bigram bound (lev ≥ ⌈L1(bigram counts)/4⌉) "
-        "fires exactly on reversal — full_discharged_pct is the r11 "
-        "claim. twin arm expected unmoved (distances are 0)."
+        "length-divergent texts sharing block keys. HONEST RESULT, "
+        "two layers: (1) at the family's actual contract (threshold "
+        "40, 80-char heads) the bigram bound is PROVABLY vacuous — a "
+        "head has ≤79 bigrams, so L1(bigram counts) ≤ 158 < 4·41 and "
+        "no per-edit-impact-4 count bound can certify lev > 40; "
+        "VERDICT r10 item 1b is refuted by arithmetic, not by a weak "
+        "corpus. (2) Even at hypothetical t=10/20 the bigram term "
+        "added 0 over the char bound HERE: the word-salad heads carry "
+        "only ~15–25 probe-bigram occurrences, capping the bigram "
+        "bound near ⌈40/4⌉=10 — its win condition is real-text bigram "
+        "density AND a tight threshold. The term is kept (sound, "
+        "~0.4 s of a 26 s gate, fires on prose-like corpora) with "
+        "this no-win receipt; the t=10/20 char rows (16.9%/4.0%) are "
+        "the length-divergence arm firing, not character counts."
     )
     return out
 
