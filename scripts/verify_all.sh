@@ -24,8 +24,11 @@ CHECK_SF_DIR=/root/testdata/sf0.1 python scripts/check_correctness.py \
 echo "== bench =="
 bench_out=$(mktemp /tmp/bench_now.XXXXXX.json)
 # tee -a: /dev/stderr may be a redirected log file, and tee's default
-# O_TRUNC would wipe everything the gate printed before this point
-python bench.py | tee -a /dev/stderr | tail -n 1 > "$bench_out"
+# O_TRUNC would wipe everything the gate printed before this point.
+# grep, not tail: since r11 bench prints a compact truncation-proof
+# summary as its LAST line (VERDICT r10 item 5); the full artifact is
+# the line carrying "metric".
+python bench.py | tee -a /dev/stderr | grep '"metric"' | tail -n 1 > "$bench_out"
 
 echo "== bench regression gate (per-query medians vs last round) =="
 python scripts/bench_compare.py "$bench_out"
