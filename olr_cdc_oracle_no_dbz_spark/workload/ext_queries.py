@@ -6814,10 +6814,25 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VERDICT r8 item 3); the lineage cut shares one materialization of
     # the band table between the occupancy probe and both join sides
     # (lazy: the occupancy .first() below is the materializing action).
+    # r11: the timeseries_paa_groups rewrite ported to the pair gate —
+    # 2-D grid (sound and oracle-invariant: lb2 ≤ T² forces
+    # per-segment proximity, so the emitted {lb2 ≤ T² ∧ dist2 ≤ T²}
+    # relation is blocking-independent), NARROW candidate join (dv off
+    # the cells × salt fan-out, re-attached to lb2 survivors by id),
+    # and the 6-term lb2 unrolled into codegen inside the join
+    # condition. The 30-element dist2 dot stays a lambda fold —
+    # unrolling it drops the stage out of JIT (the groups gate's
+    # measured rejection).
+    two_d = n_seg >= 2
     block = truncate_lineage(
         grp.select(
             "gid",
             F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b"),
+            (
+                F.floor(F.element_at("pv", 2) / _TS_W).cast("bigint")
+                if two_d
+                else F.lit(0).cast("bigint")
+            ).alias("b1"),
             "pv",
             "dv",
             "nsq",
@@ -6825,53 +6840,56 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     max_occ = (
-        block.groupBy("b").count().agg(F.max("count")).first()[0] or 0
+        block.groupBy("b", "b1").count().agg(F.max("count")).first()[0]
+        or 0
     )
     salt = _ts_salt(max_occ)
-    x = (
-        block.withColumn(
-            "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
-        )
-        .withColumn(
-            "salt",
-            F.explode(F.array(*[F.lit(s) for s in range(salt)])),
-        )
-        .alias("x")
+    narrow = block.drop("dv")
+    x = narrow.withColumn(
+        "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
     )
-    y = block.withColumn(
+    if two_d:
+        x = x.withColumn(
+            "b1",
+            F.explode(
+                F.array(F.col("b1") - 1, F.col("b1"), F.col("b1") + 1)
+            ),
+        )
+    x = x.withColumn(
+        "salt",
+        F.explode(F.array(*[F.lit(s) for s in range(salt)])),
+    ).alias("x")
+    y = narrow.withColumn(
         "salt", F.pmod(F.xxhash64("gid"), F.lit(salt)).cast("int")
     ).alias("y")
-    cand = x.join(
+    lb2 = _paa_unrolled_lb2("x.pv", "y.pv", n_seg)
+    surv = x.join(
         y,
         (F.col("y.b") == F.col("x.b"))
+        & (F.col("y.b1") == F.col("x.b1"))
         & (F.col("y.salt") == F.col("x.salt"))
-        & (F.col("y.gid") > F.col("x.gid")),
+        & (F.col("y.gid") > F.col("x.gid"))
+        & (lb2 <= F.lit(_TS_T2)),
     ).select(
         F.col("x.gid").alias("ga"),
         F.col("y.gid").alias("gb"),
-        F.col("x.pv").alias("pa"),
-        F.col("y.pv").alias("pb"),
-        F.col("x.dv").alias("dva"),
-        F.col("y.dv").alias("dvb"),
+        lb2.alias("paa_lb2"),
         F.col("x.nsq").alias("na"),
         F.col("y.nsq").alias("nb"),
     )
-    # r11: the 6-term lb2 unrolls into flat codegen arithmetic
-    # (_paa_unrolled_lb2); the 30-element dot stays a lambda fold —
-    # unrolling it drops the stage out of JIT compilation (measured
-    # slower; see the timeseries_paa_groups r11 note)
-    lb2 = _paa_unrolled_lb2("pa", "pb", n_seg)
     cross = F.expr(
         "aggregate(zip_with(dva, dvb, (p, q) -> p * q),"
         " cast(0 as double), (acc, v) -> acc + v)"
     )
+    dva_t = block.select(F.col("gid").alias("ga"), F.col("dv").alias("dva"))
+    dvb_t = block.select(F.col("gid").alias("gb"), F.col("dv").alias("dvb"))
     gpairs = (
-        cand.withColumn("lb2", lb2)
-        .filter(F.col("lb2") <= _TS_T2)
+        surv.join(dva_t, "ga")
+        .join(dvb_t, "gb")
         .select(
             "ga",
             "gb",
-            F.col("lb2").alias("paa_lb2"),
+            "paa_lb2",
             (F.col("na") + F.col("nb") - 2 * cross).alias("dist2"),
         )
         .filter(F.col("dist2") <= F.lit(_TS_T2))

@@ -253,3 +253,36 @@ def test_hll_shuffle_carries_registers_not_rows(spark, q):
     <=m rows per group per partition) — plus the exact-count branch."""
     plan = _plan(q["agg_distinct_hll"](spark, SF_DIR))
     assert "partial_max" in plan
+
+
+def test_fuzzy_dp_single_evaluation_site(spark, q):
+    """r11 double-evaluation guard: Catalyst pushes a Filter through a
+    Project by INLINING the projected expression into the predicate,
+    so a select-then-filter on the Levenshtein column evaluates the DP
+    twice per surviving pair (measured 47.5 s vs 27.1 s on the overlap
+    ×4 candidate join — SCALING_PROBE_r11 dp_variants). The r11 shape
+    computes the banded distance inside one Generate node; this pin
+    fails if a refactor reintroduces a second evaluation site."""
+    for name in ("dedup_fuzzy_levenshtein", "dedup_fuzzy_groups"):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert plan.count("levenshtein") == 1, name
+        assert "Generate explode" in plan, name
+
+
+def test_semantic_cosine_single_evaluation_site(spark, q):
+    """Same guard for dedup_semantic's within-cell 64-dim decimal
+    cosine (projected-then-filtered before r11): exactly one aggregate
+    fold pair in the pairwise stage, inside a Generate node."""
+    plan = _plan(q["dedup_semantic"](spark, SF_DIR))
+    assert "Generate explode" in plan
+
+
+def test_paa_groups_candidate_join_is_narrow(spark, q):
+    """r11 narrow-fan-out guard: the PAA group gate's candidate join
+    must not carry the dense dv array through the (cells × salt)
+    x-side explode — dv re-attaches to lb2 survivors by id. The
+    explode Generate nodes must therefore not reference dv."""
+    plan = _plan(q["timeseries_paa_groups"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            assert "dv#" not in line, line
