@@ -6543,20 +6543,25 @@ _TS_SALT_MAX = 64
 
 
 #: per-application memo of the PAA family's shared upstream —
-#: (fingerprint, max_d, persisted dense-series DataFrame), ONE entry
-#: per application (ADVICE r10: unbounded entries + non-recomputable
-#: localCheckpoint blocks accumulated across the probe's replica
-#: corpora and risked storage-eviction job failure). The three PAA
-#: gates derive from ONE events→daily→dense-vector pipeline; without
-#: the memo each gate (and each bench sample) re-pays the full events
-#: scan + two shuffles + the map-build just to reach its own collapse.
-#: Keyed on the Spark application id (a persisted DataFrame dies with
-#: its session); the stored fingerprint (size+mtime per file — zero
-#: Spark jobs) detects corpus switches, and the OLD entry is
-#: unpersisted on replacement. The blocks are persist() (not
-#: localCheckpoint) blocks: evictable under storage pressure — a miss
-#: recomputes from lineage instead of failing the job — and cleanly
-#: releasable from the DataFrame handle.
+#: (fingerprint, max_d, lazily-checkpointed dense-series DataFrame),
+#: ONE entry per application (ADVICE r10: unbounded entries let
+#: non-recomputable localCheckpoint blocks accumulate across the
+#: probe's replica corpora and risk storage-eviction job failure).
+#: The three PAA gates derive from ONE events→daily→dense-vector
+#: pipeline; without the memo each gate (and each bench sample)
+#: re-pays the full events scan + two shuffles + the map-build just
+#: to reach its own collapse. Keyed on the Spark application id (the
+#: blocks die with the session); the stored fingerprint (size+mtime
+#: per file — zero Spark jobs) detects corpus switches, and the OLD
+#: entry's reference is dropped on replacement so Spark's
+#: ContextCleaner reclaims its blocks (weak-reference cleanup — the
+#: same mechanism that collects any orphaned cached RDD). The
+#: materialization stays localCheckpoint, NOT persist(): the r11 A/B
+#: measured the persisted form 1.7 s/invocation slower on
+#: timeseries_paa_topk (9.2 vs 7.5 s warm — three window consumers
+#: re-read the upstream per invocation, and the checkpointed
+#: serialized partitions read back cheaper than the InMemoryRelation
+#: scan).
 _PAA_VEC_MEMO: dict[str, tuple] = {}
 
 
@@ -6583,10 +6588,10 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
     zeros; per-day sums exact-decimal then double — the order-free
     contract every family oracle replays) plus the driver-side
     ``max_d`` the dense length derives from. Returns
-    ``(max_d, vec)`` where ``vec`` is (user_id, dv) persisted lazily,
-    so repeat invocations — the other family gates, or bench's 3
-    samples — reuse one materialization instead of re-paying the
-    events scan + two shuffles per query."""
+    ``(max_d, vec)`` where ``vec`` is (user_id, dv) behind one LAZY
+    lineage cut, so repeat invocations — the other family gates, or
+    bench's 3 samples — reuse one materialization instead of re-paying
+    the events scan + two shuffles per query."""
     app = spark.sparkContext.applicationId
     fp = _ev_fingerprint(sf_dir)
     hit = _PAA_VEC_MEMO.get(app)
@@ -6594,11 +6599,9 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
         if hit[0] == fp:
             return hit[1], hit[2]
         # corpus switched within the session (the scale probe's replica
-        # dirs): release the old blocks before building the new entry
-        try:
-            hit[2].unpersist()
-        except Exception:  # noqa: BLE001 — best-effort release
-            pass
+        # dirs): drop the old entry's reference so ContextCleaner
+        # reclaims its checkpoint blocks (ADVICE r10 — bounds live
+        # entries at one per application)
         del _PAA_VEC_MEMO[app]
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -6624,8 +6627,8 @@ def _paa_vec(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
                 " i -> coalesce(mp[i], cast(0 as double)))"
             ).alias("dv"),
         )
-        .persist()
     )
+    vec = truncate_lineage(vec, eager=False)
     _PAA_VEC_MEMO[app] = (fp, max_d, vec)
     return max_d, vec
 
