@@ -187,3 +187,25 @@ def test_novelty_first_doc_is_fully_novel(spark, q):
     assert float(first.novelty_ratio) == 1.0
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_paa_vec_memo_single_entry_and_corpus_switch(spark):
+    """ADVICE r10: the PAA upstream memo keeps ONE live entry per
+    application — switching corpora within a session replaces the
+    entry (old reference dropped for ContextCleaner) and returns the
+    new corpus's derivation, not a stale hit."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries as X
+
+    app = spark.sparkContext.applicationId
+    X._PAA_VEC_MEMO.pop(app, None)
+    d1, v1 = X._paa_vec(spark, "/root/testdata/sf0.001")
+    assert list(X._PAA_VEC_MEMO) == [app]
+    # warm hit: identical objects back
+    d1b, v1b = X._paa_vec(spark, "/root/testdata/sf0.001")
+    assert d1b == d1 and v1b is v1
+    # corpus switch: single entry replaced, derivation recomputed
+    d2, v2 = X._paa_vec(spark, "/root/testdata/sf0.01")
+    assert list(X._PAA_VEC_MEMO) == [app]
+    assert v2 is not v1
+    assert v2.count() > v1.count()  # 10x corpus has more users
+    X._PAA_VEC_MEMO.pop(app, None)
