@@ -277,12 +277,15 @@ def test_semantic_cosine_single_evaluation_site(spark, q):
     assert "Generate explode" in plan
 
 
-def test_paa_groups_candidate_join_is_narrow(spark, q):
-    """r11 narrow-fan-out guard: the PAA group gate's candidate join
-    must not carry the dense dv array through the (cells × salt)
-    x-side explode — dv re-attaches to lb2 survivors by id. The
-    explode Generate nodes must therefore not reference dv."""
-    plan = _plan(q["timeseries_paa_groups"](spark, SF_DIR))
-    for line in plan.splitlines():
-        if "Generate explode" in line:
-            assert "dv#" not in line, line
+def test_paa_candidate_joins_are_narrow(spark, q):
+    """r11 narrow-fan-out guard: the PAA groups and similarity gates'
+    candidate joins must not carry the dense dv array through the
+    (cells × salt) x-side explode — dv re-attaches to lb2 survivors
+    by id. The explode Generate nodes must therefore not reference dv.
+    (timeseries_paa_topk intentionally carries dv: it has no lb2
+    threshold, so every candidate needs the exact distance.)"""
+    for name in ("timeseries_paa_groups", "timeseries_paa_similarity"):
+        plan = _plan(q[name](spark, SF_DIR))
+        for line in plan.splitlines():
+            if "Generate explode" in line:
+                assert "dv#" not in line, (name, line)
