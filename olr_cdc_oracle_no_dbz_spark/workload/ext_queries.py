@@ -4042,9 +4042,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("b.vec_id").alias("vec_id"),
         F.col("b.cent_id").alias("cent_id"),
-        F.explode(
-            F.filter(F.array(cos), lambda x: x >= thr)
-        ).alias("cos_sim"),
+        _single_eval(cos, lambda x: x >= thr).alias("cos_sim"),
     )
     return (
         pairs.groupBy("vec_id", "cent_id")
@@ -7960,6 +7958,24 @@ _FUZZY_PROBE_CHARS = " etaoins"
 _FUZZY_PROBE_BIGRAMS = ("er", "e ", "st", "or", "in", "at", "al", "ar")
 
 
+def _single_eval(expr, keep):
+    """Evaluate an EXPENSIVE expression exactly once per row and drop
+    rows failing ``keep`` — the r11 double-evaluation fix as a named
+    idiom. Catalyst pushes a Filter through a Project by INLINING the
+    projected expression into the predicate, so the natural
+    select-then-filter shape evaluates the expression TWICE on every
+    surviving row (measured 47.5 s vs 27.1 s for the fuzzy family's
+    banded Levenshtein on the overlap ×4 candidate join —
+    SCALING_PROBE_r11 dp_variants). Computing the value inside
+    array(), filtering the singleton row-locally, and exploding makes
+    the Generate node the single evaluation site: a row failing
+    ``keep`` yields an empty array and simply disappears, with nothing
+    for the optimizer to duplicate. Use for per-candidate distance/
+    similarity refines; cheap expressions don't need it (predicate
+    duplication of a count ratio or a popcount costs nanoseconds)."""
+    return F.explode(F.filter(F.array(expr), keep))
+
+
 def _fuzzy_probe_cols(head: str = "head") -> list:
     """Per-distinct-head columns feeding the Levenshtein lower bound:
     the head length, the probe-character count vector, and the probe-
@@ -8126,15 +8142,11 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.gid").alias("ga"),
             F.col("b.gid").alias("gb"),
-            F.explode(
-                F.filter(
-                    F.array(
-                        F.levenshtein(
-                            F.col("a.head"), F.col("b.head"), 40
-                        ).cast("bigint")
-                    ),
-                    lambda x: x >= 0,
-                )
+            _single_eval(
+                F.levenshtein(
+                    F.col("a.head"), F.col("b.head"), 40
+                ).cast("bigint"),
+                lambda x: x >= 0,
             ).alias("edit_dist"),
         )
     )
@@ -8442,15 +8454,11 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.gid").alias("group_b"),
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
-            F.explode(
-                F.filter(
-                    F.array(
-                        F.levenshtein(
-                            F.col("a.head"), F.col("b.head"), 40
-                        ).cast("bigint")
-                    ),
-                    lambda x: x >= 0,
-                )
+            _single_eval(
+                F.levenshtein(
+                    F.col("a.head"), F.col("b.head"), 40
+                ).cast("bigint"),
+                lambda x: x >= 0,
             ).alias("edit_dist"),
             (F.col("a.n") * F.col("b.n")).cast("bigint").alias(
                 "n_member_pairs"
