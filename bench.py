@@ -108,6 +108,9 @@ EXTENDED = [
     "dedup_simhash_groups",    # group-pair contract (SimHash family)
     "dedup_embedding_cosine_topk",    # bounded-output embedding near-dup
     "dedup_embedding_cosine_groups",  # group-pair contract (embedding family)
+    # round-11 addition: multi-key blocking composition with recall
+    # provenance (the EXT-scale-shot named-cause answer)
+    "dedup_fuzzy_multiblock",
 ]
 
 

@@ -8487,6 +8487,161 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_fuzzy_multiblock",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ')[1] AS b1,
+               string_split(text, ' ')[-1] AS b2,
+               substr(text, 1, 80) AS head
+        FROM documents
+    ),
+    g AS (
+        SELECT b1, b2, head, MIN(doc_id) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY b1, b2, head
+    ),
+    k1 AS (
+        SELECT a.gid AS group_a, b.gid AS group_b, a.n AS n_a, b.n AS n_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
+               CAST(a.n * b.n AS BIGINT) AS n_member_pairs,
+               'first_word' AS via
+        FROM g a JOIN g b ON a.b1 = b.b1 AND a.gid < b.gid
+        WHERE levenshtein(a.head, b.head) <= 40
+    ),
+    k2 AS (
+        SELECT a.gid AS group_a, b.gid AS group_b, a.n AS n_a, b.n AS n_b,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
+               CAST(a.n * b.n AS BIGINT) AS n_member_pairs,
+               'last_word' AS via
+        FROM g a JOIN g b ON a.b2 = b.b2 AND a.gid < b.gid
+        WHERE levenshtein(a.head, b.head) <= 40
+    ),
+    crossp AS (
+        SELECT group_a, group_b, n_a, n_b, edit_dist, n_member_pairs,
+               string_agg(DISTINCT via, ',' ORDER BY via) AS via
+        FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+        GROUP BY group_a, group_b, n_a, n_b, edit_dist, n_member_pairs
+    ),
+    selfp AS (
+        SELECT gid AS group_a, gid AS group_b, n AS n_a, n AS n_b,
+               CAST(0 AS BIGINT) AS edit_dist,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n_member_pairs,
+               'twin' AS via
+        FROM g WHERE n > 1
+    )
+    SELECT group_a, group_b, n_a, n_b, edit_dist,
+           (edit_dist <= 20) AS is_near, n_member_pairs, via
+    FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp)
+    """,
+)
+def dedup_fuzzy_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-KEY blocking for the fuzzy family — the recall/cost
+    composition the single-key gates document but did not ship
+    (production record linkage unions several block keys so one
+    noisy field cannot hide a match; the same composition
+    ``dedup_overlap_report`` demonstrates for the shingle family).
+    Candidates come from FIRST-WORD blocking ∪ LAST-WORD blocking;
+    the emitted relation is ``dedup_fuzzy_groups``' group-pair
+    contract plus a ``via`` provenance column (``first_word``,
+    ``last_word``, or both, comma-joined; ``twin`` for self-rows) —
+    so the report doubles as the recall-attribution receipt for the
+    key set: pairs found only via ``last_word`` are exactly the
+    recall a single-key deployment forfeits.
+
+    Motivated by EXT_SCALE_SHOT_r11's named cause: on a CLOSED
+    blocking-key vocabulary, single-key block occupancy grows with
+    the corpus and candidates grow ~N² per block; unioning keys does
+    not fix occupancy, but it is the standard recall lever, and its
+    COST composition (two bounded equi-joins + a distinct, never an
+    OR-join — Spark would execute an OR-equi-join as a nested-loop
+    product) is what this gate pins.
+
+    Scale: the collapse groups on (b1, b2, head), so both joins touch
+    one row per distinct content; each key's join is the single-key
+    gate's plan (block-key repartition, theorem lower bound, r11
+    single-site banded DP); the union dedups on the narrow group-pair
+    tuple (the DP re-runs only for pairs found by BOTH keys, bounded
+    by the smaller key's output). The ORACLE replays both joins and
+    the provenance aggregation naively."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").getItem(0).alias("b1"),
+        F.element_at(F.split("text", " "), -1).alias("b2"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    g = d.groupBy("b1", "b2", "head").agg(
+        F.min("doc_id").alias("gid"), F.count("*").alias("n")
+    ).select("b1", "b2", "head", "gid", "n", *_fuzzy_probe_cols())
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    lb = _fuzzy_lb(
+        "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"
+    )
+
+    def key_join(key: str, via: str) -> DataFrame:
+        a = g.repartition(n_part, key).alias("a")
+        b = g.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"b.{key}") == F.col(f"a.{key}"))
+                & (F.col("a.gid") < F.col("b.gid")),
+            )
+            .filter(lb <= 40)
+            .select(
+                F.col("a.gid").alias("group_a"),
+                F.col("b.gid").alias("group_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+                _single_eval(
+                    F.levenshtein(
+                        F.col("a.head"), F.col("b.head"), 40
+                    ).cast("bigint"),
+                    lambda x: x >= 0,
+                ).alias("edit_dist"),
+                (F.col("a.n") * F.col("b.n")).cast("bigint").alias(
+                    "n_member_pairs"
+                ),
+                F.lit(via).alias("via"),
+            )
+        )
+
+    crossp = (
+        key_join("b1", "first_word")
+        .unionAll(key_join("b2", "last_word"))
+        .groupBy(
+            "group_a", "group_b", "n_a", "n_b", "edit_dist",
+            "n_member_pairs",
+        )
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("via"))
+            ).alias("via")
+        )
+    )
+    selfp = g.filter(F.col("n") > 1).select(
+        F.col("gid").alias("group_a"),
+        F.col("gid").alias("group_b"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        F.lit(0).cast("bigint").alias("edit_dist"),
+        F.expr("CAST((n * (n - 1)) DIV 2 AS BIGINT)").alias(
+            "n_member_pairs"
+        ),
+        F.lit("twin").alias("via"),
+    )
+    return crossp.unionAll(selfp).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "edit_dist",
+        (F.col("edit_dist") <= 20).alias("is_near"),
+        "n_member_pairs",
+        "via",
+    )
+
+
+@register(
     "multimodal_exact_dedup",
     oracle="""
     WITH blobs AS (
