@@ -119,6 +119,9 @@ QUERIES = [
     "dedup_simhash_groups",
     "dedup_embedding_cosine_topk",
     "dedup_embedding_cosine_groups",
+    # round-11: multi-key blocking composition (two single-key joins +
+    # distinct — its exponent should track dedup_fuzzy_groups')
+    "dedup_fuzzy_multiblock",
 ]
 
 _VOWELS = "aeiou"
