@@ -6891,9 +6891,11 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ga",
             "gb",
             "paa_lb2",
-            (F.col("na") + F.col("nb") - 2 * cross).alias("dist2"),
+            _single_eval(
+                F.col("na") + F.col("nb") - 2 * cross,
+                lambda x: x <= F.lit(_TS_T2),
+            ).alias("dist2"),
         )
-        .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
     ma = members.select(F.col("gid").alias("ga"), F.col("user_id").alias("xa"))
     mb = members.select(F.col("gid").alias("gb"), F.col("user_id").alias("xb"))
@@ -7158,12 +7160,14 @@ def timeseries_paa_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "paa_lb2",
-            (F.col("na") + F.col("nb") - 2 * cross_term).alias("dist2"),
+            _single_eval(
+                F.col("na") + F.col("nb") - 2 * cross_term,
+                lambda x: x <= F.lit(_TS_T2),
+            ).alias("dist2"),
             (F.col("n_a") * F.col("n_b")).cast("bigint").alias(
                 "n_member_pairs"
             ),
         )
-        .filter(F.col("dist2") <= F.lit(_TS_T2))
     )
     # self-rows come from the CHECKPOINTED block (it carries gid and
     # n), not from grp — reading grp here would recompute the whole
