@@ -99,7 +99,12 @@ _FORMAT_VERSION = 6
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").select(
+    # _spread (r11): the embeddings parquet is a single row group —
+    # one scan partition — so training assignment, PQ encode, and the
+    # postings/codes writes would all serialize in one task without it
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import _spread
+
+    return _spread(t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),

@@ -1522,7 +1522,14 @@ def cdc_interval_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     micros_val = (eid * 1234567) % 200000000000 - 100000000000
     months_val = (eid % 500) - 250
-    base = t(spark, sf_dir, "events").select(
+    # _spread (r11): the events parquet is a single row group — one
+    # scan partition — and this gate is a pure per-row projection with
+    # a heavy expression tree (4 interval decodes + 4 ISO renders), so
+    # without the repartition the whole query serializes in one task
+    # (measured 4.1 s warm → ~1.3 s)
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import _spread
+
+    base = _spread(t(spark, sf_dir, "events"), "event_id").select(
         "event_id",
         decode_dts(dts_wire).alias("dts"),
         decode_ytm(ytm_wire).alias("ytm"),

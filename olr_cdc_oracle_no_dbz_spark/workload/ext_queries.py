@@ -47,8 +47,15 @@ def _shingle_expr(k: int) -> str:
 
 def _shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(doc_id, s): distinct k-shingles per document. Guard against
-    short docs — Spark's sequence(1, n) runs DESCENDING for n < 1."""
-    d = t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    short docs — Spark's sequence(1, n) runs DESCENDING for n < 1.
+    The doc table is _spread before the explode: the gate-scale
+    parquet arrives as ONE scan partition, so the shingle fan-out and
+    the per-shingle md5 hashing downstream would otherwise run in a
+    single task (the r11 `_spread` finding; identical rows, tasks ×
+    parallelism)."""
+    d = _spread(
+        t(spark, sf_dir, "documents"), "doc_id"
+    ).withColumn("w", F.split("text", " "))
     sh = F.when(F.size("w") >= k, F.expr(_shingle_expr(k))).otherwise(
         F.array().cast("array<string>")
     )
@@ -362,7 +369,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
         for b in range(_MINHASH_BANDS)
     )
-    bands = mh.selectExpr(
+    # _spread (r11): mh is a small aggregate AQE coalesces to ~1
+    # partition; the band self-join would enumerate pairs on one task
+    bands = _spread(mh, "doc_id").selectExpr(
         "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
     x, y = bands.alias("x"), bands.alias("y")
@@ -416,7 +425,10 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
     offsets, the band count) is a cross-engine protocol — a tuning
     change applied to one family member and missed in another would
     silently desynchronize their candidate sets (r9 code review)."""
-    rsh = reps.withColumn("w", F.split("text", " ")).select(
+    # _spread (r11): the rep table reaches here AQE-coalesced to ~1
+    # partition; without the repartition the shingle explode + 4-md5
+    # signature hashing serializes in one task (_spread docstring).
+    rsh = _spread(reps, "gid").withColumn("w", F.split("text", " ")).select(
         "gid",
         F.explode(
             F.when(F.size("w") >= 3, F.expr(_shingle_expr(3))).otherwise(
@@ -442,7 +454,7 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
         for b in range(_MINHASH_BANDS)
     )
-    bands = mh.selectExpr(
+    bands = _spread(mh, "gid").selectExpr(
         "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
     bx, by = bands.alias("bx"), bands.alias("by")
@@ -1069,7 +1081,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
         for b in range(_MINHASH_BANDS)
     )
-    bands = mh.selectExpr(
+    # _spread (r11): mh is a small aggregate AQE coalesces to ~1
+    # partition; the band self-join would enumerate pairs on one task
+    bands = _spread(mh, "doc_id").selectExpr(
         "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
     x, y = bands.alias("x"), bands.alias("y")
@@ -1183,8 +1197,12 @@ def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int
     oracle replays width and offsets via CTEs ``shp``/``goff``."""
     w = _simhash_band_w(n)
     nbits = _SIMHASH_BANDS * w
+    # _spread (r11): the doc/rep table arrives as one scan partition
+    # (or AQE-coalesced to one), so the token explode + chained-md5
+    # bit sums would serialize in a single task without it
     tok = (
-        d.select("doc_id", tokens.alias("tk"))
+        _spread(d, "doc_id")
+        .select("doc_id", tokens.alias("tk"))
         .groupBy("doc_id", F.expr(_SPARK_SIMHASH_HV).alias("hv"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -1198,8 +1216,13 @@ def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int
 
 def _simhash_cand(sig: DataFrame, w: int) -> DataFrame:
     """Banded candidate pairs (a_id, xsig, b_id, ysig) from a signature
-    DataFrame: explode 4 w-bit bands, equi-join on (band_idx, band)."""
-    bands = sig.selectExpr("doc_id", "sig", _simhash_band_stack(w))
+    DataFrame: explode 4 w-bit bands, equi-join on (band_idx, band).
+    The signature table is _spread first — it emerges from the
+    mean-centering broadcast join AQE-coalesced to ~1 partition, which
+    would serialize the band self-join's pair enumeration (r11)."""
+    bands = _spread(sig, "doc_id").selectExpr(
+        "doc_id", "sig", _simhash_band_stack(w)
+    )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -1472,7 +1495,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     check vacuous)."""
     emb = t(spark, sf_dir, "embeddings")
     bits = _sign_bits(emb.count())
-    e = emb.select(
+    # _spread (r11): the embeddings parquet arrives as one scan
+    # partition; the bucket join and per-pair cosine folds downstream
+    # would otherwise run in a single task
+    e = _spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
@@ -1622,7 +1648,7 @@ def dedup_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second cut: e feeds both bucket-join sides AND the self-cosine —
     # three consumers of the 32-plane sign projection otherwise
     e = truncate_lineage(
-        reps.select(
+        _spread(reps, "gid").select(
             "gid",
             "v",
             F.expr(_sign_bucket(bits).format(v="v")).alias("bucket"),
@@ -1758,10 +1784,16 @@ def dedup_embedding_cosine_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     # the cut and every downstream consumer — both join sides and the
     # self-rows — reuses the collapsed blocks instead of re-running
     # the groupBy (the sibling topk gate's `ranked`-before-count shape)
+    # _spread (r11): checkpoint the collapse at default parallelism —
+    # AQE coalesces the small aggregate to ~1 partition, serializing
+    # the bucket self-join and every cosine fold downstream
     g = truncate_lineage(
-        emb.groupBy("embedding").agg(
-            F.min("vec_id").alias("gid"),
-            F.count("*").cast("long").alias("n"),
+        _spread(
+            emb.groupBy("embedding").agg(
+                F.min("vec_id").alias("gid"),
+                F.count("*").cast("long").alias("n"),
+            ),
+            "gid",
         ),
         eager=False,
     )
@@ -2032,10 +2064,10 @@ def _nearest_cent(
 _TRAIN_MEMO: dict[tuple, list] = {}
 
 
-def _emb_fingerprint(sf_dir: str) -> tuple:
-    """Driver-side fingerprint of the vector table: (relpath, size,
-    mtime_ns) per file under embeddings.parquet. Zero Spark jobs."""
-    root = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+def _table_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Driver-side fingerprint of one parquet table: (relpath, size,
+    mtime_ns) per file under <table>.parquet. Zero Spark jobs."""
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     if os.path.isfile(root):
         st = os.stat(root)
         return (("", st.st_size, st.st_mtime_ns),)
@@ -2046,6 +2078,11 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
             st = os.stat(p)
             out.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
     return tuple(out)
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """Fingerprint of the vector table (see _table_fingerprint)."""
+    return _table_fingerprint(sf_dir, "embeddings")
 
 
 def _memo_count(e: DataFrame, memo: tuple | None) -> int:
@@ -2283,7 +2320,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same COUNT(*) on both sides), and each query searches only its own
     cell. Assignment is a broadcast K×N pass; search cost scales with
     the ~128-vector cell size, constant per row as N grows."""
-    e = t(spark, sf_dir, "embeddings").select(
+    # _spread (r11): one-partition scan would serialize assignment and
+    # the within-cell pairwise stage
+    e = _spread(t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
@@ -2483,7 +2522,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-centroid; the join shape is identical.)"""
     emb = t(spark, sf_dir, "embeddings")
     bits = _sign_bits(emb.count())
-    e = emb.select(
+    # _spread (r11): the embeddings parquet arrives as one scan
+    # partition; the bucket join and per-pair cosine folds downstream
+    # would otherwise run in a single task
+    e = _spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
@@ -2584,7 +2626,9 @@ def ann_topk_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, candidate) pairs — never all-pairs."""
     emb = t(spark, sf_dir, "embeddings")
     bits = _band_bits(emb.count())
-    e = emb.select(
+    # _spread (r11): one-partition scan would serialize the banded
+    # candidate joins and cosine folds downstream
+    e = _spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
@@ -4015,7 +4059,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in N — where the old fixed K=8 measured alpha=1.55 on 4x
     data (SCALING_PROBE_r5). The oracle derives the same K via
     GREATEST(8, (COUNT(*)+127)//128), so parity holds at every N."""
-    e = t(spark, sf_dir, "embeddings").select(
+    # _spread (r11): one-partition scan would serialize assignment and
+    # the within-cell pairwise stage
+    e = _spread(t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
@@ -4517,7 +4563,14 @@ def _pq_assign_join(
         f"CAST(__svsq - 2 * {_DOT.format(a='sv', b='cv')}"
         f" + cvsq AS DECIMAL(16,8))"
     )
-    base = subs.withColumn("__svsq", F.expr(_DOT.format(a="sv", b="sv")))
+    # _spread (r11): subvector rows descend from a one-partition scan
+    # (or an AQE-coalesced exchange), which would serialize the grid
+    # join, the argmin partial aggregates, and the anti-join fallback
+    # in a single task — for the full corpus AND for every Lloyd
+    # training iteration that goes through this assigner
+    base = _spread(subs, "vec_id", "sub_idx").withColumn(
+        "__svsq", F.expr(_DOT.format(a="sv", b="sv"))
+    )
 
     def best_of(joined: DataFrame, extra_keys: list[str] = []) -> DataFrame:
         return (
@@ -4988,7 +5041,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     n = _memo_count(emb, _emb_fingerprint(sf_dir))
     bits = _sign_bits(n)
-    e = emb.select(
+    # _spread (r11): the embeddings parquet arrives as one scan
+    # partition; the bucket join and per-pair cosine folds downstream
+    # would otherwise run in a single task
+    e = _spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
@@ -5269,7 +5325,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. Distances compare as DECIMAL(16,8) from the exact-decimal
     dot identity, so the training trajectory, every code, and the
     reconstruction error replay bit-identically in the oracle."""
-    e = t(spark, sf_dir, "embeddings")
+    e = _spread(t(spark, sf_dir, "embeddings"), "vec_id")
     stack_args = ", ".join(
         f"{s}, slice(embedding, {s * _PQ_SUB + 1}, {_PQ_SUB})"
         for s in range(_PQ_M)
@@ -5404,7 +5460,9 @@ def _ivfpq_compose(
     fans each query out to its ``nprobe`` nearest cells
     (``_top_cells_inline``) and widens the ADC shortlist by the same
     factor — the same fraction of the probed population."""
-    e = t(spark, sf_dir, "embeddings").select(
+    # _spread (r11): one-partition scan would serialize the coarse
+    # assignment, the ADC join, and the shortlist windows downstream
+    e = _spread(t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         _dot("embedding", "embedding").alias("nsq"),
@@ -6263,7 +6321,10 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     join cost per row — stays constant as N grows."""
     emb = t(spark, sf_dir, "embeddings")
     bits = _sign_bits(emb.count())
-    e = emb.select(
+    # _spread (r11): the embeddings parquet arrives as one scan
+    # partition; the bucket join and per-pair cosine folds downstream
+    # would otherwise run in a single task
+    e = _spread(emb, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.expr(_sign_bucket(bits).format(v="embedding")).alias("bucket"),
@@ -6654,6 +6715,28 @@ def _paa_unrolled_lb2(xs: str, ys: str, n_seg: int):
     return F.lit(5.0) * t
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Restore task parallelism ahead of a fan-out stage (r11 finding,
+    measured on ``timeseries_paa_topk``): a collapsed representative
+    table is small, so AQE coalesces its exchange to ONE partition —
+    and the cell/salt explode, the candidate join, the distance folds,
+    and the ranking window that follow all inherit that single
+    partition, serializing ~1.1 M candidate evaluations on one core
+    (the broadcast-join output keeps the probe side's partitioning, so
+    the `_ts_salt` fan-out spread work across SALT VALUES but never
+    across TASKS). One explicit hash repartition of the rep table to
+    the session's default parallelism fixes every downstream stage:
+    the topk gate's candidate fold measured 3.2 s → 0.75 s and its
+    ranking window 5.2 s → 0.81 s at sf0.1. Distribution-only — the
+    emitted rows are partitioning-invariant, so oracles are unchanged.
+    At cluster scale a rep table above ~cores rows gets the same
+    treatment (repartition to total cores is the standard fan-out
+    width); the keyed form keeps co-location deterministic."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(k) for k in keys]
+    return df.repartition(p, *cols) if cols else df.repartition(p)
+
+
 def _ts_salt(max_occ: int) -> int:
     """Band-join salt fan-out DERIVED from the measured hot-band
     occupancy (VERDICT r8 item 3 — replaces the pinned 32, which at
@@ -6825,8 +6908,13 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolling it drops the stage out of JIT (the groups gate's
     # measured rejection).
     two_d = n_seg >= 2
+    # _spread (r11): checkpoint the rep table at default parallelism,
+    # not at the 1 partition AQE coalesces its collapse to — every
+    # downstream stage (cell/salt explode, candidate join, distance
+    # folds, ranking window, re-attach) inherits the width (measured
+    # receipt in _spread's docstring).
     block = truncate_lineage(
-        grp.select(
+        _spread(grp, "gid").select(
             "gid",
             F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b"),
             (
@@ -7074,8 +7162,13 @@ def timeseries_paa_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     two_d = n_seg >= 2
+    # _spread (r11): checkpoint the rep table at default parallelism,
+    # not at the 1 partition AQE coalesces its collapse to — every
+    # downstream stage (cell/salt explode, candidate join, distance
+    # folds, ranking window, re-attach) inherits the width (measured
+    # receipt in _spread's docstring).
     block = truncate_lineage(
-        grp.select(
+        _spread(grp, "gid").select(
             "gid",
             "n",
             F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b"),
@@ -7328,8 +7421,12 @@ def timeseries_paa_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # while a genuinely hot cell re-grows it). The lineage cut shares
     # one materialization of the rep table between the occupancy probe
     # and both join sides.
+    # _spread (r11): checkpoint the rep table at default parallelism,
+    # not at the 1 partition AQE coalesces its collapse to — the gate
+    # this pathology was MEASURED on (candidate fold 3.2 s → 0.75 s,
+    # ranking window 5.2 s → 0.81 s at sf0.1; _spread's docstring).
     block = truncate_lineage(
-        reps.select(
+        _spread(reps, "gid").select(
             "gid",
             F.floor(F.element_at("pv", 1) / _TS_W).cast("bigint").alias("b0"),
             F.floor(F.element_at("pv", 2) / _TS_W).cast("bigint").alias("b1"),
@@ -8046,6 +8143,84 @@ def _fuzzy_lb(la: str, lb: str, ca: str, cb: str,
     return F.greatest(*terms)
 
 
+_FUZZY_BLOCK_POP = 256  # target b-side reps per (block, salt) slice
+
+
+def _fuzzy_salt(
+    gq: DataFrame, key: str, tag: str, sf_dir: str, n_part: int
+) -> int:
+    """Occupancy-derived salt fan-out for a blocked self-join,
+    memoized per corpus (the ``_TRAIN_MEMO`` discipline): one KB-output
+    aggregate measures the hottest block's group count, and
+    S = ceil(max_occ / _FUZZY_BLOCK_POP) clamped to [1, n_part] is
+    cached under the documents fingerprint — so the probe job runs
+    once per corpus per process, bench medians are probe-free, and a
+    regenerated/replicated corpus is a guaranteed fresh measurement.
+    ``tag`` names the collapse the occupancy was measured over (the
+    same key column under a different group definition is a different
+    distribution)."""
+    fp = _table_fingerprint(sf_dir, "documents")
+    mk = ("fuzzy_salt", fp, key, tag, _FUZZY_BLOCK_POP, n_part)
+    hit = _TRAIN_MEMO.get(mk)
+    if hit is None:
+        occ = gq.groupBy(key).count().agg(F.max("count")).first()[0] or 0
+        hit = max(
+            1,
+            min(n_part, (occ + _FUZZY_BLOCK_POP - 1) // _FUZZY_BLOCK_POP),
+        )
+        _TRAIN_MEMO[mk] = hit
+    return hit
+
+
+def _salted_block_sides(gq: DataFrame, key: str, n_part: int, salt: int):
+    """Salt-split a blocked self-join so ONE hot block's pair
+    enumeration spreads across tasks (r11 — the PAA family's
+    ``_ts_salt`` discipline applied to the fuzzy family): hash-
+    repartitioning on the block key distributes BLOCKS, but a single
+    hot block's O(occ²) candidate pairs — and their banded DPs — all
+    land in one task. The overlap-mode probes run exactly this shape
+    (a closed ~30-word first-word vocabulary at every factor, so
+    K-fold growth deepens blocks instead of adding them), which is
+    where the family's 25–30 s ×4 wall times came from: ~19 effective
+    tasks with 2–4 hot blocks colliding into the largest.
+
+    ``salt`` comes from the memoized occupancy probe (``_fuzzy_salt``).
+    salt == 1 returns the EXACT r10 plan — block-key repartition, no
+    salt column, no extra operator (two earlier cuts of this helper
+    kept the salt machinery in-plan at S=1 and paid +0.6 s/gate at
+    sf0.1: ~0.3 s for an occupancy side-aggregate, ~0.3 s for the
+    wider join key — measured and removed). salt > 1: the a side
+    explodes salt ∈ [0, S) literals and the b side pins
+    salt = xxhash64(gid) % S, so each unordered pair meets exactly
+    once and a hot block's pairs split S ways across the (key, salt)
+    repartition. Distribution-only either way — the emitted rows are
+    salt-invariant, so the oracle replays nothing. Returns
+    (a, b, cond) with the (a.gid < b.gid) conjunct included."""
+    if salt == 1:
+        a = gq.repartition(n_part, F.col(key)).alias("a")
+        b = gq.alias("b")
+        cond = (F.col(f"b.{key}") == F.col(f"a.{key}")) & (
+            F.col("a.gid") < F.col("b.gid")
+        )
+        return a, b, cond
+    a = (
+        gq.withColumn(
+            "sbk", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        .repartition(n_part, F.col(key), F.col("sbk"))
+        .alias("a")
+    )
+    b = gq.withColumn(
+        "sbk", F.pmod(F.xxhash64("gid"), F.lit(salt)).cast("int")
+    ).alias("b")
+    cond = (
+        (F.col(f"b.{key}") == F.col(f"a.{key}"))
+        & (F.col("b.sbk") == F.col("a.sbk"))
+        & (F.col("a.gid") < F.col("b.gid"))
+    )
+    return a, b, cond
+
+
 @register(
     "dedup_fuzzy_levenshtein",
     oracle="""
@@ -8111,9 +8286,12 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 41s at sf0.1; 3.5s repartitioned). Hash-partitioning on the block
     # key is also the co-location a cluster deployment wants; width
     # follows the session's shuffle-partition setting, not a constant.
+    # r11: the repartition moves into _salted_block_sides, which also
+    # splits a single HOT block's enumeration across tasks (the
+    # overlap-mode skew the blk-hash alone cannot touch).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = g.repartition(n_part, "blk").alias("a")
-    b = g.alias("b")
+    salt = _fuzzy_salt(g, "blk", "blkhead", sf_dir, n_part)
+    a, b, cond = _salted_block_sides(g, "blk", n_part, salt)
     # r10 (VERDICT r9 item 2): the cheap lower bound discharges a pair
     # before the DP — the bound is a theorem (_fuzzy_lb, now with the
     # r11 bigram term that fires on reorder-adversarial pairs) and the
@@ -8137,11 +8315,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"
     )
     gpairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.gid") < F.col("b.gid")),
-        )
+        a.join(b, cond)
         .filter(lb <= 40)
         .select(
             F.col("a.gid").alias("ga"),
@@ -8265,8 +8439,9 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", F.col("doc_id").alias("member_id")
     )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    x = reps.repartition(n_part, "blk").alias("x")
-    y = reps.alias("y")
+    # r11: salt-split hot blocks across tasks (_salted_block_sides)
+    salt = _fuzzy_salt(reps, "blk", "blkhead", sf_dir, n_part)
+    x, y, cond = _salted_block_sides(reps, "blk", n_part, salt)
     # r10 mates-fill prune (VERDICT r9 item 2, the sound-and-FREE
     # slice): a group with gn ≥ 4 fills every member's top-3 with
     # distance-0 twin mates (cross-group distance is ≥ 1 by
@@ -8293,15 +8468,13 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # review — the != join evaluated levenshtein in both orders).
     undirected = x.join(
         y,
-        (F.col("y.blk") == F.col("x.blk"))
-        & (F.col("x.gid") < F.col("y.gid"))
-        & ((F.col("x.gn") <= 3) | (F.col("y.gn") <= 3)),
+        cond & ((F.col("a.gn") <= 3) | (F.col("b.gn") <= 3)),
     ).select(
-        F.col("x.gid").alias("g"),
-        F.col("y.gid").alias("h"),
-        F.col("x.gn").alias("gna"),
-        F.col("y.gn").alias("gnb"),
-        F.levenshtein(F.col("x.head"), F.col("y.head"))
+        F.col("a.gid").alias("g"),
+        F.col("b.gid").alias("h"),
+        F.col("a.gn").alias("gna"),
+        F.col("b.gn").alias("gnb"),
+        F.levenshtein(F.col("a.head"), F.col("b.head"))
         .cast("bigint")
         .alias("edit_dist"),
     )
@@ -8432,9 +8605,10 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy("blk", "head").agg(
         F.min("doc_id").alias("gid"), F.count("*").alias("n")
     ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols())
+    # r11: salt-split hot blocks across tasks (_salted_block_sides)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = g.repartition(n_part, "blk").alias("a")
-    b = g.alias("b")
+    salt = _fuzzy_salt(g, "blk", "blkhead", sf_dir, n_part)
+    a, b, cond = _salted_block_sides(g, "blk", n_part, salt)
     # r10 (VERDICT r9 item 2): theorem lower bound gates the DP; the
     # oracle keeps the naive WHERE, so the gate certifies the prune.
     # r11 (VERDICT r10 item 1): bigram term in the bound (fires on the
@@ -8447,11 +8621,7 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"
     )
     crossp = (
-        a.join(
-            b,
-            (F.col("b.blk") == F.col("a.blk"))
-            & (F.col("a.gid") < F.col("b.gid")),
-        )
+        a.join(b, cond)
         .filter(lb <= 40)
         .select(
             F.col("a.gid").alias("group_a"),
@@ -8582,14 +8752,11 @@ def dedup_fuzzy_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def key_join(key: str, via: str) -> DataFrame:
-        a = g.repartition(n_part, key).alias("a")
-        b = g.alias("b")
+        # r11: per-key salt-split of hot blocks (_salted_block_sides)
+        salt = _fuzzy_salt(g, key, "b1b2head", sf_dir, n_part)
+        a, b, cond = _salted_block_sides(g, key, n_part, salt)
         return (
-            a.join(
-                b,
-                (F.col(f"b.{key}") == F.col(f"a.{key}"))
-                & (F.col("a.gid") < F.col("b.gid")),
-            )
+            a.join(b, cond)
             .filter(lb <= 40)
             .select(
                 F.col("a.gid").alias("group_a"),

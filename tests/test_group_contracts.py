@@ -413,3 +413,36 @@ def test_fuzzy_multiblock_provenance_matches_single_key(spark, q):
         if r.via == "last_word" and r.group_a != r.group_b
     ]
     assert all(r.edit_dist <= 40 for r in last_only)
+
+
+def test_salted_block_sides_pair_set_salt_invariant(spark):
+    """r11: the fuzzy family's hot-block salt (_salted_block_sides) is
+    distribution-only — the (a.gid, b.gid) pair set from a salted join
+    (S > 1, the shape only probe-scale corpora reach) must equal the
+    unsalted S=1 plan's on a block distribution with one hot block.
+    Gate-scale corpora derive S=1, so without this pin the salted
+    branch would ship untested."""
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+        _salted_block_sides,
+    )
+
+    rows = [("hot", i, f"head{i}") for i in range(60)] + [
+        ("cold%d" % i, 100 + i, "x") for i in range(5)
+    ]
+    g = spark.createDataFrame(rows, "blk string, gid long, head string")
+
+    def pairs(salt):
+        a, b, cond = _salted_block_sides(g, "blk", 8, salt)
+        return sorted(
+            (r.ga, r.gb)
+            for r in a.join(b, cond)
+            .select(
+                F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
+            )
+            .collect()
+        )
+
+    base = pairs(1)
+    assert len(base) == 60 * 59 // 2 + 5 * 4 // 2 * 0  # hot block only
+    assert pairs(5) == base
+    assert pairs(8) == base
