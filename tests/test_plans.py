@@ -256,17 +256,19 @@ def test_hll_shuffle_carries_registers_not_rows(spark, q):
 
 
 def test_fuzzy_dp_single_evaluation_site(spark, q):
-    """r11 double-evaluation guard: Catalyst pushes a Filter through a
-    Project by INLINING the projected expression into the predicate,
-    so a select-then-filter on the Levenshtein column evaluates the DP
-    twice per surviving pair (measured 47.5 s vs 27.1 s on the overlap
-    ×4 candidate join — SCALING_PROBE_r11 dp_variants). The r11 shape
-    computes the banded distance inside one Generate node; this pin
-    fails if a refactor reintroduces a second evaluation site."""
+    """r11 double-evaluation guard, updated for the Arrow kernel: the
+    refine distance is now the Myers bit-parallel pandas UDF
+    (_lev_arrow), which Catalyst extracts into its own ArrowEvalPython
+    node — the threshold filter above it references the UDF's OUTPUT
+    column, so no inlining/duplication is possible (the r10
+    select-then-filter defect measured 47.5 s vs 27.1 s on the overlap
+    ×4 candidate join — SCALING_PROBE_r11 dp_variants). This pin fails
+    if a refactor swaps back to an inline JVM expression (which the
+    filter CAN duplicate) or adds a second kernel evaluation site."""
     for name in ("dedup_fuzzy_levenshtein", "dedup_fuzzy_groups"):
         plan = _plan(q[name](spark, SF_DIR))
-        assert plan.count("levenshtein") == 1, name
-        assert "Generate explode" in plan, name
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert "levenshtein" not in plan, name
 
 
 def test_semantic_cosine_single_evaluation_site(spark, q):
