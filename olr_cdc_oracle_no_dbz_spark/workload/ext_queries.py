@@ -3441,7 +3441,16 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes, embarrassingly parallel. The hash arithmetic is
     integer mod-math, bit-identical across engines by construction (no
     float, no locale)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 8)
+    # spread_scan (r11): the rolling hash over every stride-4 window is
+    # heavy per-row arithmetic; the one-partition gate scan would run
+    # it all in a single task (the "zero shuffles" claim below is about
+    # the OPERATOR — the conditional scan-spread is a no-op on any
+    # cluster-scale scan with real input splits)
+    from olr_cdc_oracle_no_dbz_spark.workload.util import spread_scan
+
+    d = spread_scan(
+        t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 8)
+    )
     return d.select(
         "doc_id",
         F.expr(

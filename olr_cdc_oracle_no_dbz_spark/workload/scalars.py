@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.workload import register
-from olr_cdc_oracle_no_dbz_spark.workload.util import t
+from olr_cdc_oracle_no_dbz_spark.workload.util import spread_scan, t
 
 
 @register(
@@ -164,7 +164,9 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: EXTRACTJSONFIELD/IS_JSON/keys via ``get_json_object``
     + ``from_json`` to a map (SURVEY.md §2.7; reference serde P6 uses the
     same from_json path, docker-compose-main.yml:161-163)."""
-    ev = t(spark, sf_dir, "events")
+    # spread_scan (r11): two JSON parses per row over a one-partition
+    # scan otherwise serialize in a single task
+    ev = spread_scan(t(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k")
     props_map = F.from_json("props", "map<string,int>")
     return ev.select(

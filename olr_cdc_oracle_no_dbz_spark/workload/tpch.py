@@ -13,7 +13,22 @@ from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.workload import register
-from olr_cdc_oracle_no_dbz_spark.workload.util import davg, dsum, sql_davg, sql_dsum, t
+from olr_cdc_oracle_no_dbz_spark.workload.util import (
+    davg,
+    dsum,
+    spread_scan,
+    sql_davg,
+    sql_dsum,
+    t,
+)
+
+
+def _fact(spark, sf_dir: str, name: str):
+    """Fact-table access: the two row-heavy tables get the
+    conditional scan-spread (util.spread_scan — single-row-group
+    gate files plan ONE scan partition, serializing every map-side
+    stage; a wide cluster scan passes through untouched)."""
+    return spread_scan(t(spark, sf_dir, name))
 
 
 @register(
@@ -36,7 +51,7 @@ from olr_cdc_oracle_no_dbz_spark.workload.util import davg, dsum, sql_davg, sql_
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-heavy group-aggregate (TPC-H Q1 shape). One shuffle, partial
     aggregation map-side; the shipdate filter reaches the parquet scan."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -72,7 +87,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet scan (PushedFilters), so at 100 TB the scan reads only
     row groups whose min/max statistics overlap — the pushdown-benefit
     showcase query."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -113,10 +128,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number with an orderkey tie-break (plain LIMIT is ambiguous under
     revenue ties, which would break differential checks)."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(
+    o = _fact(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = _fact(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -175,8 +190,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tie-break keeps the cut deterministic)."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _fact(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     agg = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -222,11 +237,11 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    o = t(spark, sf_dir, "orders").filter(
+    o = _fact(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     # orders is fact-sized: leave its join strategy to AQE (it broadcasts
     # at test scale, shuffles on l_orderkey at 100 TB); true dims are
     # explicit broadcasts.
@@ -266,11 +281,11 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join on the orderkey with a non-equi residual
     (l_shipdate > o_orderdate). The semi join shuffles on the equi key
     only; lineitem is never materialized into the output."""
-    o = t(spark, sf_dir, "orders").filter(
+    o = _fact(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     semi = o.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))
@@ -302,11 +317,11 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation) joined twice under different roles, with an inter-dimension
     residual (same region). Both nation copies and supplier broadcast;
     the fact shuffles only for the orders join + final agg."""
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = _fact(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     s = t(spark, sf_dir, "supplier")
-    o = t(spark, sf_dir, "orders")
+    o = _fact(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     n1 = n.select(
@@ -357,9 +372,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-share ratio (TPC-H Q8 shape): conditional aggregate over a
     five-way star join — share = conditional decimal-exact sum divided by
     the total, both sides of the division bit-deterministic."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    o = t(spark, sf_dir, "orders")
+    o = _fact(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -398,7 +413,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     orders must survive with count 0), then a second aggregation over the
     first's output — two shuffles, both on low-cardinality keys."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = _fact(spark, sf_dir, "orders")
     per_cust = (
         c.join(
             o,
@@ -430,7 +445,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion-revenue percentage (TPC-H Q14 shape): one-month fact
     slice (pushed to the scan) joined to a broadcast dimension, global
     conditional ratio in exact decimals."""
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = _fact(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
@@ -471,7 +486,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (global max) joined back against the same aggregate. The
     1-row max side is a broadcast nested-loop equality filter; exact
     decimal sums make the double equality safe cross-engine."""
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = _fact(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
@@ -515,7 +530,7 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the avg pass, so the partkey shuffle carries only the
     filtered brand's lineitems (~1/25 of the fact at 100 TB), not the
     whole table — per-part averages are identical either way."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     brand_li = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -552,8 +567,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume orders (TPC-H Q18 shape): HAVING over a fact
     aggregate (group-filter), then join back to orders/customer. The
     aggregate side shrinks to the qualifying keys before any join."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem")
+    o = _fact(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
@@ -593,7 +608,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing columns from both sides. Catalyst factors the per-side
     implied predicates (brand IN (...), size/quantity range unions) below
     the join, so each scan prunes before the broadcast probe."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     cond = (
         (
@@ -646,7 +661,7 @@ def tpch_q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against recent orders (the order-date filter pushes to the
     anti-join's build-side scan), grouped per market segment."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(
+    o = _fact(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
     )
     thresh = c.filter(F.col("c_acctbal") > 0).agg(
@@ -686,11 +701,11 @@ def tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dimensions against the fact, profit expression evaluated
     in identical IEEE order on both engines before the exact-decimal
     sum."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    o = t(spark, sf_dir, "orders")
+    o = _fact(spark, sf_dir, "orders")
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
@@ -728,8 +743,8 @@ def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag since the testdata has no l_shipmode): conditional
     integer aggregation after an orders⋈lineitem join; the year filter
     pushes to the lineitem scan."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(
+    o = _fact(spark, sf_dir, "orders")
+    li = _fact(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
@@ -768,7 +783,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppkey tie-break. The window partitions on partkey (millions of
     small partitions at scale, never a global sort); the part filter
     broadcasts before the fact is touched."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_size") >= 40) & (F.col("p_type") == "STANDARD")
     )
@@ -824,7 +839,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata's near-uniform part values top out around 1.9x mean, so a
     TPC-H-style tiny-fraction-of-total cut would select nothing at any
     SF."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(
             (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")
@@ -869,7 +884,7 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the excluded-supplier list, multi-attribute part filter broadcast
     onto the fact, COUNT(DISTINCT) per group. The anti join's build
     side is a filtered 100-row dimension — broadcast, no shuffle."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "SMALL")
@@ -926,7 +941,7 @@ def tpch_q20_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     the nation-filtered supplier dimension. Both dimension joins
     broadcast; the only shuffles are the two bounded aggregates on the
     filtered fact slice."""
-    li = t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     shipped = (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -1012,8 +1027,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated EXISTS form, so the differential gate proves the
     decorrelation equivalent. Deterministic top-20 via orderBy+limit
     (TakeOrderedAndProject)."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _fact(spark, sf_dir, "lineitem")
+    o = _fact(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
     joined = li.join(
         o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey")
