@@ -446,3 +446,101 @@ def test_salted_block_sides_pair_set_salt_invariant(spark):
     assert len(base) == 60 * 59 // 2 + 5 * 4 // 2 * 0  # hot block only
     assert pairs(5) == base
     assert pairs(8) == base
+
+    # r12 (ADVICE): past _FUZZY_BCAST_MAX_GROUPS the explicit
+    # broadcast hint is dropped — a rep table past executor memory
+    # must degrade to a co-partitioned shuffle join, not force-collect
+    # — with the identical pair set in both the S=1 and salted shapes.
+    def join_nb(salt):
+        a, b, cond = _salted_block_sides(g, "blk", 8, salt, 10**9)
+        return a.join(b, cond).select(
+            F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
+        )
+
+    for s in (1, 5):
+        j = join_nb(s)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, s
+        assert sorted((r.ga, r.gb) for r in j.collect()) == base, s
+
+
+def test_lev_arrow_kernel_exact_vs_reference(spark):
+    """r12 (ADVICE r11): the Myers bit-parallel kernel (_lev_arrow) is
+    exactness-critical — this is the adversarial VALUE pin its
+    docstring promises. Reference is a classic Wagner–Fischer DP in
+    pure Python (independent of both the kernel's bit algebra and its
+    row-DP fallback): random variable-length ASCII, multi-byte
+    unicode incl. astral-plane emoji, empties, NULLs, and — r12 —
+    strings past the 128-code-point word budget, where the kernel
+    previously returned silently TRUNCATED distances (the ADVICE
+    example lev('a'*200, 'a'*128+'b'*72) == 0; exact is 72). A JVM
+    F.levenshtein cross-check runs on the <=128 non-null rows as a
+    second witness."""
+    import random
+
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+        _lev_arrow,
+    )
+
+    def ref_dp(x, y):
+        if x is None or y is None:
+            return None
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cx != cy),
+                    )
+                )
+            prev = cur
+        return prev[len(y)]
+
+    rng = random.Random(12)
+    alphabet = (
+        "abcdefgh XYZ.,;'-_0123456789" + "éüñ中日éß" + "🙂🚀"
+    )
+
+    def rand_s(max_len):
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(max_len))
+        )
+
+    cases = [
+        ("", ""), ("", "abc"), ("abc", ""), (None, "abc"),
+        ("abc", None), (None, None), ("kitten", "sitting"),
+        ("🙂🙂🙂", "🙂🚀🙂"), ("中日中", "中中"),
+        ("a" * 200, "a" * 128 + "b" * 72),  # the ADVICE case: 72
+        ("a" * 150, "b" * 150), ("x" * 129, "x" * 129),
+        ("q" * 127 + "ab", "q" * 127 + "ba"),
+    ]
+    for _ in range(400):
+        cases.append((rand_s(90), rand_s(90)))
+    for _ in range(60):  # straddle + exceed the 128-cp budget
+        cases.append((rand_s(180), rand_s(180)))
+
+    df = spark.createDataFrame(cases, "a string, b string")
+    rows = (
+        df.select(
+            "a",
+            "b",
+            _lev_arrow()(F.col("a"), F.col("b")).alias("d"),
+            F.when(
+                F.col("a").isNotNull()
+                & F.col("b").isNotNull()
+                & (F.length("a") <= 128)
+                & (F.length("b") <= 128),
+                F.levenshtein("a", "b"),
+            ).alias("jvm"),
+        )
+        .collect()
+    )
+    assert len(rows) == len(cases)
+    for r in rows:
+        exp = ref_dp(r.a, r.b)
+        assert r.d == exp, (r.a, r.b, r.d, exp)
+        if r.jvm is not None:
+            assert r.d == r.jvm, (r.a, r.b, r.d, r.jvm)

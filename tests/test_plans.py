@@ -269,6 +269,14 @@ def test_fuzzy_dp_single_evaluation_site(spark, q):
         plan = _plan(q[name](spark, SF_DIR))
         assert plan.count("ArrowEvalPython") == 1, name
         assert "levenshtein" not in plan, name
+    # r12 (VERDICT r11 item 1): multiblock previously ran the kernel
+    # once PER BLOCKING ROUTE (two ArrowEvalPython nodes — a pair
+    # found by both first-word and last-word blocks paid the DP
+    # twice); the candidate routes now union + pair-dedup BEFORE one
+    # kernel site, so the WHOLE multiblock plan pins exactly one.
+    plan = _plan(q["dedup_fuzzy_multiblock"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1, "dedup_fuzzy_multiblock"
+    assert "levenshtein" not in plan, "dedup_fuzzy_multiblock"
 
 
 def test_semantic_cosine_single_evaluation_site(spark, q):
