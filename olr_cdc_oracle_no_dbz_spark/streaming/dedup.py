@@ -156,7 +156,13 @@ def dedupe_batch(
             # the batch's distinct band buckets (bounded: ≤4·|batch|,
             # capped at N_IDX_BUCKETS — the same bounded-collect shape
             # as ParquetStateTable's touched-bucket prune) drive
-            # directory-level partition pruning of the index scan
+            # directory-level partition pruning of the index scan.
+            # Degradation is graceful by construction: a batch that
+            # touches EVERY bucket collects exactly N_IDX_BUCKETS ints
+            # and the isin filter passes the whole index — a full-index
+            # scan, never a driver blow-up (pinned: tests/
+            # test_stream_dedup.py::test_full_bucket_touch_degrades_
+            # to_full_index_scan)
             touched = [
                 r[0]
                 for r in bands.select(_bucket_col().alias("bucket"))

@@ -451,7 +451,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan->distinct->window->join pipeline per consumer (static plan:
     # 40 FileScans). Materialize it once — same pattern as the CC
     # fixpoint; durable-checkpoint flag applies on clusters.
-    oriented = truncate_lineage(oriented, eager=False)
+    # r12 (stage receipt, SCALING_PROBE_r12): AQE coalesces the small
+    # pre-checkpoint exchange to ONE partition, so the checkpointed
+    # RDD — and with it the e1 probe side of both broadcast triangle
+    # joins plus the 8.3M-row count — ran in a single 0.9-1.4 s task.
+    # An explicit keyed repartition to default parallelism BEFORE the
+    # cut makes the checkpoint itself wide; distribution-only.
+    p = spark.sparkContext.defaultParallelism
+    oriented = truncate_lineage(
+        oriented.repartition(p, F.col("src")), eager=False
+    )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

@@ -174,3 +174,50 @@ def test_crash_injection_no_duplicate_survivors(spark, tmp_path, point):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert rows2 == [1, 11]
+
+
+def test_full_bucket_touch_degrades_to_full_index_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (VERDICT r11 item 8): the touched-bucket prune collects the
+    batch's DISTINCT band buckets — a driver pull bounded by
+    N_IDX_BUCKETS, never by batch or index size. When a batch touches
+    EVERY bucket the prune degrades to a full-index scan (the isin
+    filter passes everything) with no driver blow-up and unchanged
+    answers. Pinned with N_IDX_BUCKETS shrunk to 3 so a small batch
+    provably saturates all buckets."""
+    from olr_cdc_oracle_no_dbz_spark.streaming import dedup as D
+
+    monkeypatch.setattr(D, "N_IDX_BUCKETS", 3)
+
+    def mk(i, seed):
+        words = [f"w{seed}x{j}" for j in range(30)]
+        return {"doc_id": i, "text": " ".join(words)}
+
+    # accepted index: 12 mutually-distinct docs — with 4 bands each
+    # over 3 buckets, they saturate every bucket w.h.p.
+    first = [mk(i, i) for i in range(12)]
+    b1 = spark.createDataFrame(first)
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    D.apply_batch(spark, b1, 0, out, idx)
+
+    # incoming batch: 12 fresh distinct docs + near-dups of two
+    # indexed docs — also touches every bucket
+    second = [mk(100 + i, 100 + i) for i in range(12)]
+    dup0 = {"doc_id": 200, "text": first[0]["text"] + " tail"}
+    dup7 = {"doc_id": 201, "text": first[7]["text"] + " tail"}
+    b2 = spark.createDataFrame(second + [dup0, dup7])
+
+    bands = D._bands(D._signatures(b2))
+    touched = {
+        r[0]
+        for r in bands.select(D._bucket_col().alias("b")).distinct().collect()
+    }
+    assert touched == {0, 1, 2}, touched  # every bucket touched
+
+    kept = {
+        r.doc_id
+        for r in D.dedupe_batch(spark, b2, idx).select("doc_id").collect()
+    }
+    assert kept == {100 + i for i in range(12)}, kept  # dups dropped
