@@ -114,6 +114,14 @@ EXTENDED = [
 ]
 
 
+#: sha256-over-1-GiB seconds on THIS container when idle — the divisor
+#: that turns a run's measured calib_sec into a load scale. Source:
+#: the r11 idle close-run measured 0.687/0.691 and r10's driver run
+#: (loadavg 2-3) 0.702/0.716; 0.69 is the idle floor of that series.
+#: Re-measure if the container generation changes.
+CALIB_IDLE_REF = 0.69
+
+
 def _calibration_sec() -> float:
     """Fixed-work single-thread CPU probe (VERDICT r7 item 3): sha256
     over 1 GiB of zeros (~0.7 s idle — long enough that scheduler
@@ -262,10 +270,36 @@ def main() -> int:
     # ambient-load evidence (VERDICT r7 item 3): calibration before AND
     # after bracket the whole timed region, loadavg shows what else the
     # container was doing
+    calib_after = _calibration_sec()
     out["load"] = {
-        "calib_sec": [calib_before, _calibration_sec()],
+        "calib_sec": [calib_before, calib_after],
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
+    # calib-normalized map (VERDICT r11 item 3): round-over-round
+    # deltas were dominated by container load (r11's ±25% calib spread
+    # exceeded most real plan deltas), so each artifact now ALSO
+    # carries every timing divided by the run's load scale
+    # (mean measured calib / idle reference) — an idle-equivalent
+    # ESTIMATE under the approximation that wall time scales with the
+    # single-thread CPU slowdown. BASELINE.md states which unit each
+    # comparison uses; raw stays the gate unit.
+    scale = max(
+        (calib_before + calib_after) / 2.0 / CALIB_IDLE_REF, 1e-9
+    )
+    out["normalized"] = {
+        "calib_idle_ref": CALIB_IDLE_REF,
+        "load_scale": round(scale, 4),
+        "value": round(total / scale, 3),
+        "queries": {n: round(v / scale, 3) for n, v in head.items()},
+    }
+    if extended:
+        out["normalized"]["extended"] = {
+            "value": round(out["extended"]["value"] / scale, 3),
+            "queries": {
+                n: round(v / scale, 3)
+                for n, v in out["extended"]["queries"].items()
+            },
+        }
     if paa_cold is not None:
         out["paa_upstream"] = {
             "cold_first_run_sec": paa_cold,
@@ -282,6 +316,8 @@ def main() -> int:
                 "headline_sec": total,
                 "extended_sec": out.get("extended", {}).get("value"),
                 "calib_sec": out["load"]["calib_sec"],
+                "headline_norm_sec": out["normalized"]["value"],
+                "load_scale": out["normalized"]["load_scale"],
                 "n_headline": len(head),
             }
         )
