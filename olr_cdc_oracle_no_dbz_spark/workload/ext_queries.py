@@ -1970,6 +1970,26 @@ def _array_sql_literal(values: list[float]) -> str:
     return "array(" + ", ".join(f"{v!r}D" for v in values) + ")"
 
 
+#: parsed-Column memo for the inlined-centroid expressions (r12): the
+#: ~300 KB SQL string for a K~125 × 64-dim literal tree costs ~0.4 s
+#: of JVM parse PER QUERY CONSTRUCTION, and the expression depends
+#: only on the centroid list (+ nprobe) — constant per (corpus,
+#: geometry) for the life of the session, exactly like the trained
+#: codebooks in ``_TRAIN_MEMO``. Keyed by the full content tuple (not
+#: a hash), so a regenerated corpus can never collide. A Column is a
+#: pure unresolved expression tree — reusing it across DataFrames is
+#: safe by construction.
+_EXPR_MEMO: dict[tuple, object] = {}
+
+
+def _cents_key(kind: str, cents, extra: int = 0) -> tuple:
+    return (
+        kind,
+        extra,
+        tuple((cid, tuple(cv)) for cid, cv in cents),
+    )
+
+
 def _nearest_cent_inline(
     e: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
@@ -1979,22 +1999,39 @@ def _nearest_cent_inline(
     zero join. ``greatest`` over (sim, -cent_id) structs reproduces the
     oracle's ``ORDER BY sim DESC, cent_id`` rank exactly (struct
     comparison is lexicographic; the centroid-norm factor constant-
-    folds at plan time)."""
-    structs = []
-    for cid, cv in cents:
-        lit = _array_sql_literal(cv)
-        sim = F.expr(
-            f"CAST({_DOT.format(a='v', b=lit)}"
-            f" / (sqrt(nsq) * sqrt({_DOT.format(a=lit, b=lit)}))"
-            f" AS DECIMAL(16,8))"
+    folds at plan time).
+
+    r12: the whole K-branch tree is rendered as ONE SQL string and
+    parsed once — the previous per-centroid Column construction cost
+    ~6 py4j socket roundtrips × K (~0.4 s of the nprobe gate's 1.1 s
+    Python-side build; the profiled py4j share was 85%), and the
+    parsed Column is memoized per centroid content (``_EXPR_MEMO``) so
+    repeat constructions — every warm bench sample — skip the ~0.4 s
+    JVM parse too. Same expression tree reaches Catalyst, so plans
+    and values are unchanged."""
+    mk = _cents_key("nearest_cent", cents)
+    col = _EXPR_MEMO.get(mk)
+    if col is None:
+        parts = []
+        for cid, cv in cents:
+            lit = _array_sql_literal(cv)
+            # centroid self-dot as a _py_dot scalar literal (the r8 PQ
+            # codegen-size fix): bit-identical to the in-order fold
+            # Catalyst would constant-fold, at half the literal count
+            # — analysis + codegen of the K-branch tree shrink ~2x
+            parts.append(
+                f"named_struct('s', CAST({_DOT.format(a='v', b=lit)}"
+                f" / (sqrt(nsq) * sqrt(CAST({_py_dot(cv, cv)!r}"
+                f" AS DOUBLE))) AS DECIMAL(16,8)), 'nci', {-cid})"
+            )
+        best = (
+            parts[0]
+            if len(parts) == 1
+            else f"greatest({', '.join(parts)})"
         )
-        structs.append(
-            F.struct(sim.alias("s"), F.lit(-cid).alias("nci"))
-        )
-    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-    return e.select(
-        "vec_id", "v", "nsq", (-best["nci"]).cast("long").alias("cent_id")
-    )
+        col = F.expr(f"CAST(-(({best}).nci) AS BIGINT)")
+        _EXPR_MEMO[mk] = col
+    return e.select("vec_id", "v", "nsq", col.alias("cent_id"))
 
 
 #: beyond this many centroids the inlined-literal CASE/greatest tree is
@@ -2377,17 +2414,30 @@ def _top_cells_inline(
     the multi-probe fan-out, still a pure zero-shuffle projection over
     inlined centroid literals. Ranking matches the oracle's
     ``ORDER BY sim DESC, cent_id`` exactly: structs sort ascending by
-    (sim, -cent_id), so the REVERSED array is (sim DESC, cent_id ASC)."""
-    structs = []
-    for cid, cv in cents:
-        lit = _array_sql_literal(cv)
-        sim = F.expr(
-            f"CAST({_DOT.format(a='v', b=lit)}"
-            f" / (sqrt(nsq) * sqrt({_DOT.format(a=lit, b=lit)}))"
-            f" AS DECIMAL(16,8))"
+    (sim, -cent_id), so the REVERSED array is (sim DESC, cent_id ASC).
+
+    r12: one SQL string, one parse, memoized per (cents, nprobe)
+    (see ``_nearest_cent_inline``)."""
+    mk = _cents_key("top_cells", cents, int(nprobe))
+    top = _EXPR_MEMO.get(mk)
+    if top is None:
+        parts = []
+        for cid, cv in cents:
+            lit = _array_sql_literal(cv)
+            # centroid self-dot as a _py_dot scalar literal (the r8 PQ
+            # codegen-size fix): bit-identical to the in-order fold
+            # Catalyst would constant-fold, at half the literal count
+            # — analysis + codegen of the K-branch tree shrink ~2x
+            parts.append(
+                f"named_struct('s', CAST({_DOT.format(a='v', b=lit)}"
+                f" / (sqrt(nsq) * sqrt(CAST({_py_dot(cv, cv)!r}"
+                f" AS DOUBLE))) AS DECIMAL(16,8)), 'nci', {-cid})"
+            )
+        top = F.expr(
+            f"slice(reverse(array_sort(array({', '.join(parts)})))"
+            f", 1, {int(nprobe)})"
         )
-        structs.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nci")))
-    top = F.slice(F.reverse(F.array_sort(F.array(*structs))), 1, nprobe)
+        _EXPR_MEMO[mk] = top
     return (
         e.select("vec_id", "v", "nsq", F.explode(top).alias("c"))
         .select(
@@ -4611,12 +4661,31 @@ def _pq_assign_join(
             "vec_id", "sub_idx", "sv", "c_idx", "d"
         )
     params, nbrs = grid
-    pdf = spark.createDataFrame(
-        params, "sub_idx int, x0 double, y0 double, w double, thr double"
+    # r12: the grid tables are pure functions of the codebook (~22k
+    # neighbor rows), but createDataFrame re-serialized + re-verified
+    # them driver->JVM on EVERY invocation — ~1.0 s of ann_topk_ivfpq's
+    # 1.7 s Python-side build. Memoize the two DataFrames per
+    # (application, codebook); DataFrames are immutable, so reuse
+    # across plans is safe, and the app id in the key prevents a stale
+    # session's frames leaking into a new one.
+    gk = (
+        "pq_grid_dfs",
+        spark.sparkContext.applicationId,
+        tuple((s, c, tuple(cv)) for s, c, cv in cents),
     )
-    ndf = spark.createDataFrame(
-        nbrs, "sub_idx int, ncx long, ncy long, c_idx long, cv array<double>"
-    ).withColumn("cvsq", F.expr(_DOT.format(a="cv", b="cv")))
+    hit = _EXPR_MEMO.get(gk)
+    if hit is None:
+        pdf = spark.createDataFrame(
+            params,
+            "sub_idx int, x0 double, y0 double, w double, thr double",
+        )
+        ndf = spark.createDataFrame(
+            nbrs,
+            "sub_idx int, ncx long, ncy long, c_idx long, cv array<double>",
+        ).withColumn("cvsq", F.expr(_DOT.format(a="cv", b="cv")))
+        hit = (pdf, ndf)
+        _EXPR_MEMO[gk] = hit
+    pdf, ndf = hit
     cell = (
         base.join(F.broadcast(pdf), "sub_idx")
         .withColumn(
@@ -4740,11 +4809,23 @@ def _pq_cents_df(
     spark: SparkSession, cents: list[tuple[int, int, list[float]]]
 ) -> DataFrame:
     """The trained codebook as a KB-scale DataFrame (broadcast side of
-    the per-query LUT join)."""
-    return spark.createDataFrame(
-        [(s, c, cv) for s, c, cv in cents],
-        "sub_idx int, c_idx long, cv array<double>",
+    the per-query LUT join). r12: memoized per (application, codebook)
+    — it is called twice per ivfpq build and the driver->JVM
+    serialization re-ran per invocation (the ``_pq_assign_join`` grid
+    memo's rationale)."""
+    mk = (
+        "pq_cents_df",
+        spark.sparkContext.applicationId,
+        tuple((s, c, tuple(cv)) for s, c, cv in cents),
     )
+    hit = _EXPR_MEMO.get(mk)
+    if hit is None:
+        hit = spark.createDataFrame(
+            [(s, c, cv) for s, c, cv in cents],
+            "sub_idx int, c_idx long, cv array<double>",
+        )
+        _EXPR_MEMO[mk] = hit
+    return hit
 
 
 def _sql_pq_ctes(iters: int = _KMEANS_T) -> str:

@@ -24,10 +24,25 @@ from olr_cdc_oracle_no_dbz_spark.workload.util import (
 
 
 def _fact(spark, sf_dir: str, name: str):
-    """Fact-table access: the two row-heavy tables get the
-    conditional scan-spread (util.spread_scan — single-row-group
-    gate files plan ONE scan partition, serializing every map-side
-    stage; a wide cluster scan passes through untouched)."""
+    """Fact-table access. r12 REVERT of the r11 blanket scan-spread:
+    an A/B sweep of all 22 TPC-H gates at sf0.1 measured the
+    round-robin repartition HURTING 20 of them, typically 2-4x (q19
+    0.86 vs 0.16 s, q21 1.25 vs 0.42 s, q5 0.92 vs 0.27 s) — their
+    first real operator is a join/aggregate shuffle, so the extra
+    exchange of the full fact table buys nothing the next exchange
+    doesn't already provide, and pays a full round-trip. Only q1 —
+    eight decimal aggregates evaluated map-side per row — wins from
+    the spread (1.04 vs 1.84 s), so the spread is per-query opt-in
+    there, not a fact-access default. At cluster scale a wide scan
+    makes spread_scan a no-op anyway; this binding only matters for
+    single-row-group files."""
+    return t(spark, sf_dir, name)
+
+
+def _fact_spread(spark, sf_dir: str, name: str):
+    """Map-heavy fact access (q1's shape): spread the single-partition
+    scan so per-row aggregate arithmetic parallelizes; conditional —
+    cluster-scale scans pass through untouched."""
     return spread_scan(t(spark, sf_dir, name))
 
 
@@ -50,8 +65,9 @@ def _fact(spark, sf_dir: str, name: str):
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-heavy group-aggregate (TPC-H Q1 shape). One shuffle, partial
-    aggregation map-side; the shipdate filter reaches the parquet scan."""
-    li = _fact(spark, sf_dir, "lineitem")
+    aggregation map-side; the shipdate filter reaches the parquet scan.
+    The ONE tpch gate where the scan-spread wins (see _fact)."""
+    li = _fact_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
