@@ -19,10 +19,10 @@ SF_DIR = os.environ.get("PLANS_SF_DIR", "/root/testdata/sf0.01")
 
 #: queries and what their plan must show
 SHOWCASE = {
-    "tpch_q1_pricing_summary": "filter pushed to scan; conditional scan-spread (r11b) ahead of partial+final HashAggregate",
+    "tpch_q1_pricing_summary": "filter pushed to scan; conditional scan-spread (kept in r12: the one map-heavy tpch gate) ahead of partial+final HashAggregate",
     "tpch_q6_forecast_revenue": "every predicate in PushedFilters; 2-column ReadSchema",
     "tpch_q3_shipping_priority": "broadcast dims; TakeOrderedAndProject top-10",
-    "tpch_q5_local_supplier": "all dims broadcast; fact takes one conditional scan-spread (r11b), never a hash shuffle pre-agg",
+    "tpch_q5_local_supplier": "all dims broadcast; plain fact scan (r12 spread revert), never a hash shuffle pre-agg",
     "tpch_q4_order_priority": "left-semi join with non-equi residual",
     "tpch_q13_customer_distribution": "outer join with in-condition filter",
     "tpch_q19_disjunctive": "OR-of-ANDs factored into per-side pushed filters",
