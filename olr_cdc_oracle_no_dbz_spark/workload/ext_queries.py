@@ -4441,7 +4441,14 @@ def _pq_sql_ip(x: str, c: str) -> str:
 
 
 def _pq_ip_expr(a: str, b: str) -> str:
-    """Spark mirror of ``_pq_sql_ip``."""
+    """Spark mirror of ``_pq_sql_ip``. An UNROLLED scalar form of the
+    2-wide dot (a[0]*b[0] + a[1]*b[1], per-element double casts) was
+    built and A/B-measured in r12: encode median 2.59 s vs the fold's
+    2.43 s at sf0.1 — the encode join is shuffle/row-bound, not
+    lambda-bound, so the fold stays (one dot idiom; the unrolled cut
+    also initially dropped _DOT's per-element CAST AS DOUBLE and
+    diverged from the oracle at the DECIMAL(16,8) boundary — the
+    differential gate caught it)."""
     return f"CAST({_DOT.format(a=a, b=b)} AS DECIMAL(16,8))"
 
 
