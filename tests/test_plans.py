@@ -299,3 +299,50 @@ def test_paa_candidate_joins_are_narrow(spark, q):
         for line in plan.splitlines():
             if "Generate explode" in line:
                 assert "dv#" not in line, (name, line)
+
+
+def test_tpch_facts_have_no_roundrobin_exchange(spark, q):
+    """r12 spread-revert guard: the r11 blanket spread_scan in
+    tpch._fact inserted a round-robin repartition of the fact table
+    ahead of gates whose first real operator is already a shuffle —
+    a pure extra round-trip, measured 2-4x on 20 of 22 gates
+    (SCALING_PROBE_r12 tpch_spread_ab). Only q1 (eight map-side
+    decimal aggregates per row) keeps the spread. This pin fails if
+    a fact-access helper ever re-applies it blanket-wide."""
+    for name in (
+        "tpch_q21_waiting_suppliers",
+        "tpch_q5_local_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive",
+    ):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "Exchange roundrobin" not in plan, name
+    # q1 is the one opt-in: its _fact_spread call survives in source
+    # (the spread itself is conditional on scan width, so the plan
+    # assertion would be environment-dependent — pin the source hook)
+    import inspect
+
+    from olr_cdc_oracle_no_dbz_spark.workload import tpch as T
+
+    assert "_fact_spread" in inspect.getsource(T.tpch_q1_pricing_summary)
+
+
+def test_inline_centroid_expr_memo_is_transparent(spark, q):
+    """r12 _EXPR_MEMO guard: the memoized parsed Column for the inline
+    centroid trees must be plan-identical to a fresh parse (the memo
+    is a construction-cost cache, never a semantic change). Expression
+    IDs are allocation-order artifacts — strip them before comparing."""
+    import re
+
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries as X
+
+    canon = lambda p: re.sub(  # noqa: E731
+        r"#\d+|plan_id=\d+", "#", p
+    )
+    p1 = canon(_plan(q["ann_topk_ivf"](spark, SF_DIR)))
+    X._EXPR_MEMO = {
+        k: v for k, v in X._EXPR_MEMO.items() if k[0] != "nearest_cent"
+    }
+    p2 = canon(_plan(q["ann_topk_ivf"](spark, SF_DIR)))
+    assert p1 == p2
