@@ -457,9 +457,17 @@ def cdc_multi_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the JSON encode (the streaming pipeline reads the topic once per
     # micro-batch for the same reason). Measured ~30% faster at sf0.1
     # (median 2.2s vs 3.0s) and cold-run 10.1s -> 2.3s.
+    # r12 (stage receipt, SCALING_PROBE_r12 stage_probe_b): the
+    # checkpointed topic inherited TWO partitions, so each route's
+    # JSON decode — the gate's dominant map work — ran as a 1.6 s
+    # 2-task stage. Widen the checkpoint itself to default parallelism
+    # (the graph_triangle_count fix); decode is per-row, so a
+    # round-robin spread is the right distribution and the LWW
+    # re-shuffles on user_id downstream regardless.
     from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 
-    raw = truncate_lineage(raw, eager=False)
+    p = spark.sparkContext.defaultParallelism
+    raw = truncate_lineage(raw.repartition(p), eager=False)
     users_schema, orders_schema = routing_row_schemas(spark, sf_dir)
 
     def route(tbl: str, row_schema) -> DataFrame:

@@ -382,8 +382,15 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     an arbitrary numeric column."""
     ev = t(spark, sf_dir, "events")
     bkt = F.floor(F.col("value") / F.lit(_BAND_EPS)).cast("bigint")
+    # r12 (stage receipt, SCALING_PROBE_r12): the single-row-group
+    # events scan is one partition and b broadcasts, so the ×3 explode
+    # + join probe + residual filter — the gate's whole work — ran as
+    # ONE 0.9 s task. Conditional spread on the probe side only (the
+    # map-heavy side); no-op on a wide cluster scan.
+    from olr_cdc_oracle_no_dbz_spark.workload.util import spread_scan
+
     a = (
-        ev.select("event_type", "event_id", "value")
+        spread_scan(ev.select("event_type", "event_id", "value"))
         .withColumn(
             "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
         )
