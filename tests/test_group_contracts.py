@@ -521,6 +521,20 @@ def test_lev_arrow_kernel_exact_vs_reference(spark):
         cases.append((rand_s(90), rand_s(90)))
     for _ in range(60):  # straddle + exceed the 128-cp budget
         cases.append((rand_s(180), rand_s(180)))
+    # r12: force the >512-distinct-code-point PEQ fallback (the batch
+    # otherwise stays on the per-batch PEQ-table path) — wide random
+    # unicode pushes the batch's distinct points past the threshold
+    def wild_s(n):
+        out = []
+        while len(out) < n:
+            cp = rng.randrange(0x21, 0xEA00)
+            if 0xD800 <= cp <= 0xDFFF:  # lone surrogates don't encode
+                continue
+            out.append(chr(cp))
+        return "".join(out)
+
+    for _ in range(60):
+        cases.append((wild_s(rng.randrange(60)), wild_s(rng.randrange(60))))
 
     df = spark.createDataFrame(cases, "a string, b string")
     rows = (
