@@ -111,6 +111,10 @@ EXTENDED = [
     # round-11 addition: multi-key blocking composition with recall
     # provenance (the EXT-scale-shot named-cause answer)
     "dedup_fuzzy_multiblock",
+    # round-12 additions: the fuzzy and simhash families' APPLY cells
+    # (pairs -> CC -> keep-first corpus), mirroring corpus_dedup_apply
+    "dedup_fuzzy_apply",
+    "dedup_simhash_apply",
 ]
 
 
@@ -140,6 +144,36 @@ def _calibration_sec() -> float:
     t0 = time.perf_counter()
     for _ in range(1024):
         h.update(block)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _calibration_mt_sec(threads: int = 8) -> float:
+    """Multi-thread variant of the probe (r12): the 1-thread calib
+    cannot see PARALLEL contention — two verify benches at identical
+    1-thread calib (0.816 vs 0.817) read 25.9 vs 35.5 s headline on a
+    box whose other tenants were parallel-saturating the cores.
+    ``threads`` sha256 workers × 256 MiB each (hashlib releases the
+    GIL on large updates) measure the wall of fixed PARALLEL work;
+    idle this container reads ~0.7 s (same as 1-thread — free cores),
+    and it degrades with core contention the 1-thread probe misses.
+    Evidence only — normalization stays on the 1-thread probe so the
+    normalized unit's definition doesn't shift mid-series."""
+    import hashlib
+    import threading
+
+    block = b"\x00" * (1 << 20)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(256):
+            h.update(block)
+
+    ts = [threading.Thread(target=work) for _ in range(threads)]
+    t0 = time.perf_counter()
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
     return round(time.perf_counter() - t0, 4)
 
 
@@ -196,6 +230,7 @@ def main() -> int:
 
     load_before = os.getloadavg()[0]
     calib_before = _calibration_sec()
+    calib_mt_before = _calibration_mt_sec()
 
     # PAA warm/cold split (ADVICE r10): the three PAA gates share a
     # memoized events→daily→dense-vector upstream, so after sample 1
@@ -273,6 +308,7 @@ def main() -> int:
     calib_after = _calibration_sec()
     out["load"] = {
         "calib_sec": [calib_before, calib_after],
+        "calib_mt_sec": [calib_mt_before, _calibration_mt_sec()],
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
     # calib-normalized map (VERDICT r11 item 3): round-over-round

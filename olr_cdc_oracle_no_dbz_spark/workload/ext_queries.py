@@ -1282,6 +1282,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= 3)
 
 
+def _dedup_simhash_apply_oracle() -> str:
+    """Compose from the REGISTERED dedup_simhash oracle verbatim (the
+    corpus_dedup_apply contract applied to the SimHash family): every
+    emitted simhash pair (hamming <= 3) is a verified near-dup edge."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    sh = _ORACLES["dedup_simhash"]
+    return f"""
+    WITH RECURSIVE shp AS ({sh}),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM shp
+        UNION ALL
+        SELECT b_id AS s, a_id AS d FROM shp
+    ),
+    verts AS (SELECT DISTINCT s AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM verts
+        UNION
+        SELECT e.d AS doc, r.root FROM reach r JOIN edges e ON e.s = r.doc
+    ),
+    labels AS (
+        SELECT doc AS doc_id, MIN(root) AS cluster_id
+        FROM reach GROUP BY doc
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'simhash_keeper'
+                ELSE 'unique' END AS kept_reason
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+    """
+
+
+@register("dedup_simhash_apply", oracle=_dedup_simhash_apply_oracle())
+def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED SimHash near-dedup (r12): the deduplicated corpus under
+    the SimHash policy (hamming <= 3 over the 64-bit mean-centered
+    signatures) — with dedup_fuzzy_apply this completes the apply
+    matrix cell for every pair-emitting family (MinHash r5, semantic
+    r10, fuzzy + simhash r12). Keep rule = corpus_dedup_apply's:
+    min-id component member survives as 'simhash_keeper', docs with
+    no near-pair as 'unique'. SimHash dedup survives small edits that
+    break exact hashing AND token insertions that shift shingles, so
+    its applied corpus differs from both neighbors
+    (dedup_overlap_report quantifies the disagreement).
+
+    Scale design: identical to corpus_dedup_apply — components on the
+    emitted pair graph only (every dedup_simhash row is an edge; no
+    re-verification pass), one broadcast left join + row-local filter;
+    the documents table never shuffles. The ORACLE replays the naive
+    banded-candidate + popcount enumeration and a recursive-CTE
+    closure, certifying signatures, banding, CC, and keep rule
+    together."""
+    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
+    pairs = dedup_simhash(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(
+        pairs.selectExpr("a_id AS s", "b_id AS d"),
+        algorithm=str(
+            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+        ),
+    ).select("doc_id", "cluster_id")
+    d = t(spark, sf_dir, "documents")
+    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    return joined.filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("cluster_id").isNotNull(), "simhash_keeper")
+        .otherwise("unique")
+        .alias("kept_reason"),
+    )
+
+
 @register(
     "dedup_simhash_topk",
     oracle=f"""{_sql_simhash_cand(_SQL_SIMHASH_WORDS)},
@@ -8726,6 +8803,93 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         "edit_dist",
         (F.col("edit_dist") <= 20).alias("is_near"),
+    )
+
+
+def _dedup_fuzzy_apply_oracle() -> str:
+    """Compose from the REGISTERED dedup_fuzzy_levenshtein oracle
+    verbatim (the corpus_dedup_apply contract applied to the fuzzy
+    family): the applied dedup must drop exactly the docs whose
+    edit-distance near-pairs (is_near, i.e. <= 20) connect them to a
+    lower-id component member."""
+    from olr_cdc_oracle_no_dbz_spark.workload import _ORACLES
+
+    fz = _ORACLES["dedup_fuzzy_levenshtein"]
+    return f"""
+    WITH RECURSIVE fz AS ({fz}),
+    pairs AS (SELECT a_id, b_id FROM fz WHERE is_near),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS doc FROM edges),
+    reach AS (
+        SELECT doc, doc AS root FROM verts
+        UNION
+        SELECT e.d AS doc, r.root FROM reach r JOIN edges e ON e.s = r.doc
+    ),
+    labels AS (
+        SELECT doc AS doc_id, MIN(root) AS cluster_id
+        FROM reach GROUP BY doc
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'fuzzy_keeper'
+                ELSE 'unique' END AS kept_reason
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+    """
+
+
+@register("dedup_fuzzy_apply", oracle=_dedup_fuzzy_apply_oracle())
+def dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLIED edit-distance near-dedup (r12 — completes the fuzzy
+    family's matrix cell the MinHash family has had since r5): the
+    deduplicated corpus under the fuzzy family's is_near rule
+    (Levenshtein <= 20 on the blocked 80-char heads), not the pair
+    report. Keep rule = corpus_dedup_apply's: docs outside any
+    near-dup component survive as 'unique'; inside a component only
+    the min-id member survives as 'fuzzy_keeper'. Character-exact
+    dedup catches within-token typo duplicates the shingle/MinHash
+    policy is blind to, so a production pipeline runs BOTH applies
+    (dedup_overlap_report is the agreement receipt).
+
+    Scale design: identical to corpus_dedup_apply — connected
+    components run on the verified near-pair graph only (tiny vs the
+    corpus; min-label propagation, O(component diameter) rounds,
+    star-contraction selectable per session), then ONE broadcast left
+    join + row-local filter applies the labels; the documents table
+    itself never shuffles. The pair generation is the shipping
+    dedup_fuzzy_levenshtein plan (twin-collapse, theorem lower bound,
+    salted hot blocks, single-site Myers kernel). The ORACLE replays
+    the naive pair enumeration + a recursive-CTE closure, so the gate
+    certifies blocking, kernel, CC, and keep rule together."""
+    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+
+    pairs = (
+        dedup_fuzzy_levenshtein(spark, sf_dir)
+        .filter(F.col("is_near"))
+        .select("a_id", "b_id")
+    )
+    labels = connected_components(
+        pairs.selectExpr("a_id AS s", "b_id AS d"),
+        algorithm=str(
+            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+        ),
+    ).select("doc_id", "cluster_id")
+    d = t(spark, sf_dir, "documents")
+    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    return joined.filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("cluster_id").isNotNull(), "fuzzy_keeper")
+        .otherwise("unique")
+        .alias("kept_reason"),
     )
 
 
