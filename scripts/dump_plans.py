@@ -45,6 +45,8 @@ SHOWCASE = {
     "embedding_knn_graph": "all-vector kNN via sign-bucket equi self-join (sum of squared bucket sizes, never N²)",
     "text_perplexity_filter": "vocabulary-sized LM stats joined back map-side; one partial-agg per doc",
     "corpus_dedup_apply": "cluster labels broadcast onto the corpus; keep rule row-local",
+    "dedup_fuzzy_apply": "r12: fuzzy pair graph -> CC labels broadcast onto the corpus; one ArrowEvalPython (Myers kernel) in the pair stage; keep rule row-local",
+    "dedup_simhash_apply": "r12: simhash pair graph -> CC labels broadcast onto the corpus; bounded goff BNLJs only; keep rule row-local",
     "window_skyline_2d": "2-D Pareto front as one partitioned running-max window (no dominance anti-join)",
     "timeseries_paa_similarity": "series collapse; PAA band blocking (occupancy-DERIVED salt vs hot-band explosion) + rep-only refine + member expansion",
     "dedup_simhash": (
