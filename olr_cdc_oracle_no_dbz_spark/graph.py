@@ -27,22 +27,90 @@ from pyspark.sql import functions as F
 from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 
 
+#: below this many (undirected) edges the component labeling runs as a
+#: DRIVER-side union-find over one bounded collect instead of the
+#: iterative distributed rounds: each labelprop round is ~3 Spark jobs
+#: (join+agg, checkpoint, convergence count), so a 6-round labeling of
+#: a 4.7k-edge graph measured ~5.6 s of pure per-round overhead while
+#: the union-find itself is microseconds (SCALING_PROBE_r12
+#: apply_phase). 100k edges ≈ 1.6 MB collected — a bounded driver
+#: pull; past the cutover (real 100 TB near-dup graphs) the
+#: distributed rounds take over with the identical labeling. The
+#: dispatcher mirrors _nearest_cent's inline/join discipline.
+_DRIVER_CC_MAX_EDGES = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     algorithm: str = "labelprop",
     max_rounds: int = 30,
+    driver_cutover: int = _DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """``edges(s, d)`` (any orientation, self-loops fine) →
     ``(doc_id, cluster_id)`` where cluster_id is the component's
     minimum vertex id. Isolated vertices don't appear (no edges — the
     callers only feed vertices with at least one duplicate pair)."""
+    if algorithm not in ("labelprop", "starcontraction"):
+        raise ValueError(
+            f"algorithm must be labelprop|starcontraction, got {algorithm!r}"
+        )
+    if driver_cutover:
+        small = _driver_union_find(edges, driver_cutover)
+        if small is not None:
+            return small
     if algorithm == "labelprop":
         return _label_propagation(edges, max_rounds)
-    if algorithm == "starcontraction":
-        return _star_contraction(edges, max_rounds)
-    raise ValueError(
-        f"algorithm must be labelprop|starcontraction, got {algorithm!r}"
+    return _star_contraction(edges, max_rounds)
+
+
+def _driver_union_find(edges: DataFrame, cutover: int):
+    """Bounded-collect union-find labeling for small pair graphs; None
+    when the graph exceeds the cutover (the distributed path then owns
+    it). Value-identical to both distributed algorithms by the shared
+    contract (vertex → component min; property-tested three ways in
+    tests/test_graph.py)."""
+    sample = edges.selectExpr("s", "d").limit(cutover + 1).collect()
+    if len(sample) > cutover:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sample:
+        s, d = r[0], r[1]
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+        else:
+            parent.setdefault(s, rs)
+            parent.setdefault(d, rd)
+    verts = set()
+    for r in sample:
+        verts.add(r[0])
+        verts.add(r[1])
+    comp_min: dict = {}
+    for v in verts:
+        root = find(v)
+        m = comp_min.get(root)
+        if m is None or v < m:
+            comp_min[root] = v
+    rows = [(v, comp_min[find(v)]) for v in sorted(verts)]
+    from pyspark.sql.types import StructField, StructType
+
+    vtype = edges.schema["s"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", vtype, False),
+            StructField("cluster_id", vtype, False),
+        ]
     )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def _label_propagation(edges: DataFrame, max_rounds: int) -> DataFrame:

@@ -31,9 +31,10 @@ def _union_find(n_vertices: set[int], edges: list[tuple[int, int]]):
     return {v: min(members) for members in comp.values() for v in members}
 
 
-def _run(spark, edges, algorithm):
+def _run(spark, edges, algorithm, driver_cutover=None):
     df = spark.createDataFrame(edges, "s long, d long")
-    got = connected_components(df, algorithm=algorithm)
+    kw = {} if driver_cutover is None else {"driver_cutover": driver_cutover}
+    got = connected_components(df, algorithm=algorithm, **kw)
     return {r["doc_id"]: r["cluster_id"] for r in got.collect()}
 
 
@@ -50,11 +51,24 @@ _edges = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(edges=_edges)
-@pytest.mark.parametrize("algorithm", ["labelprop", "starcontraction"])
-def test_cc_matches_union_find_on_random_graphs(spark, algorithm, edges):
+@pytest.mark.parametrize(
+    "algorithm,cutover",
+    [
+        # cutover=0 forces the DISTRIBUTED paths (r12: the default
+        # driver union-find would otherwise absorb every small example
+        # and silently retire this property for the round algorithms)
+        ("labelprop", 0),
+        ("starcontraction", 0),
+        # default cutover exercises the r12 driver union-find path
+        ("labelprop", None),
+    ],
+)
+def test_cc_matches_union_find_on_random_graphs(
+    spark, algorithm, cutover, edges
+):
     vertices = {v for e in edges for v in e}
     expected = _union_find(vertices, edges)
-    assert _run(spark, edges, algorithm) == expected
+    assert _run(spark, edges, algorithm, cutover) == expected
 
 
 @pytest.mark.parametrize("algorithm", ["labelprop", "starcontraction"])
@@ -64,7 +78,7 @@ def test_cc_long_chain(spark, algorithm):
     must finish in O(log 24) ~ 5 alternating rounds."""
     chain = [(i, i + 1) for i in range(23)]
     expected = {v: 0 for v in range(24)}
-    assert _run(spark, chain, algorithm) == expected
+    assert _run(spark, chain, algorithm, driver_cutover=0) == expected
 
 
 def test_cc_rejects_unknown_algorithm(spark):
