@@ -115,6 +115,10 @@ EXTENDED = [
     # (pairs -> CC -> keep-first corpus), mirroring corpus_dedup_apply
     "dedup_fuzzy_apply",
     "dedup_simhash_apply",
+    # round-13 additions (VERDICT r12 item 6): the two pre-tier apply
+    # gates join so the WHOLE apply matrix has round-over-round timing
+    "corpus_dedup_keep_longest",
+    "dedup_semantic_apply",
 ]
 
 
@@ -147,17 +151,33 @@ def _calibration_sec() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def _calibration_mt_sec(threads: int = 8) -> float:
+#: MT probe thread count (ADVICE r12): sized from the box, capped at 8
+#: so the reading stays comparable to the r12 series on this 32-core
+#: container while never self-oversubscribing a smaller one (threads >
+#: cores reads high even idle, which breaks the "degrades only under
+#: contention" interpretation).
+CALIB_MT_THREADS = min(os.cpu_count() or 8, 8)
+
+#: 8-thread probe seconds on THIS container when idle (measured r13:
+#: 0.24-0.26 across repeats at 1-thread calib ~0.86 — each thread
+#: hashes 256 MiB, so free cores finish in ~1/4 the 1 GiB 1-thread
+#: wall). Only meaningful when CALIB_MT_THREADS == 8; the contention
+#: flag is suppressed otherwise.
+CALIB_MT_IDLE_REF = 0.25
+
+
+def _calibration_mt_sec(threads: int = CALIB_MT_THREADS) -> float:
     """Multi-thread variant of the probe (r12): the 1-thread calib
     cannot see PARALLEL contention — two verify benches at identical
     1-thread calib (0.816 vs 0.817) read 25.9 vs 35.5 s headline on a
     box whose other tenants were parallel-saturating the cores.
     ``threads`` sha256 workers × 256 MiB each (hashlib releases the
     GIL on large updates) measure the wall of fixed PARALLEL work;
-    idle this container reads ~0.7 s (same as 1-thread — free cores),
-    and it degrades with core contention the 1-thread probe misses.
-    Evidence only — normalization stays on the 1-thread probe so the
-    normalized unit's definition doesn't shift mid-series."""
+    idle this container reads ~0.25 s (free cores — 256 MiB at the
+    1-thread hash rate), and it degrades with core contention the
+    1-thread probe misses. Evidence only — normalization stays on the
+    1-thread probe so the normalized unit's definition doesn't shift
+    mid-series."""
     import hashlib
     import threading
 
@@ -306,11 +326,32 @@ def main() -> int:
     # after bracket the whole timed region, loadavg shows what else the
     # container was doing
     calib_after = _calibration_sec()
+    calib_mt_after = _calibration_mt_sec()
     out["load"] = {
         "calib_sec": [calib_before, calib_after],
-        "calib_mt_sec": [calib_mt_before, _calibration_mt_sec()],
+        "calib_mt_sec": [calib_mt_before, calib_mt_after],
+        "mt_threads": CALIB_MT_THREADS,
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
+    # contention flag (VERDICT r12 item 5): the 1-thread scale divides
+    # the normalized block, but parallel contention is INVISIBLE to it
+    # — so the artifact states explicitly when its normalized numbers
+    # are trustworthy. mt_scale is the MT probe's own idle-referenced
+    # load scale; when it exceeds the 1-thread scale by >30% the box
+    # was parallel-contended beyond what normalization corrects, and
+    # cross-round normalized comparisons from this run are suspect
+    # (comparison rules: BASELINE.md "Which unit to compare").
+    if CALIB_MT_THREADS == 8:
+        st_scale = (calib_before + calib_after) / 2.0 / CALIB_IDLE_REF
+        mt_scale = (
+            (calib_mt_before + calib_mt_after) / 2.0 / CALIB_MT_IDLE_REF
+        )
+        out["load"]["contention"] = {
+            "mt_idle_ref": CALIB_MT_IDLE_REF,
+            "mt_scale": round(mt_scale, 4),
+            "st_scale": round(st_scale, 4),
+            "flagged": bool(mt_scale > 1.3 * st_scale),
+        }
     # calib-normalized map (VERDICT r11 item 3): round-over-round
     # deltas were dominated by container load (r11's ±25% calib spread
     # exceeded most real plan deltas), so each artifact now ALSO
@@ -354,6 +395,9 @@ def main() -> int:
                 "calib_sec": out["load"]["calib_sec"],
                 "headline_norm_sec": out["normalized"]["value"],
                 "load_scale": out["normalized"]["load_scale"],
+                "contention_flagged": out["load"]
+                .get("contention", {})
+                .get("flagged"),
                 "n_headline": len(head),
             }
         )

@@ -1329,12 +1329,18 @@ def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: identical to corpus_dedup_apply — components on the
     emitted pair graph only (every dedup_simhash row is an edge; no
-    re-verification pass), one broadcast left join + row-local filter;
-    the documents table never shuffles. The ORACLE replays the naive
-    banded-candidate + popcount enumeration and a recursive-CTE
-    closure, certifying signatures, banding, CC, and keep rule
-    together."""
-    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+    re-verification pass), one size-gated-broadcast left join +
+    row-local filter; the documents table never shuffles while the
+    label relation fits the gate, and past it (r13 — the label set is
+    O(corpus) under real duplication rates) the hint drops and the
+    join plans as a plain key shuffle join instead of OOMing. The
+    ORACLE replays the naive banded-candidate + popcount enumeration
+    and a recursive-CTE closure, certifying signatures, banding, CC,
+    and keep rule together."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
 
     pairs = dedup_simhash(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(
@@ -1342,9 +1348,9 @@ def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         algorithm=str(
             spark.conf.get("spark.graft.cc.algorithm", "labelprop")
         ),
-    ).select("doc_id", "cluster_id")
+    )
     d = t(spark, sf_dir, "documents")
-    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    joined = d.join(size_gated_broadcast(labels), "doc_id", "left")
     return joined.filter(
         F.col("cluster_id").isNull()
         | (F.col("cluster_id") == F.col("doc_id"))
@@ -2055,8 +2061,22 @@ def _array_sql_literal(values: list[float]) -> str:
 #: codebooks in ``_TRAIN_MEMO``. Keyed by the full content tuple (not
 #: a hash), so a regenerated corpus can never collide. A Column is a
 #: pure unresolved expression tree — reusing it across DataFrames is
-#: safe by construction.
+#: safe by construction WITHIN one JVM/gateway; access goes through
+#: ``_expr_memo(spark)``, which clears the dict whenever a new
+#: applicationId is observed (ADVICE r12): a Column parsed under a
+#: dead gateway must not replay into a later session, and appId-keyed
+#: DataFrame entries from dead sessions must not accumulate unbounded
+#: across session restarts in one process.
 _EXPR_MEMO: dict[tuple, object] = {}
+_EXPR_MEMO_APP: list[str] = []
+
+
+def _expr_memo(spark: SparkSession) -> dict[tuple, object]:
+    app = spark.sparkContext.applicationId
+    if not _EXPR_MEMO_APP or _EXPR_MEMO_APP[0] != app:
+        _EXPR_MEMO.clear()
+        _EXPR_MEMO_APP[:] = [app]
+    return _EXPR_MEMO
 
 
 def _cents_key(kind: str, cents, extra: int = 0) -> tuple:
@@ -2087,7 +2107,8 @@ def _nearest_cent_inline(
     JVM parse too. Same expression tree reaches Catalyst, so plans
     and values are unchanged."""
     mk = _cents_key("nearest_cent", cents)
-    col = _EXPR_MEMO.get(mk)
+    memo = _expr_memo(e.sparkSession)
+    col = memo.get(mk)
     if col is None:
         parts = []
         for cid, cv in cents:
@@ -2107,7 +2128,7 @@ def _nearest_cent_inline(
             else f"greatest({', '.join(parts)})"
         )
         col = F.expr(f"CAST(-(({best}).nci) AS BIGINT)")
-        _EXPR_MEMO[mk] = col
+        memo[mk] = col
     return e.select("vec_id", "v", "nsq", col.alias("cent_id"))
 
 
@@ -2496,7 +2517,8 @@ def _top_cells_inline(
     r12: one SQL string, one parse, memoized per (cents, nprobe)
     (see ``_nearest_cent_inline``)."""
     mk = _cents_key("top_cells", cents, int(nprobe))
-    top = _EXPR_MEMO.get(mk)
+    memo = _expr_memo(e.sparkSession)
+    top = memo.get(mk)
     if top is None:
         parts = []
         for cid, cv in cents:
@@ -2514,7 +2536,7 @@ def _top_cells_inline(
             f"slice(reverse(array_sort(array({', '.join(parts)})))"
             f", 1, {int(nprobe)})"
         )
-        _EXPR_MEMO[mk] = top
+        memo[mk] = top
     return (
         e.select("vec_id", "v", "nsq", F.explode(top).alias("c"))
         .select(
@@ -3337,24 +3359,27 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     'cluster_keeper'; all other members are dropped.
 
     Scale design: the cluster labeling runs on the verified-duplicate
-    pair graph only (tiny vs the corpus); applying it is one broadcast-
-    friendly left join of the label table onto the corpus followed by a
-    row-local filter — no new shuffle of the documents beyond that
-    join, and the output is immediately writable as the deduplicated
-    dataset. The oracle replays the keep rule over the same registered
-    cluster oracle, so report and application can never disagree."""
-    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+    pair graph only (tiny vs the corpus); applying it is one size-
+    gated-broadcast left join of the label table onto the corpus
+    followed by a row-local filter — no new shuffle of the documents
+    beyond that join while the labels fit the gate; past it (r13: the
+    label set is O(corpus) under real 30–50% duplication) the hint
+    drops and the join plans as a plain key shuffle join. The oracle
+    replays the keep rule over the same registered cluster oracle, so
+    report and application can never disagree."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
 
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("is_dup"))
         .select("a_id", "b_id")
     )
-    labels = connected_components(
-        pairs.selectExpr("a_id AS s", "b_id AS d")
-    ).select("doc_id", "cluster_id")
+    labels = connected_components(pairs.selectExpr("a_id AS s", "b_id AS d"))
     d = t(spark, sf_dir, "documents")
-    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    joined = d.join(size_gated_broadcast(labels), "doc_id", "left")
     return joined.filter(
         F.col("cluster_id").isNull()
         | (F.col("cluster_id") == F.col("doc_id"))
@@ -3409,25 +3434,29 @@ def corpus_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     should keep it, not whichever crawled first).
 
     Scale design: identical skeleton to corpus_dedup_apply — clustering
-    on the tiny verified-pair graph, then ONE broadcast join onto the
-    corpus — plus a per-cluster argmax computed as a
+    on the tiny verified-pair graph, then ONE size-gated-broadcast
+    join onto the corpus — plus a per-cluster argmax computed as a
     partial-aggregatable ``max_by`` over (n_chars, -doc_id) structs on
     the label table only (|clustered docs| rows, never the corpus).
-    The oracle replays the same rule over the registered cluster
-    oracle, so policy and application cannot diverge."""
-    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
+    The keeper table (one row per cluster, ≤ |labels|) reuses the
+    label count as its gate bound — no extra job. The oracle replays
+    the same rule over the registered cluster oracle, so policy and
+    application cannot diverge."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
 
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .filter(F.col("is_dup"))
         .select("a_id", "b_id")
     )
-    labels = connected_components(
-        pairs.selectExpr("a_id AS s", "b_id AS d")
-    ).select("doc_id", "cluster_id")
+    labels = connected_components(pairs.selectExpr("a_id AS s", "b_id AS d"))
+    n_labels = getattr(labels, "_graft_n_rows", None)
     d = t(spark, sf_dir, "documents")
     members = d.select("doc_id", "n_chars").join(
-        F.broadcast(labels), "doc_id"
+        size_gated_broadcast(labels), "doc_id"
     )
     keepers = (
         members.groupBy("cluster_id")
@@ -3439,8 +3468,8 @@ def corpus_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__keep", F.lit(True))
     )
-    joined = d.join(F.broadcast(labels), "doc_id", "left").join(
-        F.broadcast(keepers), "doc_id", "left"
+    joined = d.join(size_gated_broadcast(labels), "doc_id", "left").join(
+        size_gated_broadcast(keepers, n_rows=n_labels), "doc_id", "left"
     )
     return joined.filter(
         F.col("cluster_id").isNull() | F.col("__keep").isNotNull()
@@ -4757,7 +4786,8 @@ def _pq_assign_join(
         spark.sparkContext.applicationId,
         tuple((s, c, tuple(cv)) for s, c, cv in cents),
     )
-    hit = _EXPR_MEMO.get(gk)
+    memo = _expr_memo(spark)
+    hit = memo.get(gk)
     if hit is None:
         pdf = spark.createDataFrame(
             params,
@@ -4768,7 +4798,7 @@ def _pq_assign_join(
             "sub_idx int, ncx long, ncy long, c_idx long, cv array<double>",
         ).withColumn("cvsq", F.expr(_DOT.format(a="cv", b="cv")))
         hit = (pdf, ndf)
-        _EXPR_MEMO[gk] = hit
+        memo[gk] = hit
     pdf, ndf = hit
     cell = (
         base.join(F.broadcast(pdf), "sub_idx")
@@ -4902,13 +4932,14 @@ def _pq_cents_df(
         spark.sparkContext.applicationId,
         tuple((s, c, tuple(cv)) for s, c, cv in cents),
     )
-    hit = _EXPR_MEMO.get(mk)
+    memo = _expr_memo(spark)
+    hit = memo.get(mk)
     if hit is None:
         hit = spark.createDataFrame(
             [(s, c, cv) for s, c, cv in cents],
             "sub_idx int, c_idx long, cv array<double>",
         )
-        _EXPR_MEMO[mk] = hit
+        memo[mk] = hit
     return hit
 
 
@@ -6559,12 +6590,17 @@ def dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop set IS the registered report (same k-means assignment, same
     threshold) on both engines.
 
-    Scale design: one left-anti join of the drop list (a fraction of
-    the corpus) against the vector table — broadcastable; all heavy
-    lifting is inside the already-bounded SemDeDup skeleton."""
+    Scale design: one left-anti join of the drop list against the
+    vector table. r13: the drop list is a FRACTION OF THE CORPUS — at
+    real duplication rates an unconditional broadcast would OOM at
+    100× — so the report is materialized once (the anti-join reuses
+    the same blocks) and the hint is size-gated on its counted rows,
+    degrading to a plain key shuffle join past the gate."""
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
+
     dropped = dedup_semantic(spark, sf_dir).select("vec_id")
     e = t(spark, sf_dir, "embeddings")
-    return e.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+    return e.join(size_gated_broadcast(dropped), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
 
@@ -8666,9 +8702,7 @@ def _salted_block_sides(
     return a, b, cond
 
 
-@register(
-    "dedup_fuzzy_levenshtein",
-    oracle="""
+_FUZZY_LEV_ORACLE = """
     WITH d AS (
         SELECT doc_id, string_split(text, ' ')[1] AS blk,
                substr(text, 1, 80) AS head
@@ -8681,26 +8715,20 @@ def _salted_block_sides(
     )
     SELECT a_id, b_id, edit_dist, (edit_dist <= 20) AS is_near
     FROM cand WHERE edit_dist <= 40
-    """,
-)
-def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup (record-linkage style): candidate pairs
-    from FIRST-WORD blocking, refined by the Levenshtein distance of
-    the 80-char document heads — the fuzzy-match primitive the
-    shingle/MinHash family can't express (token-set methods are blind
-    to within-token typos; edit distance is character-exact). Emits
-    every candidate with distance ≤ 40 plus the ≤ 20 near flag, so the
-    report shows the margin, not just the verdict.
+    """
 
-    Scale: blocking bounds candidates by the sum of squared block
-    sizes (the inverted-index/LSH law — never N²); the refine is a
-    row-local integer DP on fixed-length 80-char heads (O(80²) per
-    pair, branchless in the JVM), and INTEGER distances make the gate
-    hash exact on both engines. Single-pass blocking trades recall for
-    cost exactly like one LSH band — production linkage runs multiple
-    block keys (first word, last word, length bucket) and unions, the
-    same composition `dedup_overlap_report` demonstrates for the
-    shingle family."""
+
+def _fuzzy_blocked_groups(spark: SparkSession, sf_dir: str):
+    """Shared group-level fuzzy pipeline: ``(g, members, gpairs)``
+    where ``g(blk, head, gid, n, …probe cols)`` is the twin-collapsed
+    distinct-content table (gid = min member doc_id), ``members(gid,
+    member_id)`` the group→doc expansion, and ``gpairs(ga, gb,
+    edit_dist)`` the refined distinct-content pairs (≤ 40, Myers
+    kernel, single ArrowEvalPython site). ``dedup_fuzzy_levenshtein``
+    fans gpairs out to member pairs (its emitted contract);
+    ``dedup_fuzzy_apply`` (r13) runs connected components directly on
+    this relation instead — the group graph is invariant under twin
+    replication, so CC never touches the ~K² member-pair mass."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.split("text", " ").getItem(0).alias("blk"),
@@ -8777,6 +8805,34 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_dist"),
         )
     )
+    return g, members, gpairs
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=_FUZZY_LEV_ORACLE,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup (record-linkage style): candidate pairs
+    from FIRST-WORD blocking, refined by the Levenshtein distance of
+    the 80-char document heads — the fuzzy-match primitive the
+    shingle/MinHash family can't express (token-set methods are blind
+    to within-token typos; edit distance is character-exact). Emits
+    every candidate with distance ≤ 40 plus the ≤ 20 near flag, so the
+    report shows the margin, not just the verdict.
+
+    Scale: blocking bounds candidates by the sum of squared block
+    sizes (the inverted-index/LSH law — never N²); the refine is a
+    row-local integer DP on fixed-length 80-char heads (O(80²) per
+    pair, branchless in the JVM), and INTEGER distances make the gate
+    hash exact on both engines. Single-pass blocking trades recall for
+    cost exactly like one LSH band — production linkage runs multiple
+    block keys (first word, last word, length bucket) and unions, the
+    same composition `dedup_overlap_report` demonstrates for the
+    shingle family. The heavy lifting (twin-collapse, salted blocks,
+    lower bound, Myers kernel) lives in ``_fuzzy_blocked_groups``;
+    this gate is that plus the member-pair fan-out."""
+    g, members, gpairs = _fuzzy_blocked_groups(spark, sf_dir)
     ma = members.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
     mb = members.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
     cross = (
@@ -8854,31 +8910,54 @@ def dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy is blind to, so a production pipeline runs BOTH applies
     (dedup_overlap_report is the agreement receipt).
 
-    Scale design: identical to corpus_dedup_apply — connected
-    components run on the verified near-pair graph only (tiny vs the
-    corpus; min-label propagation, O(component diameter) rounds,
-    star-contraction selectable per session), then ONE broadcast left
-    join + row-local filter applies the labels; the documents table
-    itself never shuffles. The pair generation is the shipping
-    dedup_fuzzy_levenshtein plan (twin-collapse, theorem lower bound,
-    salted hot blocks, single-site Myers kernel). The ORACLE replays
-    the naive pair enumeration + a recursive-CTE closure, so the gate
-    certifies blocking, kernel, CC, and keep rule together."""
-    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
-
-    pairs = (
-        dedup_fuzzy_levenshtein(spark, sf_dir)
-        .filter(F.col("is_near"))
-        .select("a_id", "b_id")
+    Scale design (r13 — VERDICT r12 item 2): connected components run
+    on the TWIN-COLLAPSED GROUP pair relation, never the ~K²
+    member-pair expansion. Equivalence: contracting each identical-
+    content group (every member within edit distance 0 of the others,
+    hence pairwise near) preserves connectivity exactly, and since a
+    group's gid IS its minimum member doc_id, the group component's
+    min gid equals the doc component's min doc_id — so expanding group
+    labels through the membership relation reproduces the doc-level
+    labeling verbatim (pinned against doc-level CC in
+    tests/test_ext_dedup.py). Groups with ≥ 2 members but no near
+    group-pair enter as self-edges (their twins alone form a
+    component). The group pipeline executes ONCE (CC lineage-cuts its
+    input before the size probe, r13 graph.py contract); the member
+    expansion is one id-only join; applying the labels is one
+    size-gated-broadcast left join + row-local filter — past the gate
+    (labels are O(corpus) under real duplication) the hint drops to a
+    plain key shuffle join. The ORACLE replays the naive pair
+    enumeration + a recursive-CTE closure, so the gate certifies
+    blocking, kernel, CC, and keep rule together."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
     )
-    labels = connected_components(
-        pairs.selectExpr("a_id AS s", "b_id AS d"),
+
+    g, members, gpairs = _fuzzy_blocked_groups(spark, sf_dir)
+    gedges = (
+        gpairs.filter(F.col("edit_dist") <= 20)
+        .selectExpr("ga AS s", "gb AS d")
+        .unionAll(
+            g.filter(F.col("n") >= 2).selectExpr("gid AS s", "gid AS d")
+        )
+    )
+    glabels = connected_components(
+        gedges,
         algorithm=str(
             spark.conf.get("spark.graft.cc.algorithm", "labelprop")
         ),
-    ).select("doc_id", "cluster_id")
+    )
+    n_groups_labeled = getattr(glabels, "_graft_n_rows", None)
+    labels = members.join(
+        size_gated_broadcast(
+            glabels.withColumnRenamed("doc_id", "gid"),
+            n_rows=n_groups_labeled,
+        ),
+        "gid",
+    ).select(F.col("member_id").alias("doc_id"), "cluster_id")
     d = t(spark, sf_dir, "documents")
-    joined = d.join(F.broadcast(labels), "doc_id", "left")
+    joined = d.join(size_gated_broadcast(labels), "doc_id", "left")
     return joined.filter(
         F.col("cluster_id").isNull()
         | (F.col("cluster_id") == F.col("doc_id"))

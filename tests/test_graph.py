@@ -81,6 +81,26 @@ def test_cc_long_chain(spark, algorithm):
     assert _run(spark, chain, algorithm, driver_cutover=0) == expected
 
 
+def test_cc_labelprop_raises_instead_of_splitting_deep_components(spark):
+    """r13: a component deeper than max_rounds previously returned a
+    silently SPLIT labeling (propagation stops mid-component). Now it
+    raises, naming the O(log n) escape hatch. Star contraction
+    finishes the same graph within the same budget."""
+    chain = [(i, i + 1) for i in range(23)]
+    df = spark.createDataFrame(chain, "s long, d long")
+    with pytest.raises(RuntimeError, match="starcontraction"):
+        connected_components(
+            df, algorithm="labelprop", max_rounds=5, driver_cutover=0
+        )
+    got = {
+        r[0]: r[1]
+        for r in connected_components(
+            df, algorithm="starcontraction", max_rounds=8, driver_cutover=0
+        ).collect()
+    }
+    assert got == {v: 0 for v in range(24)}
+
+
 def test_cc_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([(1, 2)], "s long, d long")
     with pytest.raises(ValueError, match="algorithm"):

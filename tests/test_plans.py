@@ -346,3 +346,21 @@ def test_inline_centroid_expr_memo_is_transparent(spark, q):
     }
     p2 = canon(_plan(q["ann_topk_ivf"](spark, SF_DIR)))
     assert p1 == p2
+
+
+def test_expr_memo_clears_on_new_application_id(spark):
+    """ADVICE r12: a parsed Column belongs to the JVM/gateway that
+    parsed it, and appId-keyed DataFrame entries from dead sessions
+    would otherwise accumulate unbounded across restarts in one
+    process — so observing a NEW applicationId must clear the memo."""
+    from olr_cdc_oracle_no_dbz_spark.workload import ext_queries as X
+
+    memo = X._expr_memo(spark)
+    memo[("sentinel",)] = object()
+    # same app: entry survives
+    assert ("sentinel",) in X._expr_memo(spark)
+    # simulate a restart: a different app id was the last one observed
+    X._EXPR_MEMO_APP[:] = ["app-from-a-dead-session"]
+    memo2 = X._expr_memo(spark)
+    assert ("sentinel",) not in memo2
+    assert X._EXPR_MEMO_APP == [spark.sparkContext.applicationId]
