@@ -132,11 +132,16 @@ def connected_components(
         )
     # the single execution of the upstream pair pipeline: everything
     # below (probe, collect, every distributed round's symmetrize)
-    # reads these blocks, never the pair plan
-    e0 = truncate_lineage(
-        edges.selectExpr("s", "d").filter(
-            F.col("s").isNotNull() & F.col("d").isNotNull()
-        )
+    # reads these blocks, never the pair plan. The null filter goes
+    # ABOVE the cut, not below: Catalyst pushes an isNotNull predicate
+    # through the projection by INLINING the projected expression into
+    # it, so a filter-then-checkpoint shape evaluates an expensive
+    # s/d-producing pipeline twice per row during the materialization
+    # job itself (measured 2.0× row evals on a UDF-bearing probe
+    # pipeline — the _single_eval defect class); filtering the
+    # materialized blocks is a free null check per read instead.
+    e0 = truncate_lineage(edges.selectExpr("s", "d")).filter(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
     )
     n_edges = edge_count if edge_count is not None else e0.count()
     if driver_cutover and n_edges <= driver_cutover:

@@ -123,7 +123,7 @@ def cc_scale() -> dict:
     # ---- (2) deep-chain adversary past the cutover ------------------
     chain = [(i, i + 1) for i in range(63)]
     offset = 1_000_000
-    twins = [(offset + 2 * i, offset + 2 * i + 1) for i in range(51_000)]
+    twins = [(offset + 2 * i, offset + 2 * i + 1) for i in range(102_000)]
     deep = spark.createDataFrame(chain + twins, "s long, d long")
     t0 = time.time()
     lp = connected_components(deep, max_rounds=80)
@@ -214,9 +214,13 @@ def simhash_phase() -> dict:
     n = d.count()
 
     def wall(df) -> float:
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: first sample pays warmup
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
 
     # warm-up (parquet footer/codegen caches)
     full_cold = wall(qs["dedup_simhash"](spark, BASE_SF))
