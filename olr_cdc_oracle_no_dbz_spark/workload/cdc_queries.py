@@ -777,18 +777,24 @@ def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOURCE through the changelog, purges are imposed from OUTSIDE on
     everything retained.
 
-    Scale design: the erasure list is tiny relative to state, so the
-    anti join broadcasts it — zero extra shuffle on the state side, and
-    the same broadcast prunes the 100 TB changelog retention rewrite
-    (the other half of a real purge) file-by-file. Keys absent from
-    state are a no-op, matching erasure-request semantics."""
+    Scale design: the erasure list is normally tiny relative to state,
+    so the anti join broadcasts it — zero extra shuffle on the state
+    side, and the same broadcast prunes the 100 TB changelog retention
+    rewrite (the other half of a real purge) file-by-file. r13: the
+    hint is SIZE-GATED (graph.size_gated_broadcast) — an erasure list
+    is an external relation with no size contract (a regulator-ordered
+    bulk purge is O(users)), so past the gate the hint drops to a
+    plain key shuffle join instead of force-collecting. Keys absent
+    from state are a no-op, matching erasure-request semantics."""
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
+
     ev = t(spark, sf_dir, "events")
     purge = (
         ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
     )
     live = latest_state(ev, KEY, ORDER).filter(F.col("event_type") != "error")
     return (
-        live.join(F.broadcast(purge), "user_id", "left_anti")
+        live.join(size_gated_broadcast(purge), "user_id", "left_anti")
         .select(
             "user_id",
             F.col("event_type").alias("last_event_type"),

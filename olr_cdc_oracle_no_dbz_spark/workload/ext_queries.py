@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
+from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 from olr_cdc_oracle_no_dbz_spark.workload import register
 from olr_cdc_oracle_no_dbz_spark.workload.util import t
 
@@ -2990,9 +2991,13 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top-5 terms per document. The idf uses the raw N/df ratio
     (not ln) so both engines compute exact IEEE arithmetic on integers —
-    the ranking is identical to log-idf since log is monotone. df is a
-    broadcast-sized dimension (vocabulary), so the join never shuffles
-    the token table."""
+    the ranking is identical to log-idf since log is monotone. The df
+    relation is VOCABULARY-sized — it grows with the corpus (r13: web
+    vocabularies reach 10⁸–10⁹ terms at 100 TB, so the r12 forced
+    broadcast was the apply-gate OOM class in disguise) — so its hint
+    is size-gated: broadcast below the gate, plain key shuffle join
+    past it. The materialize-and-count also makes the token pipeline
+    feed df exactly once instead of appearing twice in one plan."""
     d = t(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; at scale this is a cheap metadata count
     tok = (
@@ -3006,7 +3011,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf_score").desc(), "term"
     )
     return (
-        tok.join(F.broadcast(df), "term")
+        tok.join(size_gated_broadcast(df), "term")
         .select("doc_id", "term", score.alias("tfidf_score"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
@@ -3895,9 +3900,10 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline reports: how much each source contributes, how much
     of it is duplicated (docs whose exact-dup hash appears more than
     once corpus-wide), and how much fails the length gate. The dup-hash
-    relation is a tiny HAVING>1 aggregate broadcast back onto the
-    per-doc rows; everything else is map-side expression work plus one
-    source rollup."""
+    relation is O(duplicated mass) — 30-50% of a real web corpus — so
+    its broadcast hint is size-gated (r13): hint below the gate, plain
+    key shuffle join past it; everything else is map-side expression
+    work plus one source rollup."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -3910,7 +3916,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.join(
-            F.broadcast(dup_h.withColumnRenamed("h", "dh")),
+            size_gated_broadcast(dup_h.withColumnRenamed("h", "dh")),
             F.col("dh") == F.col("h"),
             "left",
         )
@@ -6359,10 +6365,12 @@ def corpus_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair links it to a doc outside train.
 
     Scale design: the contaminated set is derived from the verified
-    pair relation only (tiny vs the corpus; both directions of each
-    pair checked with row-local split tags), then removed with one
-    left-anti join — broadcastable, since |contaminated| ≤ 2·|pairs|.
-    The corpus-side split tag is a zero-shuffle hash expression, so the
+    pair relation only (both directions of each pair checked with
+    row-local split tags), then removed with one left-anti join whose
+    hint is size-gated (r13): |contaminated| ≤ 2·|pairs| but the pair
+    mass itself is O(corpus) under real duplication, so the hint drops
+    to a plain key shuffle join past the gate instead of OOMing. The
+    corpus-side split tag is a zero-shuffle hash expression, so the
     dominant cost stays the LSH pipeline itself."""
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
@@ -6396,7 +6404,7 @@ def corpus_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return (
         d.filter(split_of("doc_id") == "train")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(size_gated_broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
 

@@ -31,14 +31,20 @@ from olr_cdc_oracle_no_dbz_spark.graph import (
 
 SF = "/root/testdata/sf0.001"
 
-#: every registered gate that joins a corpus-proportional label /
-#: drop-list relation (the six r12 F.broadcast sites)
+#: every registered gate that joins a corpus-proportional relation
+#: through a size-gated broadcast: the six r12 F.broadcast label sites
+#: plus the r13 sweep (vocabulary df, dup-hash list, contamination
+#: list, erasure list — same OOM class, different producers)
 APPLY_GATES = (
     "corpus_dedup_apply",
     "corpus_dedup_keep_longest",
     "dedup_simhash_apply",
     "dedup_fuzzy_apply",
     "dedup_semantic_apply",
+    "text_tfidf_top_terms",
+    "corpus_source_report",
+    "corpus_decontaminate_apply",
+    "cdc_purge_keys",
 )
 
 
