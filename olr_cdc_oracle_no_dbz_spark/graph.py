@@ -104,9 +104,11 @@ def size_gated_broadcast(
         max_rows = int(
             df.sparkSession.conf.get(_BCAST_CONF, str(LABEL_BCAST_MAX_ROWS))
         )
-    if n_rows <= max_rows:
-        return F.broadcast(df)
-    return df
+    out = F.broadcast(df) if n_rows <= max_rows else df
+    # propagate the count onto the returned object (F.broadcast wraps
+    # a NEW DataFrame) so chained consumers can reuse it as a bound
+    setattr(out, _KNOWN_ROWS_ATTR, n_rows)
+    return out
 
 
 def connected_components(

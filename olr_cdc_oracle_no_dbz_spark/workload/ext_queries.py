@@ -3236,6 +3236,73 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level near-dup labels (doc_id, cluster_id) for the MinHash
+    family, computed by connected components over the TWIN-COLLAPSED
+    group pair relation + member expansion (r13 — the fuzzy apply's
+    group-CC discipline extended to this family).
+
+    Equivalence to CC on dedup_minhash_lsh's member pairs is EXACT:
+    the MinHash signature is a pure per-doc function of text (unlike
+    SimHash, whose corpus-derived centering makes group/doc signatures
+    diverge on twin corpora — that family keeps doc-level CC), so the
+    member pair relation IS the expansion of the group pair relation
+    (Σ n_member_pairs == pair-gate rows, pinned in
+    tests/test_group_contracts.py); contracting identical-content
+    groups preserves connectivity, and gid = min member doc_id makes
+    the group-component minimum equal the doc-component minimum.
+    Within-group twin edges exist in the doc relation exactly when the
+    group has ≥ 2 members AND a signature (≥ 1 shingle — shingle-less
+    twins emit no pairs), so those groups enter as self-edges. Labeling
+    equality vs doc-level CC is pinned in tests/test_apply_gates.py.
+
+    Scale: CC input is invariant under twin replication; the member
+    expansion is one id-only join through a size-gated broadcast; the
+    (potentially O(corpus)) doc-label relation is returned UNhinted —
+    consumers gate it themselves."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    g = truncate_lineage(
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("ch")).agg(
+            F.min("doc_id").alias("gid"),
+            F.count("*").alias("n"),
+            F.min("text").alias("text"),
+        ),
+        eager=False,
+    )
+    pairs, sizes = _minhash_rep_pairs(g.select("gid", "text"))
+    gedges = (
+        pairs.filter(F.col("jaccard") >= 0.8)
+        .selectExpr("a_gid AS s", "b_gid AS d")
+        .unionAll(
+            g.join(sizes.select("gid"), "gid")
+            .filter(F.col("n") >= 2)
+            .selectExpr("gid AS s", "gid AS d")
+        )
+    )
+    glabels = connected_components(
+        gedges,
+        algorithm=str(
+            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+        ),
+    )
+    n_groups_labeled = getattr(glabels, "_graft_n_rows", None)
+    members = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("ch")
+    ).join(g.select("ch", "gid"), "ch")
+    return members.join(
+        size_gated_broadcast(
+            glabels.withColumnRenamed("doc_id", "gid"),
+            n_rows=n_groups_labeled,
+        ),
+        "gid",
+    ).select("doc_id", "cluster_id")
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -3298,9 +3365,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical id (the component's min doc_id) — the step that turns
     pair detection into an actual keep-one-per-group dedup policy.
 
-    Runs on the PAIR graph only (a tiny fraction of the corpus — only
-    docs with a verified dup) through graph.connected_components: min-
-    label propagation by default (O(component diameter) rounds —
+    r13: components run on the TWIN-COLLAPSED group pair relation with
+    member expansion (``_minhash_group_labels`` — exact equivalence
+    argued and pinned there), so CC cost is invariant under twin skew.
+    Min-label propagation by default (O(component diameter) rounds —
     near-dup clusters are shallow), or large-star/small-star
     contraction (O(log n) rounds, the adversarial-long-chain answer)
     under ``spark.graft.cc.algorithm=starcontraction``. Both labelings
@@ -3311,19 +3379,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB oracle: recursive CTE transitive closure with MIN(root) —
     identical fixpoint by construction."""
-    from olr_cdc_oracle_no_dbz_spark.graph import connected_components
-
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("is_dup"))
-        .select("a_id", "b_id")
-    )
-    labels = connected_components(
-        pairs.selectExpr("a_id AS s", "b_id AS d"),
-        algorithm=str(
-            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
-        ),
-    )
+    labels = _minhash_group_labels(spark, sf_dir)
     # the clustered-vertex count is a 1-row aggregate broadcast back onto
     # every row — NOT count(*) over an unpartitioned window, which would
     # funnel all labels through a single partition at scale
@@ -3363,26 +3419,19 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters' connected components) survives as
     'cluster_keeper'; all other members are dropped.
 
-    Scale design: the cluster labeling runs on the verified-duplicate
-    pair graph only (tiny vs the corpus); applying it is one size-
+    Scale design: the cluster labeling runs on the TWIN-COLLAPSED
+    group pair graph (r13, ``_minhash_group_labels`` — invariant under
+    twin skew, exact equivalence pinned); applying it is one size-
     gated-broadcast left join of the label table onto the corpus
     followed by a row-local filter — no new shuffle of the documents
-    beyond that join while the labels fit the gate; past it (r13: the
+    beyond that join while the labels fit the gate; past it (the
     label set is O(corpus) under real 30–50% duplication) the hint
     drops and the join plans as a plain key shuffle join. The oracle
     replays the keep rule over the same registered cluster oracle, so
     report and application can never disagree."""
-    from olr_cdc_oracle_no_dbz_spark.graph import (
-        connected_components,
-        size_gated_broadcast,
-    )
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("is_dup"))
-        .select("a_id", "b_id")
-    )
-    labels = connected_components(pairs.selectExpr("a_id AS s", "b_id AS d"))
+    labels = _minhash_group_labels(spark, sf_dir)
     d = t(spark, sf_dir, "documents")
     joined = d.join(size_gated_broadcast(labels), "doc_id", "left")
     return joined.filter(
@@ -3438,31 +3487,22 @@ def corpus_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the longest version usually carries the most content, so dedup
     should keep it, not whichever crawled first).
 
-    Scale design: identical skeleton to corpus_dedup_apply — clustering
-    on the tiny verified-pair graph, then ONE size-gated-broadcast
-    join onto the corpus — plus a per-cluster argmax computed as a
+    Scale design: identical skeleton to corpus_dedup_apply —
+    clustering on the twin-collapsed group pair graph (r13,
+    ``_minhash_group_labels``), then ONE size-gated-broadcast join
+    onto the corpus — plus a per-cluster argmax computed as a
     partial-aggregatable ``max_by`` over (n_chars, -doc_id) structs on
     the label table only (|clustered docs| rows, never the corpus).
     The keeper table (one row per cluster, ≤ |labels|) reuses the
     label count as its gate bound — no extra job. The oracle replays
     the same rule over the registered cluster oracle, so policy and
     application cannot diverge."""
-    from olr_cdc_oracle_no_dbz_spark.graph import (
-        connected_components,
-        size_gated_broadcast,
-    )
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("is_dup"))
-        .select("a_id", "b_id")
-    )
-    labels = connected_components(pairs.selectExpr("a_id AS s", "b_id AS d"))
+    labels = size_gated_broadcast(_minhash_group_labels(spark, sf_dir))
     n_labels = getattr(labels, "_graft_n_rows", None)
     d = t(spark, sf_dir, "documents")
-    members = d.select("doc_id", "n_chars").join(
-        size_gated_broadcast(labels), "doc_id"
-    )
+    members = d.select("doc_id", "n_chars").join(labels, "doc_id")
     keepers = (
         members.groupBy("cluster_id")
         .agg(
@@ -3473,7 +3513,7 @@ def corpus_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("__keep", F.lit(True))
     )
-    joined = d.join(size_gated_broadcast(labels), "doc_id", "left").join(
+    joined = d.join(labels, "doc_id", "left").join(
         size_gated_broadcast(keepers, n_rows=n_labels), "doc_id", "left"
     )
     return joined.filter(

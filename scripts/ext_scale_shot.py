@@ -53,6 +53,10 @@ QUERIES = [
     "timeseries_paa_groups",
     "ann_topk_ivfpq",
     "dedup_embedding_cosine_topk",
+    # r13: the apply representative — pairs → size-gated CC on the
+    # twin-collapsed group relation → corpus join; the shot certifies
+    # the whole apply path's organic growth, not just pair emission
+    "dedup_fuzzy_apply",
 ]
 
 #: events span (days) in the generated corpus — the day-rotation modulus
@@ -174,8 +178,12 @@ spark = get_spark("ext_shot_arm", master="local[32]", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
 from olr_cdc_oracle_no_dbz_spark.workload import queries
-df = queries()[{query!r}](spark, {sf!r})
+# r13: the timer brackets CONSTRUCTION + execution — the CC-bearing
+# apply gates run their pair pipeline and clustering eagerly at
+# construction, so a write-only timer misses their real cost (the r12
+# arm under-read dedup_fuzzy_apply ~10x)
 t0 = time.monotonic()
+df = queries()[{query!r}](spark, {sf!r})
 df.write.format("noop").mode("overwrite").save()
 sec = round(time.monotonic() - t0, 3)
 n = queries()[{query!r}](spark, {sf!r}).count()

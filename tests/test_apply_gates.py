@@ -145,6 +145,36 @@ def test_cc_stamps_label_count_on_every_path(spark):
         assert getattr(out, "_graft_n_rows", None) == 5, kw
 
 
+def test_minhash_group_cc_equals_doc_level_cc(spark, q):
+    """r13 extension of the fuzzy group-CC discipline to the MinHash
+    family: labels from CC on the twin-collapsed group pair relation
+    (+ shingle-bearing multi-member groups as self-edges) must equal
+    doc-level CC on dedup_minhash_lsh's verified member pairs — valid
+    because the MinHash signature is a pure per-doc function of text
+    (the SimHash family is excluded: corpus-derived centering makes
+    its group/doc signatures diverge on twin corpora)."""
+    pairs = (
+        q["dedup_minhash_lsh"](spark, SF)
+        .filter(F.col("is_dup"))
+        .select("a_id", "b_id")
+    )
+    doc_labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs.selectExpr("a_id AS s", "b_id AS d")
+        ).collect()
+    }
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+        _minhash_group_labels,
+    )
+
+    group_labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _minhash_group_labels(spark, SF).collect()
+    }
+    assert group_labels == doc_labels and doc_labels
+
+
 def test_fuzzy_apply_group_cc_equals_doc_level_cc(spark, q):
     """VERDICT r12 item 2 equivalence pin: connected components on the
     twin-collapsed GROUP relation + member expansion must reproduce the
