@@ -73,6 +73,13 @@ _KNOWN_ROWS_ATTR = "_graft_n_rows"
 #: round-complexity claim is measurable, not asserted).
 _ROUNDS_ATTR = "_graft_cc_rounds"
 
+#: ``algorithm="auto"``'s labelprop budget before falling back to star
+#: contraction: near-dup components are shallow (a doc similar to a
+#: common doc is similar-ish to its neighbors), so convergence past
+#: this many rounds signals a deep-chain component where propagation's
+#: O(diameter) loses to contraction's O(log n).
+_AUTO_LP_ROUNDS = 12
+
 
 def size_gated_broadcast(
     df: DataFrame, n_rows: int | None = None, max_rows: int | None = None
@@ -127,10 +134,19 @@ def connected_components(
 
     ``edge_count``: caller-known (non-null) edge row count; skips the
     probe count entirely when the producer already measured the pair
-    relation (e.g. from a memoized occupancy probe)."""
-    if algorithm not in ("labelprop", "starcontraction"):
+    relation (e.g. from a memoized occupancy probe).
+
+    ``algorithm="auto"`` (r13): min-label propagation with a bounded
+    round budget (near-dup components are shallow, so it converges in
+    a handful of cheap rounds), falling back to star contraction when
+    the budget is exhausted — a >30-diameter chained-near-dup
+    component at 100 TB then degrades to the O(log n) path instead of
+    failing the pipeline. All algorithms return the identical
+    labeling, so the switch is invisible in values."""
+    if algorithm not in ("labelprop", "starcontraction", "auto"):
         raise ValueError(
-            f"algorithm must be labelprop|starcontraction, got {algorithm!r}"
+            "algorithm must be labelprop|starcontraction|auto, "
+            f"got {algorithm!r}"
         )
     # the single execution of the upstream pair pipeline: everything
     # below (probe, collect, every distributed round's symmetrize)
@@ -150,6 +166,11 @@ def connected_components(
         return _driver_union_find(e0)
     if algorithm == "labelprop":
         return _label_propagation(e0, max_rounds)
+    if algorithm == "auto":
+        try:
+            return _label_propagation(e0, min(max_rounds, _AUTO_LP_ROUNDS))
+        except RuntimeError:
+            return _star_contraction(e0, max_rounds)
     return _star_contraction(e0, max_rounds)
 
 

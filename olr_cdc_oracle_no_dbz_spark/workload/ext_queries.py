@@ -1347,7 +1347,7 @@ def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(
         pairs.selectExpr("a_id AS s", "b_id AS d"),
         algorithm=str(
-            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+            spark.conf.get("spark.graft.cc.algorithm", "auto")
         ),
     )
     d = t(spark, sf_dir, "documents")
@@ -3287,7 +3287,7 @@ def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     glabels = connected_components(
         gedges,
         algorithm=str(
-            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+            spark.conf.get("spark.graft.cc.algorithm", "auto")
         ),
     )
     n_groups_labeled = getattr(glabels, "_graft_n_rows", None)
@@ -8993,7 +8993,7 @@ def dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     glabels = connected_components(
         gedges,
         algorithm=str(
-            spark.conf.get("spark.graft.cc.algorithm", "labelprop")
+            spark.conf.get("spark.graft.cc.algorithm", "auto")
         ),
     )
     n_groups_labeled = getattr(glabels, "_graft_n_rows", None)

@@ -107,6 +107,31 @@ def test_cc_rejects_unknown_algorithm(spark):
         connected_components(df, algorithm="bfs")
 
 
+def test_cc_auto_falls_back_to_star_on_deep_chains(spark):
+    """r13 'auto': labelprop within a bounded budget for the shallow
+    common case, star-contraction fallback past it — the deep chain
+    that makes labelprop raise must come out correctly labeled."""
+    chain = [(i, i + 1) for i in range(23)]  # diameter 23 > 12 budget
+    df = spark.createDataFrame(chain, "s long, d long")
+    got = {
+        r[0]: r[1]
+        for r in connected_components(
+            df, algorithm="auto", driver_cutover=0
+        ).collect()
+    }
+    assert got == {v: 0 for v in range(24)}
+    # shallow graph: auto stays on labelprop (same labels either way;
+    # this just exercises the no-fallback branch)
+    tri = spark.createDataFrame([(1, 2), (2, 3), (9, 9)], "s long, d long")
+    got = {
+        r[0]: r[1]
+        for r in connected_components(
+            tri, algorithm="auto", driver_cutover=0
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_dedup_clusters_identical_under_star_contraction(spark):
     """The conf switch must not change the registered query's output."""
     from olr_cdc_oracle_no_dbz_spark.workload import queries
