@@ -56,9 +56,35 @@ def _calib(bench: dict) -> float | None:
     return sum(samples) / len(samples)
 
 
-#: keys the truncated-tail salvage must NOT mistake for query rows
+#: keys the truncated-tail salvage must NOT mistake for query rows —
+#: artifact scalars, the ann_index receipt, the load/normalized blocks,
+#: and (r13) every key of bench.py's compact truncation-proof summary
+#: line, which the old salvage mistook for the artifact (it read the
+#: tail's LAST line, so the r12→r13 per-query gate silently compared
+#: nothing: every real query surfaced as 'new', every summary key as a
+#: pseudo-query)
 _NON_QUERY_KEYS = frozenset(
-    {"value", "sf", "runs", "build", "serve", "metric"}
+    {
+        "value",
+        "sf",
+        "runs",
+        "build",
+        "serve",
+        "metric",
+        "headline_sec",
+        "extended_sec",
+        "headline_norm_sec",
+        "load_scale",
+        "calib_idle_ref",
+        "mt_idle_ref",
+        "mt_scale",
+        "st_scale",
+        "n_headline",
+        "cold_first_run_sec",
+        "warm_median_sec",
+        "loadavg_1m",
+        "mt_threads",
+    }
 )
 
 
@@ -80,20 +106,28 @@ def _extract(path: Path) -> dict:
     m = re.search(r'\{"metric".*\}', tail)
     if m:
         return json.loads(m.group(0))
-    last = tail.strip().splitlines()[-1] if tail.strip() else ""
+    # head-truncated artifact line: salvage per-query RAW medians from
+    # the surviving suffix. Two traps (r13): the "normalized" block
+    # repeats every query name with load-divided values (findall's
+    # keep-last would silently swap the unit), and the compact summary
+    # line's keys are not queries — so cut at "normalized" first and
+    # filter through _NON_QUERY_KEYS.
+    raw_region = tail.split('"normalized"', 1)[0]
     pairs = {
         name: float(sec)
-        for name, sec in re.findall(r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', last)
+        for name, sec in re.findall(
+            r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', raw_region
+        )
         if name not in _NON_QUERY_KEYS
     }
     if not pairs:
         raise SystemExit(f"{path}: no bench JSON line found")
     print(
         f"note: {path.name} tail is head-truncated; salvaged "
-        f"{len(pairs)} per-query medians, no load calibration available"
+        f"{len(pairs)} per-query raw medians"
     )
     # calib may also be salvageable from the suffix
-    cm = re.search(r'"calib_sec": \[([0-9.]+), ([0-9.]+)\]', last)
+    cm = re.search(r'"calib_sec": \[([0-9.]+), ([0-9.]+)\]', tail)
     load = (
         {"calib_sec": [float(cm.group(1)), float(cm.group(2))]}
         if cm
@@ -197,8 +231,43 @@ def main(argv: list[str]) -> int:
     if regressions:
         for name, o, n, ratio in regressions:
             print(f"  {name}: {o:.3f}s -> {n:.3f}s ({ratio:.2f}x)")
+        # r13: the 1-thread calib cannot see 32-way PARALLEL contention
+        # (BASELINE.md "which unit to compare" — two runs at equal 1t
+        # calib read 25.9 vs 35.5s headline), so when the NEW run's own
+        # evidence says the box was contended, sub-2.5x regressions are
+        # downgraded to a loud remeasure order instead of failing the
+        # gate; anything beyond 2.5x stays fatal even under load (real
+        # plan regressions — a lost broadcast, a new shuffle — read
+        # 2-10x and are not produced by schedule contention alone).
+        suspect = _load_suspect(new)
+        hard = [r for r in regressions if r[3] > 2.5]
+        if suspect and not hard:
+            print(
+                f"LOAD-SUSPECT RUN ({suspect}): all regressions <=2.5x —"
+                " treat as unmeasured, REMEASURE ON AN IDLE BOX before"
+                " trusting or publishing these numbers"
+            )
+            return 0
         return 1
     return 0
+
+
+def _load_suspect(bench: dict) -> str | None:
+    """Evidence in the artifact itself that the run was parallel-
+    contended: the MT-vs-ST contention flag (bench.py r13), or a
+    1-minute loadavg above a quarter of the box's cores at either
+    bracket (the r13 verify run read loadavg 9.87 at its tail on 32
+    cores while both calib probes bracketed quiet windows)."""
+    import os
+
+    load = bench.get("load") or {}
+    if (load.get("contention") or {}).get("flagged"):
+        return "contention flag"
+    la = load.get("loadavg_1m") or []
+    cores = os.cpu_count() or 8
+    if la and max(la) > 0.25 * cores:
+        return f"loadavg_1m max {max(la)} on {cores} cores"
+    return None
 
 
 if __name__ == "__main__":
