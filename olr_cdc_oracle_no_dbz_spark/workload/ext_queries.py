@@ -2996,11 +2996,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies reach 10⁸–10⁹ terms at 100 TB, so the r12 forced
     broadcast was the apply-gate OOM class in disguise) — so its hint
     is size-gated: broadcast below the gate, plain key shuffle join
-    past it. The materialize-and-count also makes the token pipeline
-    feed df exactly once instead of appearing twice in one plan."""
+    past it. The TOKEN relation is lineage-cut once and feeds BOTH the
+    df aggregation and the scored join — the r12 plan computed the
+    explode+groupBy token pipeline twice inside one job (no exchange
+    reuse across the broadcast boundary), and the first r13 cut paid
+    it twice across two jobs (+0.2 s, A/B receipt); one materialization
+    is both the fastest gate-scale shape and the only sane 100 TB one
+    (you do not tokenize a corpus twice)."""
     d = t(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; at scale this is a cheap metadata count
-    tok = (
+    tok = truncate_lineage(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -3266,11 +3271,17 @@ def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = t(spark, sf_dir, "documents")
+    # member ids ride the SAME md5 groupBy that builds the group table
+    # (collect_list is bounded by twin multiplicity, and the pair
+    # machinery prunes the column away) — a separate corpus⋈g join for
+    # membership measured +0.7 s/gate at sf0.1 (r13 A/B) for no scale
+    # benefit: this is one corpus shuffle either way, minus one scan
     g = truncate_lineage(
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("ch")).agg(
             F.min("doc_id").alias("gid"),
             F.count("*").alias("n"),
             F.min("text").alias("text"),
+            F.collect_list("doc_id").alias("mids"),
         ),
         eager=False,
     )
@@ -3291,16 +3302,17 @@ def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_groups_labeled = getattr(glabels, "_graft_n_rows", None)
-    members = d.select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("ch")
-    ).join(g.select("ch", "gid"), "ch")
-    return members.join(
-        size_gated_broadcast(
-            glabels.withColumnRenamed("doc_id", "gid"),
-            n_rows=n_groups_labeled,
-        ),
-        "gid",
-    ).select("doc_id", "cluster_id")
+    return (
+        g.select("gid", "mids")
+        .join(
+            size_gated_broadcast(
+                glabels.withColumnRenamed("doc_id", "gid"),
+                n_rows=n_groups_labeled,
+            ),
+            "gid",
+        )
+        .select(F.explode("mids").alias("doc_id"), "cluster_id")
+    )
 
 
 @register(
