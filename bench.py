@@ -119,6 +119,10 @@ EXTENDED = [
     # gates join so the WHOLE apply matrix has round-over-round timing
     "corpus_dedup_keep_longest",
     "dedup_semantic_apply",
+    # round-13: the direct differential certificate for the CC engine
+    # (SNM user graph, 132k edges at sf0.1 — exercises the driver
+    # union-find cutover; tests/probes force the distributed arms)
+    "graph_connected_components",
 ]
 
 

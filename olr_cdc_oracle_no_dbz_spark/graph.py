@@ -45,11 +45,16 @@ from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 #: (join+agg, checkpoint, convergence count), so a 6-round labeling of
 #: a 4.7k-edge graph measured ~5.6 s of pure per-round overhead while
 #: the union-find itself is microseconds (SCALING_PROBE_r12
-#: apply_phase). 100k edges ≈ 1.6 MB collected — a bounded driver
-#: pull; past the cutover (real 100 TB near-dup graphs) the
-#: distributed rounds take over with the identical labeling. The
-#: dispatcher mirrors _nearest_cent's inline/join discipline.
-_DRIVER_CC_MAX_EDGES = 100_000
+#: apply_phase). r13 raised the cutover 100k → 1M after the cc_scale
+#: receipt re-measured the tradeoff at the boundary: a 120k-edge graph
+#: labeled in 2.3 s via the driver pull vs 35.8 s via 19 labelprop
+#: rounds (SCALING_PROBE_r13) — the crossover sits far above the old
+#: cutover. 1M edges ≈ 16 MB collected, a still-bounded driver pull
+#: (the same order as a collected broadcast side); past it (real
+#: 100 TB near-dup graphs) the distributed rounds take over with the
+#: identical labeling. The dispatcher mirrors _nearest_cent's
+#: inline/join discipline.
+_DRIVER_CC_MAX_EDGES = 1_000_000
 
 #: broadcast gate for label-shaped relations (VERDICT r12 item 1 —
 #: the fuzzy rep-table discipline shared by every apply gate): an

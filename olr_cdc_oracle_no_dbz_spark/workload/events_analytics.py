@@ -496,6 +496,113 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE blk AS (
+        SELECT DISTINCT event_type AS bk, date_trunc('hour', ts) AS bh, user_id
+        FROM events
+    ),
+    adj AS (
+        SELECT user_id,
+               lead(user_id, 1) OVER (PARTITION BY bk, bh ORDER BY user_id) AS n1,
+               lead(user_id, 2) OVER (PARTITION BY bk, bh ORDER BY user_id) AS n2
+        FROM blk
+    ),
+    e0 AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT user_id AS a, n1 AS b FROM adj WHERE n1 IS NOT NULL
+            UNION ALL
+            SELECT user_id AS a, n2 AS b FROM adj WHERE n2 IS NOT NULL
+        )
+    ),
+    edges AS (
+        SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0
+    ),
+    verts AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+        SELECT node, node AS root FROM verts
+        UNION
+        SELECT e.d AS node, r.root FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (
+        SELECT node AS node_id, MIN(root) AS component_id
+        FROM reach GROUP BY node
+    ),
+    csize AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM labels GROUP BY component_id
+    )
+    SELECT l.node_id, l.component_id, c.component_size
+    FROM labels l JOIN csize c USING (component_id)
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Sorted-Neighborhood user graph
+    (the same blocking edge derivation as ``graph_triangle_count``):
+    every user linked to their ≤2 nearest same-(event_type, hour)
+    neighbors, labeled with their component's minimum user id plus the
+    component size — the entity-resolution primitive (who belongs to
+    the same activity cluster) exposed as a first-class query rather
+    than only inside the dedup compositions.
+
+    This is the direct differential certificate for
+    ``graph.connected_components``: the DuckDB oracle replays the
+    labeling as a recursive-CTE transitive closure over the identical
+    edge relation, so the driver compares the distributed fixpoint
+    (min-label propagation / star contraction / the r13 driver
+    union-find cutover, per ``spark.graft.cc.algorithm``) against an
+    independent engine at both SFs. Component sizes come from one
+    aggregate over the (small) label relation, joined back through a
+    size-gated broadcast — sizes ≤ labels, so the label count bounds
+    the hint with no extra job."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    blk = ev.select(
+        F.col("event_type").alias("bk"),
+        F.date_trunc("hour", "ts").alias("bh"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("bk", "bh").orderBy("user_id")
+    adj = blk.select(
+        "user_id",
+        F.lead("user_id", 1).over(w).alias("n1"),
+        F.lead("user_id", 2).over(w).alias("n2"),
+    )
+    edges = (
+        adj.filter(F.col("n1").isNotNull())
+        .select(F.col("user_id").alias("s"), F.col("n1").alias("d"))
+        .unionAll(
+            adj.filter(F.col("n2").isNotNull()).select(
+                F.col("user_id").alias("s"), F.col("n2").alias("d")
+            )
+        )
+        .distinct()
+    )
+    labels = connected_components(
+        edges,
+        algorithm=str(spark.conf.get("spark.graft.cc.algorithm", "auto")),
+    )
+    n_labels = getattr(labels, "_graft_n_rows", None)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return (
+        labels.join(
+            size_gated_broadcast(sizes, n_rows=n_labels), "cluster_id"
+        )
+        .select(
+            F.col("doc_id").alias("node_id"),
+            F.col("cluster_id").alias("component_id"),
+            "component_size",
+        )
+    )
+
+
 _MAD_K = 1.4826  # consistency constant: MAD -> sigma under normality
 
 
