@@ -44,8 +44,9 @@ SHOWCASE = {
     "ann_topk_ivf": "k-means coarse quantizer: broadcast K-centroid assignment per Lloyd round, K×dims recompute agg",
     "embedding_knn_graph": "all-vector kNN via sign-bucket equi self-join (sum of squared bucket sizes, never N²)",
     "text_perplexity_filter": "vocabulary-sized LM stats joined back map-side; one partial-agg per doc",
-    "corpus_dedup_apply": "cluster labels broadcast onto the corpus; keep rule row-local",
-    "dedup_fuzzy_apply": "r12: fuzzy pair graph -> CC labels broadcast onto the corpus; one ArrowEvalPython (Myers kernel) in the pair stage; keep rule row-local",
+    "corpus_dedup_apply": "r13: group-collapsed CC labels (computed eagerly at construction, so the final plan is corpus scan + size-gated-broadcast label join); keep rule row-local",
+    "dedup_fuzzy_apply": "r13: fuzzy GROUP pair graph -> CC -> member expansion at construction; final plan = corpus scan + size-gated-broadcast label join, keep rule row-local",
+    "graph_connected_components": "r13: CC engine surface — labels + component sizes; label relation joined back through a size-gated broadcast",
     "dedup_simhash_apply": "r12: simhash pair graph -> CC labels broadcast onto the corpus; bounded goff BNLJs only; keep rule row-local",
     "window_skyline_2d": "2-D Pareto front as one partitioned running-max window (no dominance anti-join)",
     "timeseries_paa_similarity": "series collapse; PAA band blocking (occupancy-DERIVED salt vs hot-band explosion) + rep-only refine + member expansion",
