@@ -1315,6 +1315,94 @@ def _dedup_simhash_apply_oracle() -> str:
     """
 
 
+def _simhash_member_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level SimHash near-dup labels (doc_id, cluster_id) by
+    connected components over the TWIN-COLLAPSED group relation —
+    the group-CC discipline extended to the SimHash family (late r13).
+
+    The obstacle the fuzzy/MinHash extension did not face: the doc
+    signature is NOT a pure function of text — its mean-centering
+    offsets (bit j = N·s_j > Σ_docs s_j) and width derive from the
+    MEMBER corpus, so a rep-level pipeline with rep-derived parameters
+    diverges on twin corpora (``dedup_simhash_groups``' documented
+    prefix relation). The dissolution: compute the parameters
+    member-WEIGHTED on the group relation — Σ_docs s_j = Σ_g n_g ·
+    s_j(rep_g) exactly (s_j is text-pure), and N/w from the member
+    count — then every member's signature equals its rep's signature
+    bit for bit, band collisions expand verbatim, twins (identical
+    sigs) always collide on every band so every n≥2 group self-edges
+    unconditionally, and member-pair hamming = rep-pair hamming. The
+    ORACLE replays the doc-level enumeration, so the differential gate
+    at both SFs (twin-bearing corpora) certifies the equivalence.
+
+    Scale: signature pipeline, banding, and CC are sized by distinct
+    content — invariant under twin skew; the ~K² member-pair mass of
+    the pair gate is never materialized on the apply path."""
+    from olr_cdc_oracle_no_dbz_spark.graph import (
+        connected_components,
+        size_gated_broadcast,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()  # MEMBER count: width + centering derive from this
+    w = _simhash_band_w(n)
+    nbits = _SIMHASH_BANDS * w
+    g = truncate_lineage(
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("ch")).agg(
+            F.min("doc_id").alias("gid"),
+            F.count("*").alias("n_mem"),
+            F.min("text").alias("text"),
+            F.collect_list("doc_id").alias("mids"),
+        ),
+        eager=False,
+    )
+    tok = (
+        _spread(g.select("gid", "n_mem", "text"), "gid")
+        .select(
+            "gid",
+            "n_mem",
+            F.explode(F.split("text", " ")).alias("tk"),
+        )
+        .groupBy("gid", "n_mem", F.expr(_SPARK_SIMHASH_HV).alias("hv"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    sums = tok.groupBy("gid", "n_mem").agg(*_simhash_cols(nbits))
+    glob = sums.agg(
+        *[
+            F.sum(F.col(f"s{j}") * F.col("n_mem")).alias(f"g{j}")
+            for j in range(nbits)
+        ]
+    )
+    sig = sums.crossJoin(F.broadcast(glob)).selectExpr(
+        "gid AS doc_id",
+        f"CAST({_sig_int_centered(n, nbits)} AS BIGINT) AS sig",
+    )
+    cand = _simhash_cand(sig, w)
+    gedges = (
+        cand.filter(F.expr("bit_count(xsig ^ ysig)") <= 3)
+        .selectExpr("a_id AS s", "b_id AS d")
+        .unionAll(
+            g.filter(F.col("n_mem") >= 2).selectExpr("gid AS s", "gid AS d")
+        )
+    )
+    glabels = connected_components(
+        gedges,
+        algorithm=str(spark.conf.get("spark.graft.cc.algorithm", "auto")),
+    )
+    n_groups_labeled = getattr(glabels, "_graft_n_rows", None)
+    return (
+        g.select("gid", "mids")
+        .join(
+            size_gated_broadcast(
+                glabels.withColumnRenamed("doc_id", "gid"),
+                n_rows=n_groups_labeled,
+            ),
+            "gid",
+        )
+        .select(F.explode("mids").alias("doc_id"), "cluster_id")
+    )
+
+
 @register("dedup_simhash_apply", oracle=_dedup_simhash_apply_oracle())
 def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLIED SimHash near-dedup (r12): the deduplicated corpus under
@@ -1328,28 +1416,21 @@ def dedup_simhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     its applied corpus differs from both neighbors
     (dedup_overlap_report quantifies the disagreement).
 
-    Scale design: identical to corpus_dedup_apply — components on the
-    emitted pair graph only (every dedup_simhash row is an edge; no
-    re-verification pass), one size-gated-broadcast left join +
-    row-local filter; the documents table never shuffles while the
-    label relation fits the gate, and past it (r13 — the label set is
-    O(corpus) under real duplication rates) the hint drops and the
-    join plans as a plain key shuffle join instead of OOMing. The
-    ORACLE replays the naive banded-candidate + popcount enumeration
-    and a recursive-CTE closure, certifying signatures, banding, CC,
-    and keep rule together."""
-    from olr_cdc_oracle_no_dbz_spark.graph import (
-        connected_components,
-        size_gated_broadcast,
-    )
+    Scale design (late r13): components on the TWIN-COLLAPSED group
+    relation with member-weighted centering
+    (``_simhash_member_labels`` — exact equivalence argued there and
+    certified by the doc-level oracle at both SFs), then one
+    size-gated-broadcast left join + row-local filter; the documents
+    table never shuffles while the label relation fits the gate, and
+    past it (the label set is O(corpus) under real duplication rates)
+    the hint drops and the join plans as a plain key shuffle join
+    instead of OOMing. The ORACLE replays the naive doc-level
+    banded-candidate + popcount enumeration and a recursive-CTE
+    closure, certifying signatures, banding, CC, and keep rule
+    together."""
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 
-    pairs = dedup_simhash(spark, sf_dir).select("a_id", "b_id")
-    labels = connected_components(
-        pairs.selectExpr("a_id AS s", "b_id AS d"),
-        algorithm=str(
-            spark.conf.get("spark.graft.cc.algorithm", "auto")
-        ),
-    )
+    labels = _simhash_member_labels(spark, sf_dir)
     d = t(spark, sf_dir, "documents")
     joined = d.join(size_gated_broadcast(labels), "doc_id", "left")
     return joined.filter(
@@ -3248,9 +3329,9 @@ def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-CC discipline extended to this family).
 
     Equivalence to CC on dedup_minhash_lsh's member pairs is EXACT:
-    the MinHash signature is a pure per-doc function of text (unlike
-    SimHash, whose corpus-derived centering makes group/doc signatures
-    diverge on twin corpora — that family keeps doc-level CC), so the
+    the MinHash signature is a pure per-doc function of text (SimHash
+    needs the extra member-weighted-centering step —
+    ``_simhash_member_labels``), so the
     member pair relation IS the expansion of the group pair relation
     (Σ n_member_pairs == pair-gate rows, pinned in
     tests/test_group_contracts.py); contracting identical-content

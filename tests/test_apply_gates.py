@@ -175,6 +175,29 @@ def test_minhash_group_cc_equals_doc_level_cc(spark, q):
     assert group_labels == doc_labels and doc_labels
 
 
+def test_simhash_group_cc_equals_doc_level_cc(spark, q):
+    """Late-r13 completion: the SimHash family's group-CC is exact
+    ONLY with member-weighted centering (Σ_docs s_j = Σ_g n_g·s_j(rep)
+    and N/w from the member count — _simhash_member_labels); labels
+    must equal doc-level CC on dedup_simhash's emitted pairs."""
+    pairs = q["dedup_simhash"](spark, SF).select("a_id", "b_id")
+    doc_labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs.selectExpr("a_id AS s", "b_id AS d")
+        ).collect()
+    }
+    from olr_cdc_oracle_no_dbz_spark.workload.ext_queries import (
+        _simhash_member_labels,
+    )
+
+    group_labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _simhash_member_labels(spark, SF).collect()
+    }
+    assert group_labels == doc_labels and doc_labels
+
+
 def test_fuzzy_apply_group_cc_equals_doc_level_cc(spark, q):
     """VERDICT r12 item 2 equivalence pin: connected components on the
     twin-collapsed GROUP relation + member expansion must reproduce the
