@@ -155,6 +155,58 @@ def _calibration_sec() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+#: In-artifact canary set (VERDICT r13 item 1): the r13 driver artifact
+#: inflated ~20% raw AND normalized on UNTOUCHED trivial plans while the
+#: bracketing MT probe read quiet — bracketing probes sample two
+#: instants, but contention is episodic and lands MID-schedule. These
+#: five headline gates are trivial (sub-second, single-scan, stable
+#: plans untouched since ≤r10), so their normalized medians move ONLY
+#: with ambient conditions; being interleaved through the same
+#: median-of-3 schedule as every other query, they measure the ambient
+#: the run actually experienced, not the ambient at its edges. Each
+#: artifact self-reports canary_scale = Σ(normalized canary medians) /
+#: CANARY_REF_NORM_SUM and a comparable bit — cross-round normalized
+#: comparisons are trustworthy iff both runs' bits are true.
+CANARIES = (
+    "scalar_json",
+    "dedup_exact",
+    "text_rolling_fingerprint",
+    "embedding_quantize_sq8",
+    "ann_topk_bruteforce",
+)
+
+#: reference for the canary sum in NORMALIZED seconds: the three driver
+#: artifacts' normalized canary sums — r11 1.589, r12 1.086, r13 1.501
+#: (raw medians from BENCH_r{11,12,13}.json tails ÷ their load_scale)
+#: — mean 1.39. The series itself shows the ambient swing the canary
+#: exists to expose: r12's run was a fast outlier (0.78× the mean) and
+#: r13 an ordinary one (1.08×), which is why "r12→r13 inflated 20%"
+#: was ambient, not plans (BASELINE.md r13 A/B receipt). Band below is
+#: ±25%, just past that observed swing.
+CANARY_REF_NORM_SUM = 1.39
+CANARY_BAND = (0.75, 1.25)
+
+#: EXTENDED-tier canary trio (r14, from the canary's first live test):
+#: the headline canaries ran quiet (scale 1.25) while the extended tier
+#: of the same run inflated 1.5-3.2× — the two tiers run MINUTES apart,
+#: and episodic load that arrives after the headline block is invisible
+#: to a headline-only canary (the same-session worktree A/B exonerated
+#: every >2.5× row: untouched gates read 0.88-0.94× solo). These three
+#: extended gates are trivial + frozen-plan (single scan / one narrow
+#: shuffle, untouched since ≤r11), so the extended block gets its own
+#: in-schedule ambient verdict; ``comparable`` requires BOTH tiers'
+#: scales in band.
+EXT_CANARIES = (
+    "layout_zorder",
+    "agg_quantile_sketch",
+    "events_gap_islands",
+)
+
+#: normalized extended-canary sums from the driver artifacts:
+#: r11 1.262, r12 0.997, r13 0.934 (raw medians ÷ load_scale;
+#: r11's elevation is its known ±25% calib-spread round) — mean 1.06.
+EXT_CANARY_REF_NORM_SUM = 1.06
+
 #: MT probe thread count (ADVICE r12): sized from the box, capped at 8
 #: so the reading stays comparable to the r12 series on this 32-core
 #: container while never self-oversubscribing a smaller one (threads >
@@ -336,6 +388,9 @@ def main() -> int:
         "calib_mt_sec": [calib_mt_before, calib_mt_after],
         "mt_threads": CALIB_MT_THREADS,
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+        # ADVICE r13: recorded so bench_compare judges this artifact's
+        # loadavg against the box that PRODUCED it, not the comparer's
+        "cpu_count": os.cpu_count(),
     }
     # contention flag (VERDICT r12 item 5): the 1-thread scale divides
     # the normalized block, but parallel contention is INVISIBLE to it
@@ -350,11 +405,17 @@ def main() -> int:
         mt_scale = (
             (calib_mt_before + calib_mt_after) / 2.0 / CALIB_MT_IDLE_REF
         )
+        # threshold 1.3 → 1.15 (VERDICT r13 item 1): the one measured
+        # real-contention window read MT calib 0.35 vs the 0.25 idle
+        # ref (mt_scale 1.4) at near-idle 1-thread probes (BASELINE.md
+        # r13 apply-gate note) — mt/st ≈ 1.2-1.4, which the 1.3× gate
+        # could miss; measured quiet runs sit at mt/st 0.7-1.0, so
+        # 1.15 separates the classes with margin on both sides.
         out["load"]["contention"] = {
             "mt_idle_ref": CALIB_MT_IDLE_REF,
             "mt_scale": round(mt_scale, 4),
             "st_scale": round(st_scale, 4),
-            "flagged": bool(mt_scale > 1.3 * st_scale),
+            "flagged": bool(mt_scale > 1.15 * st_scale),
         }
     # calib-normalized map (VERDICT r11 item 3): round-over-round
     # deltas were dominated by container load (r11's ±25% calib spread
@@ -386,6 +447,48 @@ def main() -> int:
             "cold_first_run_sec": paa_cold,
             "warm_median_sec": head.get("timeseries_paa_groups"),
         }
+    # in-artifact canary verdict (VERDICT r13 item 1): canary_scale is
+    # the run's in-schedule ambient relative to the r11-r13 driver
+    # series; "comparable" certifies the normalized block for
+    # cross-round per-query comparison (rules: BASELINE.md r14).
+    canary_sum = sum(
+        out["normalized"]["queries"].get(c, 0.0) for c in CANARIES
+    )
+    canary_scale = round(canary_sum / CANARY_REF_NORM_SUM, 4)
+    mt_flagged = (out["load"].get("contention") or {}).get("flagged")
+    # extended-tier verdict (r14): the tiers run minutes apart, so each
+    # gets its own in-schedule ambient scale; an extended-only load
+    # episode (the canary's first live test) must not certify the
+    # extended normalized block.
+    ext_norm_q = (
+        out["normalized"].get("extended", {}).get("queries", {})
+        if extended
+        else {}
+    )
+    ext_sum = sum(ext_norm_q.get(c, 0.0) for c in EXT_CANARIES)
+    ext_scale = (
+        round(ext_sum / EXT_CANARY_REF_NORM_SUM, 4) if ext_norm_q else None
+    )
+    ext_in_band = (
+        ext_scale is None
+        or CANARY_BAND[0] <= ext_scale <= CANARY_BAND[1]
+    )
+    out["canary"] = {
+        "queries": list(CANARIES),
+        "norm_sum": round(canary_sum, 3),
+        "ref_norm_sum": CANARY_REF_NORM_SUM,
+        "scale": canary_scale,
+        "band": list(CANARY_BAND),
+        "ext_queries": list(EXT_CANARIES),
+        "ext_norm_sum": round(ext_sum, 3) if ext_norm_q else None,
+        "ext_ref_norm_sum": EXT_CANARY_REF_NORM_SUM,
+        "ext_scale": ext_scale,
+        "comparable": bool(
+            CANARY_BAND[0] <= canary_scale <= CANARY_BAND[1]
+            and ext_in_band
+            and not mt_flagged
+        ),
+    }
     print(json.dumps(out))
     # truncation-proof summary LAST (VERDICT r10 item 5): the driver's
     # stdout-tail capture clipped BENCH_r10's headline value, forcing a
@@ -402,6 +505,9 @@ def main() -> int:
                 "contention_flagged": out["load"]
                 .get("contention", {})
                 .get("flagged"),
+                "canary_scale": out["canary"]["scale"],
+                "ext_canary_scale": out["canary"]["ext_scale"],
+                "comparable": out["canary"]["comparable"],
                 "n_headline": len(head),
             }
         )

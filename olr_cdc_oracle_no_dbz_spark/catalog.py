@@ -87,3 +87,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_NUM_ROWS_CACHE: dict[str, int] = {}
+
+
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """EXACT table row count from parquet footer metadata — no Spark
+    job, no data read, ~0.7 ms per table (memoized per path on top).
+
+    r14 (ADVICE r13): registry query builders must stay job-free at
+    construction, yet several need a row-count-shaped scalar in the
+    PLAN — the tf-idf N literal, and the ``size_gated_broadcast``
+    upper bounds for every relation structurally bounded by a table's
+    cardinality (erasure lists ≤ events rows, drop lists ≤ embeddings
+    rows, distinct-doc contamination sets ≤ documents rows). The
+    footer count is the engine-equivalent of Spark's own
+    metadata-only count optimization, available at plan-build time.
+    At 100 TB the same call reads N footers of a partitioned table
+    (or one catalog stat) — still no executor involvement."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(
+            f"unknown table {name!r}; expected one of {TESTDATA_TABLES}"
+        )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    hit = _NUM_ROWS_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        n = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.read_metadata(path).num_rows
+    _NUM_ROWS_CACHE[path] = n
+    return n

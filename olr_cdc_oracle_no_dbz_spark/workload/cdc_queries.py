@@ -785,16 +785,31 @@ def cdc_purge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an external relation with no size contract (a regulator-ordered
     bulk purge is O(users)), so past the gate the hint drops to a
     plain key shuffle join instead of force-collecting. Keys absent
-    from state are a no-op, matching erasure-request semantics."""
+    from state are a no-op, matching erasure-request semantics.
+
+    r14 (ADVICE r13): the gate bound is the JOBLESS parquet-footer row
+    count of events — a structural upper bound on the distinct-user
+    erasure list — so building this query runs no Spark job (the r13
+    shape counted the list at construction, which executed a real
+    corpus job in every plan-only sweep). Under the bound ⟹ the list
+    is under it too ⟹ broadcast safe; at 100× the bound crosses the
+    gate and the anti join degrades to a key shuffle (where AQE still
+    broadcast-converts at runtime if the materialized list is tiny)."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
     from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 
     ev = t(spark, sf_dir, "events")
     purge = (
         ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
     )
+    purge_bound = parquet_num_rows(sf_dir, "events")
     live = latest_state(ev, KEY, ORDER).filter(F.col("event_type") != "error")
     return (
-        live.join(size_gated_broadcast(purge), "user_id", "left_anti")
+        live.join(
+            size_gated_broadcast(purge, n_rows=purge_bound),
+            "user_id",
+            "left_anti",
+        )
         .select(
             "user_id",
             F.col("event_type").alias("last_event_type"),

@@ -3075,21 +3075,35 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking is identical to log-idf since log is monotone. The df
     relation is VOCABULARY-sized — it grows with the corpus (r13: web
     vocabularies reach 10⁸–10⁹ terms at 100 TB, so the r12 forced
-    broadcast was the apply-gate OOM class in disguise) — so its hint
-    is size-gated: broadcast below the gate, plain key shuffle join
-    past it. The TOKEN relation is lineage-cut once and feeds BOTH the
-    df aggregation and the scored join — the r12 plan computed the
-    explode+groupBy token pipeline twice inside one job (no exchange
-    reuse across the broadcast boundary), and the first r13 cut paid
-    it twice across two jobs (+0.2 s, A/B receipt); one materialization
-    is both the fastest gate-scale shape and the only sane 100 TB one
-    (you do not tokenize a corpus twice)."""
+    broadcast was the apply-gate OOM class in disguise). r14 (ADVICE
+    r13): vocabulary has NO structural row bound any table footer can
+    supply (Heaps-law growth), and counting it at construction ran a
+    real corpus job in every plan-only sweep — so the join strategy is
+    DEFERRED TO SPARK'S OWN statistics instead of a forced hint: at
+    gate scale Catalyst's propagated scan-size estimate already picks
+    a static broadcast (the estimate grows with the input files, so at
+    100 TB it crosses autoBroadcastJoinThreshold and the static choice
+    degrades to the key join), and AQE runtime conversion remains the
+    byte-accurate safety net whenever the materialized df side lands
+    under ``spark.sql.adaptive.autoBroadcastJoinThreshold`` (pinned by
+    tests/test_plans.py::test_tfidf_vocab_join_aqe_broadcasts_at_
+    gate_scale); a genuinely corpus-sized vocabulary keeps the
+    co-partitioned shuffle join. That is the exact decision the
+    r13 count-gate made, moved from construction time to run time
+    with byte-accurate (not row-estimate) evidence. The TOKEN relation
+    is lineage-cut once (LAZILY — construction stays job-free; the
+    first action materializes) and feeds BOTH the df aggregation and
+    the scored join — you do not tokenize a corpus twice. The N in the
+    idf literal comes from parquet footer metadata: exact, no job."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
+
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; at scale this is a cheap metadata count
+    n_docs = parquet_num_rows(sf_dir, "documents")
     tok = truncate_lineage(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
+        eager=False,
     )
     df = tok.groupBy("term").agg(F.count("*").alias("df"))
     score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
@@ -3097,7 +3111,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf_score").desc(), "term"
     )
     return (
-        tok.join(size_gated_broadcast(df), "term")
+        tok.join(df, "term")
         .select("doc_id", "term", score.alias("tfidf_score"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
@@ -4036,7 +4050,12 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is O(duplicated mass) — 30-50% of a real web corpus — so
     its broadcast hint is size-gated (r13): hint below the gate, plain
     key shuffle join past it; everything else is map-side expression
-    work plus one source rollup."""
+    work plus one source rollup. r14 (ADVICE r13): the gate bound is
+    the jobless documents footer row count (dup hashes ≤ docs), so
+    construction runs no job; at 100× the bound crosses the gate and
+    the join degrades to a key shuffle as designed."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -4049,7 +4068,10 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.join(
-            size_gated_broadcast(dup_h.withColumnRenamed("h", "dh")),
+            size_gated_broadcast(
+                dup_h.withColumnRenamed("h", "dh"),
+                n_rows=parquet_num_rows(sf_dir, "documents"),
+            ),
             F.col("dh") == F.col("h"),
             "left",
         )
@@ -6535,9 +6557,20 @@ def corpus_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     d = t(spark, sf_dir, "documents")
+    # jobless gate bound (r14, ADVICE r13): contaminated is a DISTINCT
+    # doc_id set, structurally ≤ the documents footer row count — no
+    # construction-time count job, same 100× shuffle degradation
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
+
     return (
         d.filter(split_of("doc_id") == "train")
-        .join(size_gated_broadcast(contaminated), "doc_id", "left_anti")
+        .join(
+            size_gated_broadcast(
+                contaminated, n_rows=parquet_num_rows(sf_dir, "documents")
+            ),
+            "doc_id",
+            "left_anti",
+        )
         .select("doc_id", "lang", "source", "n_chars")
     )
 
@@ -6734,16 +6767,23 @@ def dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: one left-anti join of the drop list against the
     vector table. r13: the drop list is a FRACTION OF THE CORPUS — at
     real duplication rates an unconditional broadcast would OOM at
-    100× — so the report is materialized once (the anti-join reuses
-    the same blocks) and the hint is size-gated on its counted rows,
-    degrading to a plain key shuffle join past the gate."""
+    100× — so the hint is size-gated, degrading to a plain key shuffle
+    join past the gate. r14 (ADVICE r13): the gate bound is the
+    jobless embeddings footer row count (drop list ≤ vectors), so
+    building the query no longer materializes-and-counts the report
+    at construction."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
     from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 
     dropped = dedup_semantic(spark, sf_dir).select("vec_id")
     e = t(spark, sf_dir, "embeddings")
-    return e.join(size_gated_broadcast(dropped), "vec_id", "left_anti").select(
-        "vec_id", "label"
-    )
+    return e.join(
+        size_gated_broadcast(
+            dropped, n_rows=parquet_num_rows(sf_dir, "embeddings")
+        ),
+        "vec_id",
+        "left_anti",
+    ).select("vec_id", "label")
 
 
 @register(

@@ -35,6 +35,29 @@ ALLOWED_RATIO = 1.5
 VARIANCE_BAND = 0.15
 MIN_ABS_SEC = 0.15
 
+#: the frozen-plan trivial gates bench.py times as its in-schedule
+#: ambient canary (r14). Mirrored literally (not imported) so this
+#: script keeps working against artifacts from a checkout where
+#: bench.py predates the canary block.
+_CANARIES = (
+    "scalar_json",
+    "dedup_exact",
+    "text_rolling_fingerprint",
+    "embedding_quantize_sq8",
+    "ann_topk_bruteforce",
+)
+
+#: extended-tier canary trio (r14 second iteration): the tiers run
+#: minutes apart, and the canary's first live test was a run whose
+#: headline block read quiet (canary 1.10×) while the extended tier
+#: inflated 1.5-3.2× from an episodic load window — so each tier is
+#: judged by ITS OWN frozen-plan canaries.
+_EXT_CANARIES = (
+    "layout_zorder",
+    "agg_quantile_sketch",
+    "events_gap_islands",
+)
+
 #: queries whose CONTRACT changed since the newest committed artifact —
 #: they intentionally do more work, so a >1.5× delta is explained, not a
 #: regression. Reported loudly but non-fatal; prune each round once the
@@ -84,6 +107,16 @@ _NON_QUERY_KEYS = frozenset(
         "warm_median_sec",
         "loadavg_1m",
         "mt_threads",
+        # r14 additions: canary block + compact-line keys + cpu_count
+        "canary_scale",
+        "norm_sum",
+        "ref_norm_sum",
+        "scale",
+        "cpu_count",
+        "ext_canary_scale",
+        "ext_norm_sum",
+        "ext_ref_norm_sum",
+        "ext_scale",
     }
 )
 
@@ -185,9 +218,52 @@ def main(argv: list[str]) -> int:
             )
         )
     norm = calib_ratio if loaded else 1.0
+    # r14 (VERDICT r13 item 1): the canary queries are the better
+    # ambient divisor — trivial frozen-plan gates timed in the SAME
+    # interleaved schedule as everything else, so their median ratio
+    # captures mid-run ambient shift the bracketing probes can't see
+    # (the r13 event: 3 trivial gates uniformly +50-60% at quiet
+    # probes). A real plan regression moves ONE query while the
+    # canaries stay flat, so dividing by their median cannot hide it.
+    def canary_norm(canaries: tuple, label: str) -> float | None:
+        ratios = sorted(
+            nq[c] / oq[c]
+            for c in canaries
+            if c in nq and c in oq and oq[c] > 0
+        )
+        if len(ratios) < 3:
+            return None
+        cr = ratios[len(ratios) // 2]
+        print(
+            f"{label} canary median ratio: {cr:.2f}x over {len(ratios)} "
+            "frozen-plan gates — that tier's ratios are judged "
+            "relative to it"
+        )
+        return cr
+
+    # per-tier divisors (r14 second iteration): the tiers run minutes
+    # apart, so each is judged by its own in-schedule canaries — a
+    # headline-quiet/extended-loaded run (the canary's first live test)
+    # otherwise fails 30+ untouched extended gates at raw ratios.
+    cr_head = canary_norm(_CANARIES, "headline")
+    cr_ext = canary_norm(_EXT_CANARIES, "extended")
+    norm_head = (
+        max(norm, cr_head)
+        if cr_head is not None and cr_head > 1 + VARIANCE_BAND
+        else norm
+    )
+    norm_ext = (
+        max(norm, cr_ext)
+        if cr_ext is not None and cr_ext > 1 + VARIANCE_BAND
+        else norm_head  # no ext canaries recoverable → headline's
+    )
+    ext_names = set(
+        (new.get("extended") or {}).get("queries", {})
+    ) | set((old.get("extended") or {}).get("queries", {}))
 
     regressions, rows = [], []
     for name in sorted(set(nq) | set(oq)):
+        norm = norm_ext if name in ext_names else norm_head
         if name not in oq:
             rows.append((name, None, nq[name], "new"))
             continue
@@ -242,32 +318,76 @@ def main(argv: list[str]) -> int:
         # fails the gate; the band below it demands a same-session or
         # same-environment remeasure before anyone publishes a delta.
         suspect = _load_suspect(new)
+        # r14: an out-of-band canary divisor in THIS comparison is
+        # itself ambient evidence — the frozen-plan gates moved, which
+        # plans cannot explain. Residual 1.5-2.5x rows under such a
+        # divisor are heavy queries suffering superlinearly in the
+        # loaded window (the canary's first live test: all three
+        # residual rows read 0.88-0.94x in a same-session worktree
+        # A/B), so they demand a remeasure, not a bisect.
+        if not suspect:
+            for cr, tier in ((cr_head, "headline"), (cr_ext, "extended")):
+                if cr is not None and cr > 1 + VARIANCE_BAND:
+                    suspect = (
+                        f"{tier} canary divisor {cr:.2f}x (frozen plans"
+                        " moved — ambient)"
+                    )
+                    break
         hard = [r for r in regressions if r[3] > 2.5]
-        if not hard:
+        if hard:
+            print(f"FATAL: {len(hard)} regression(s) beyond 2.5x")
+            return 1
+        # r14 (ADVICE r13): the 1.5-2.5x band is advisory ONLY when the
+        # artifact itself carries contention/ambient evidence. With a
+        # clean-reading artifact (quiet probes, canary comparable), a
+        # single lost broadcast on a fast gate lands exactly here — so
+        # absent evidence, several joint regressions or one clearly
+        # past 2x fail the gate instead of passing silently.
+        if suspect:
             print(
-                "ADVISORY: all regressions <=2.5x — ambient/environment"
-                " band; remeasure same-session before trusting deltas"
-                + (f" (load evidence: {suspect})" if suspect else "")
+                "ADVISORY: all regressions <=2.5x with load evidence "
+                f"({suspect}); remeasure same-session before trusting "
+                "deltas"
             )
             return 0
-        print(f"FATAL: {len(hard)} regression(s) beyond 2.5x")
-        return 1
+        strong = [r for r in regressions if r[3] > 2.0]
+        if len(regressions) >= 2 or strong:
+            print(
+                f"FATAL: {len(regressions)} regression(s) in the "
+                "1.5-2.5x band with NO load evidence in the artifact "
+                "(quiet probes, canary comparable) — plan-level cause "
+                "likely; bisect before shipping"
+            )
+            return 1
+        print(
+            "ADVISORY: single 1.5-2.0x regression, no load evidence — "
+            "scheduler jitter plausible on one gate; remeasure "
+            "same-session"
+        )
+        return 0
     return 0
 
 
 def _load_suspect(bench: dict) -> str | None:
-    """Evidence in the artifact itself that the run was parallel-
-    contended: the MT-vs-ST contention flag (bench.py r13), or a
-    1-minute loadavg above a quarter of the box's cores at either
-    bracket (the r13 verify run read loadavg 9.87 at its tail on 32
-    cores while both calib probes bracketed quiet windows)."""
+    """Evidence in the artifact itself that the run's timings are not
+    plan-attributable: the MT-vs-ST contention flag (bench.py r13),
+    the canary verdict (r14 — the in-schedule ambient detector; an
+    out-of-band canary_scale means the run's ambient was atypical in
+    EITHER direction, so deltas against other rounds are suspect), or
+    a 1-minute loadavg above a quarter of the box's cores at either
+    bracket. The core count comes from the artifact itself when
+    present (ADVICE r13 — judging a remote artifact's loadavg against
+    the COMPARING box's cores misclassifies cross-machine runs)."""
     import os
 
     load = bench.get("load") or {}
     if (load.get("contention") or {}).get("flagged"):
         return "contention flag"
+    canary = bench.get("canary") or {}
+    if canary and canary.get("comparable") is False:
+        return f"canary_scale {canary.get('scale')} outside band"
     la = load.get("loadavg_1m") or []
-    cores = os.cpu_count() or 8
+    cores = load.get("cpu_count") or os.cpu_count() or 8
     if la and max(la) > 0.25 * cores:
         return f"loadavg_1m max {max(la)} on {cores} cores"
     return None

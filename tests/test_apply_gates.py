@@ -45,6 +45,11 @@ APPLY_GATES = (
     "corpus_source_report",
     "corpus_decontaminate_apply",
     "cdc_purge_keys",
+    # r14 (VERDICT r13 item 5): the PageRank rank/contrib hints are the
+    # last iteration-carried broadcasts routed through the gate; forcing
+    # the gate to 0 runs all three power iterations as shuffle joins
+    # and must reproduce the exact decimal-summed ranks.
+    "graph_pagerank_transitions",
 )
 
 

@@ -132,6 +132,65 @@ def test_cc_auto_falls_back_to_star_on_deep_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 9}
 
 
+def test_cc_labelprop_raises_dedicated_class_with_partial_labels(spark):
+    """ADVICE r13: the non-convergence signal is a DEDICATED class (a
+    bare RuntimeError in the rounds would be silently absorbed by the
+    'auto' fallback and masked). The exception carries the partial
+    labels — every vertex mapped to the min of its ≤budget-hop
+    neighborhood, the input to the quotient contraction."""
+    import olr_cdc_oracle_no_dbz_spark.graph as g
+
+    chain = [(i, i + 1) for i in range(23)]
+    df = spark.createDataFrame(chain, "s long, d long")
+    with pytest.raises(g.LabelPropDidNotConverge) as exc:
+        connected_components(
+            df, algorithm="labelprop", max_rounds=3, driver_cutover=0
+        )
+    lp = exc.value
+    assert lp.rounds == 3
+    partial = {r[0]: r[1] for r in lp.partial_labels.collect()}
+    # after k rounds each vertex holds min over its k-hop neighborhood
+    assert partial == {v: max(0, v - 3) for v in range(24)}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_cc_auto_quotient_path_matches_union_find(spark, edges, monkeypatch):
+    """r14 (VERDICT r13 item 3): 'auto' now contracts by the partial
+    labels instead of restarting star contraction from raw edges. A
+    1-round budget forces the quotient path on every example with a
+    multi-hop component — the labeling must still equal union-find."""
+    import olr_cdc_oracle_no_dbz_spark.graph as g
+
+    monkeypatch.setattr(g, "_AUTO_LP_ROUNDS", 1)
+    vertices = {v for e in edges for v in e}
+    expected = _union_find(vertices, edges)
+    assert _run(spark, edges, "auto", driver_cutover=0) == expected
+
+
+def test_cc_driver_union_find_arrow_pull_handles_string_ids(spark):
+    """r14: the driver path pulls via Arrow (toPandas), not collect()
+    — string vertex ids must round-trip (object-dtype columns) and the
+    output schema must keep the input id type."""
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("doc-x", "doc-x")],
+        "s string, d string",
+    )
+    out = connected_components(edges)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-x": "doc-x",
+    }
+    assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
+
+
 def test_dedup_clusters_identical_under_star_contraction(spark):
     """The conf switch must not change the registered query's output."""
     from olr_cdc_oracle_no_dbz_spark.workload import queries
