@@ -50,16 +50,19 @@ from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 #: labeled in 2.3 s via the driver pull vs 35.8 s via 19 labelprop
 #: rounds (SCALING_PROBE_r13) — the crossover sits far above the old
 #: cutover. r14 (VERDICT r13 item 2): the pull is Arrow (``toPandas``
-#: on the two id columns), not ``collect()`` — Row objects cost
-#: ~100-200 B each so a 1M-edge Row pull is hundreds of MB of driver
-#: heap, while the Arrow pull holds two primitive arrays. Measured at
-#: the boundary (SCALING_PROBE_r14 cc_driver_pull_rss): 1M bigint
-#: edges = ~31 MB driver RSS growth for the pull + union-find dicts
-#: end-to-end (vs ~660 MB for the same graph through collect()), so
-#: the byte budget behind this row cutover is real: ≈16 MB Arrow
-#: payload + dict overhead, the same order as a collected broadcast
-#: side. Past it (real 100 TB near-dup graphs) the distributed rounds
-#: take over with the identical labeling. The dispatcher mirrors
+#: on the two id columns), not ``collect()``, and the union-find runs
+#: over factorized int64 codes in primitive arrays, not Python dicts.
+#: Measured at the boundary in fresh processes (SCALING_PROBE_r14
+#: cc_driver_pull_rss, worst case: 1M bigint edges / 2M distinct
+#: vertices): **137 MB** driver RSS high-water growth and 4.7 s for
+#: the whole pull + union-find + labeling DataFrame, vs **501 MB**
+#: and 5.7 s for the pre-r14 Row-collect + dict shape — 3.6× less
+#: driver heap AND faster. The 137 MB is ~4× the raw 32 MB array
+#: payload (uniques/parent/roots/output + Arrow conversion buffers,
+#: all primitive) — a real, bounded byte budget the same order as a
+#: large collected broadcast side, measured not estimated. Past the
+#: cutover (real 100 TB near-dup graphs) the distributed rounds take
+#: over with the identical labeling. The dispatcher mirrors
 #: _nearest_cent's inline/join discipline.
 _DRIVER_CC_MAX_EDGES = 1_000_000
 
@@ -293,41 +296,67 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     ``collect()`` (VERDICT r13 item 2): a collected Row costs
     ~100-200 B of driver heap each plus per-field boxing, so the old
     path's "1M edges ≈ 16 MB" arithmetic counted parquet bytes while
-    actually holding hundreds of MB of Row objects; Arrow lands two
-    primitive arrays where that arithmetic is true (measured:
-    SCALING_PROBE_r14 cc_driver_pull_rss). ``tolist()`` converts once
-    to plain Python scalars so the union-find dict keys hash/compare
-    identically to the old Row path (numpy int64 keys would compare
-    equal but hash-box per op)."""
+    actually holding hundreds of MB of Row objects. The first Arrow
+    cut still ran union-find over PYTHON DICTS keyed by vertex value —
+    measured RSS growth 330.8 MB at the 1M-edge boundary (the dicts,
+    not the pull, dominate: ~2M boxed ints + ~100 B/slot dict
+    entries) vs 500.8 MB for Row-collect, so the honest fix is this
+    shape: ``pd.factorize`` densifies vertex ids to int64 codes (C
+    speed, any dtype incl. strings), union-find runs over ONE
+    ``array('q')`` parent (8 B/vertex; scalar indexing returns plain
+    ints where numpy would box an np.int64 per access — measured
+    faster), and the component-min of ORIGINAL values comes from a
+    vectorized pandas groupby-transform over (root, value). Only the
+    per-edge union loop is Python (chunked ``tolist`` for plain-int
+    speed without a 1M-element boxed list); all storage is primitive
+    arrays. Measured end-to-end (fresh process, SCALING_PROBE_r14
+    cc_driver_pull_rss): 137 MB RSS growth / 4.7 s for 1M edges with
+    2M distinct vertices — 3.6× less driver heap than the dict+Row
+    shape (501 MB / 5.7 s) and faster outright."""
+    import numpy as np
     import pandas as pd
 
     pdf = edges.toPandas()
-    src = pdf[pdf.columns[0]].tolist()
-    dst = pdf[pdf.columns[1]].tolist()
-    parent: dict = {}
+    n_edges = len(pdf)
+    both = pd.concat(
+        [pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True
+    )
+    del pdf
+    codes, uniques = pd.factorize(both)
+    del both
+    n = len(uniques)
+    # array('q'), not np.arange: same 8 B/slot, but scalar indexing
+    # returns PLAIN ints (numpy boxes an np.int64 per access — the
+    # find loop is all scalar access, measured ~25% slower on numpy)
+    from array import array
+
+    parent = array("q", range(n))
 
     def find(x):
         root = x
-        while parent.get(root, root) != root:
+        while parent[root] != root:
             root = parent[root]
-        while parent.get(x, x) != x:
+        while parent[x] != x:
             parent[x], x = root, parent[x]
         return root
 
-    for s, d in zip(src, dst):
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            parent[max(rs, rd)] = min(rs, rd)
-        else:
-            parent.setdefault(s, rs)
-            parent.setdefault(d, rd)
-    verts = sorted(set(src).union(dst))
-    comp_min: dict = {}
-    for v in verts:
-        root = find(v)
-        m = comp_min.get(root)
-        if m is None or v < m:
-            comp_min[root] = v
+    # chunked tolist: plain-int loop speed without materializing two
+    # 1M-element lists of boxed ints (~28 B each) at once
+    _CH = 65536
+    for off in range(0, n_edges, _CH):
+        for a, b in zip(
+            codes[off : off + _CH].tolist(),
+            codes[n_edges + off : n_edges + off + _CH].tolist(),
+        ):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    del codes
+    roots = np.fromiter(
+        (find(i) for i in range(n)), dtype=np.int64, count=n
+    )
+    vals = pd.Series(uniques)
+    comp_min = vals.groupby(roots).transform("min")
     from pyspark.sql.types import StructField, StructType
 
     vtype = edges.schema["s"].dataType
@@ -337,11 +366,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             StructField("cluster_id", vtype, False),
         ]
     )
-    out_pdf = pd.DataFrame(
-        {"doc_id": verts, "cluster_id": [comp_min[find(v)] for v in verts]}
-    )
+    out_pdf = pd.DataFrame({"doc_id": vals, "cluster_id": comp_min})
     out = edges.sparkSession.createDataFrame(out_pdf, schema)
-    setattr(out, _KNOWN_ROWS_ATTR, len(verts))
+    setattr(out, _KNOWN_ROWS_ATTR, n)
     return out
 
 

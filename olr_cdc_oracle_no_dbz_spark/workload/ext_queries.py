@@ -4269,6 +4269,56 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(k, 1, 1)) AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY substr(k, 1, 1) ORDER BY k, doc_id
+           ) AS BIGINT) AS shard_pos,
+           n_chars
+    FROM keyed
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    standard pre-tokenization step that breaks source/crawl ordering
+    before packing (a corpus written in crawl order trains on
+    correlated batches). Each doc gets a salted md5 key; the shard is
+    the key's first hex digit (16 uniform buckets) and the within-
+    shard position is the rank in key order — a pure function of the
+    data, reproducible across engines, runs, and cluster sizes, never
+    ``rand()``. Composes independently with ``dataset_split`` and
+    ``corpus_mix_weighted`` (distinct salts → uncorrelated buckets).
+
+    Scale design: one hash shuffle on the shard digit, then a
+    per-shard external sort (the window is partitioned — no global
+    sort, no single-partition window). Parallelism equals shard
+    count, so at 100 TB the digit widens (2 hex chars = 256 shards,
+    3 = 4096 — ~25 GB/shard single-task spillable sorts, the exact
+    shape tokenizer-sharding jobs use); the 16-way form here keeps
+    the oracle legible. Emission is a narrow (doc_id, shard, pos,
+    n_chars) projection — text never shuffles, the downstream writer
+    joins it back by doc_id co-partitioned."""
+    d = t(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "n_chars", k.alias("k"))
+    shard_digit = F.substring("k", 1, 1)
+    w = Window.partitionBy(shard_digit).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.conv(shard_digit, 16, 10).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+        "n_chars",
+    )
+
+
 #: target mixture weights per language — the dataset-mixing knob
 #: (keep-rate per stratum; en oversampled, zh downsampled)
 _MIX_RATES = {"en": 95, "de": 60, "fr": 50, "es": 40, "zh": 30}
