@@ -4270,6 +4270,99 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               string_split(text, ' ') AS tk,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    eg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 3),
+                        i -> array_to_string(tk[i:i+4], ' '))) AS g
+        FROM toks WHERE bucket >= 80
+    ),
+    tg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+                       i -> array_to_string(tk[i:i+4], ' '))) AS g
+        FROM toks WHERE bucket < 80
+    ),
+    bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g))
+    SELECT doc_id, lang, source, n_chars
+    FROM toks
+    WHERE bucket < 80 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram decontamination — the GPT-3/Llama method, a
+    distinct mechanism from ``corpus_decontaminate_apply`` (which
+    removes MinHash NEAR-duplicates of eval docs): a train document is
+    contaminated if it shares ANY 5-gram with any val/test document,
+    catching verbatim eval snippets quoted inside otherwise-novel
+    training text that whole-document similarity never flags. Splits
+    come from ``dataset_split``'s exact md5 bucket (no salt), so the
+    audit removes from precisely the train set the pipeline produces.
+
+    Scale design: both gram relations are map-side explodes (~n_tokens
+    rows per doc, no Python); the membership test is ONE shuffle join
+    keyed by gram — the eval gram set is corpus-proportional (the eval
+    split's token mass), so it is deliberately NOT broadcast-hinted:
+    at gate scale AQE's runtime statistics may still broadcast it, at
+    100 TB it stays a co-partitioned hash join (production pipelines
+    swap in a bloom filter built from the same relation to cut the
+    shuffle; the exact join is the reference semantics and the bloom's
+    false-positive audit). The contaminated doc set IS structurally
+    bounded (≤ documents rows), so the final anti join's hint rides
+    the footer-bounded size gate like the rest of the family."""
+    from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
+    from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
+
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    grams = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.array_join(F.slice(tk, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        grams.alias("grams"),
+        (bucket < 80).alias("is_train"),
+    )
+    eg = (
+        toks.filter(~F.col("is_train"))
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    tg = toks.filter("is_train").select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    bad = tg.join(eg, "g").select("doc_id").distinct()
+    return (
+        toks.filter("is_train")
+        .join(
+            size_gated_broadcast(
+                bad, n_rows=parquet_num_rows(sf_dir, "documents")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
     "corpus_shuffle_shards",
     oracle="""
     WITH keyed AS (
