@@ -93,6 +93,9 @@ SHOWCASE = {
     "dedup_fuzzy_groups": "one (blk, head) groupBy; rep-only block join; DP once per distinct pair; self-rows from the group agg",
     "timeseries_paa_groups": "series groupBy collapse; occupancy-derived salted band join over reps; row-local folds",
     "cdc_state_compaction": "plan-only logical form: one LWW max_by shuffle + dead-tombstone filter (the physical path is the bucketed store)",
+    # round-14 additions
+    "corpus_shuffle_shards": "seeded-md5 shard digit: ONE hash exchange + per-shard window rank (no global sort)",
+    "corpus_decontaminate_ngram": "map-side 5-gram explodes; one gram-keyed join (eval side un-hinted by design); footer-size-gated anti join",
 }
 
 _KEEP = re.compile(
