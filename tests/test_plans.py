@@ -388,6 +388,8 @@ def test_registry_gate_construction_is_job_free(spark, q):
         "cdc_purge_keys",
         "corpus_source_report",
         "corpus_decontaminate_apply",
+        "corpus_decontaminate_ngram",
+        "corpus_shuffle_shards",
         "text_tfidf_top_terms",
         "graph_pagerank_transitions",
         "dedup_semantic_apply",
