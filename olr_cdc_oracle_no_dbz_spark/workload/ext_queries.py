@@ -4332,25 +4332,25 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(tk, i, 5), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    toks = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_chars",
-        grams.alias("grams"),
-        (bucket < 80).alias("is_train"),
+    # tokenize ONCE (the tf-idf r13 discipline — you do not shingle a
+    # corpus twice): the exploded (doc_id, g, is_train) relation is
+    # lineage-cut lazily and feeds BOTH gram sides; construction stays
+    # job-free, the first action materializes the blocks both the eval
+    # distinct and the train join then reread.
+    gram_rel = truncate_lineage(
+        d.select(
+            "doc_id",
+            (bucket < 80).alias("is_train"),
+            F.explode(grams).alias("g"),
+        ),
+        eager=False,
     )
-    eg = (
-        toks.filter(~F.col("is_train"))
-        .select(F.explode("grams").alias("g"))
-        .distinct()
-    )
-    tg = toks.filter("is_train").select(
-        "doc_id", F.explode("grams").alias("g")
-    )
+    eg = gram_rel.filter(~F.col("is_train")).select("g").distinct()
+    tg = gram_rel.filter("is_train").select("doc_id", "g")
     bad = tg.join(eg, "g").select("doc_id").distinct()
     return (
-        toks.filter("is_train")
+        d.select("doc_id", "lang", "source", "n_chars")
+        .filter(bucket < 80)
         .join(
             size_gated_broadcast(
                 bad, n_rows=parquet_num_rows(sf_dir, "documents")
