@@ -123,6 +123,10 @@ EXTENDED = [
     # (SNM user graph, 132k edges at sf0.1 — exercises the driver
     # union-find cutover; tests/probes force the distributed arms)
     "graph_connected_components",
+    # round-14 additions: the seeded shuffle-shard assignment and the
+    # exact 5-gram decontamination join, timed from their first round
+    "corpus_shuffle_shards",
+    "corpus_decontaminate_ngram",
 ]
 
 
