@@ -1450,7 +1450,13 @@ def events_cooccurrence_affinity(
     scan collapses in one dropDuplicates partial agg first. Per-type
     totals and the global user count join back as broadcasts; ratios
     are exact-decimal renders."""
-    ut = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    # r14 (opt): lazy cut — the distinct bipartite relation feeds the
+    # per-type support aggregate and BOTH self-join sides; uncut, each
+    # consumer re-ran the events scan + dropDuplicates shuffle
+    ut = truncate_lineage(
+        t(spark, sf_dir, "events").select("user_id", "event_type").distinct(),
+        eager=False,
+    )
     per_type = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
     a = ut.alias("a")
     b = ut.alias("b")
@@ -1842,10 +1848,16 @@ def events_association_rules(
     sort+limit then a post-limit rank recompute (the plan-sweep
     pattern)."""
     ev = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
-    baskets = ev.select(
-        "user_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-    ).distinct()
+    # r14 (opt): lazy cut — baskets feeds the support aggregate, the
+    # user total, and both pair-join sides; uncut, each consumer
+    # re-ran the scan + JSON extraction + distinct shuffle
+    baskets = truncate_lineage(
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        ).distinct(),
+        eager=False,
+    )
     supp = baskets.groupBy("item").agg(F.count("*").alias("n"))
     tot = baskets.agg(F.countDistinct("user_id").alias("n_users"))
     a, b = baskets.alias("a"), baskets.alias("b")

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from olr_cdc_oracle_no_dbz_spark.catalog import parquet_num_rows
 from olr_cdc_oracle_no_dbz_spark.checkpointing import truncate_lineage
 from olr_cdc_oracle_no_dbz_spark.graph import size_gated_broadcast
 from olr_cdc_oracle_no_dbz_spark.workload import register
@@ -345,7 +346,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing the exploded shingles costs more than recomputing
     them, and a cached plan blocks AQE's broadcast re-planning). At
     100 TB the same holds as long as scans stay columnar; if shingling
-    ever dominates, write the shingle table once and read it back."""
+    ever dominates, write the shingle table once and read it back.
+
+    r14 (opt): the shingle relation still feeds sa/sb directly (the
+    exact-Jaccard verify — the receipt above stands), but the
+    SIGNATURE aggregate no longer multiplies it: the 16 minhash mins
+    and the per-doc shingle count ride ONE groupBy pass (same grouping
+    key, so one shuffle computes both mh and sizes — previously two
+    full shingle derivations), and that narrow n_docs×17 aggregate is
+    lineage-cut lazily so the band self-join's two sides and both size
+    joins read the materialization instead of re-deriving the shingles
+    (the `_simhash_sig` receipt, guide §2.4/§3.3). Shingle executions
+    per invocation: 5 → 3. The band join's build side is size-gated
+    (4·n_docs footer bound) because the cut hides size stats from the
+    static planner."""
     sh = _shingles(spark, sf_dir, 3)
     # 16 permutations from 4 md5 calls: each 128-bit md5 contributes four
     # independent 32-bit slices (8 hex chars) — 4x less hashing, same
@@ -354,30 +368,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # immutable) — a numeric-min rewrite via conv(hex,16,10) removes the
     # sort but MEASURED 60% slower at sf0.1 (3.6s vs 2.2s: per-slice hex
     # parsing outweighs the per-partition sort), so the string form stays.
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
-                    ),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ]
+    mhz = truncate_lineage(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("s"), F.lit(f":{i // 4}")).cast(
+                                "binary"
+                            )
+                        ),
+                        (i % 4) * 8 + 1,
+                        8,
+                    )
+                ).alias(f"mh{i}")
+                for i in range(16)
+            ],
+            F.count("*").alias("n"),
+        ),
+        eager=False,
     )
+    n_docs = parquet_num_rows(sf_dir, "documents")
     stack_args = ", ".join(
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
         for b in range(_MINHASH_BANDS)
     )
     # _spread (r11): mh is a small aggregate AQE coalesces to ~1
     # partition; the band self-join would enumerate pairs on one task
-    bands = _spread(mh, "doc_id").selectExpr(
+    bands = _spread(mhz, "doc_id").selectExpr(
         "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    x = bands.alias("x")
+    y = size_gated_broadcast(bands, n_rows=_MINHASH_BANDS * n_docs).alias("y")
     cand = (
         x.join(
             y,
@@ -388,7 +410,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = mhz.select("doc_id", "n")
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
@@ -399,7 +421,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    # size joins gated at the footer bound: sizes descends from the cut,
+    # so the static planner sees no stats (same rationale as the bands)
+    gz = size_gated_broadcast(sizes, n_rows=n_docs)
+    za, zb = gz.alias("za"), gz.alias("zb")
     jac = F.col("n_common").cast("double") / (
         F.col("za.n") + F.col("zb.n") - F.col("n_common")
     )
@@ -415,7 +440,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _minhash_rep_pairs(
+    reps: DataFrame, n_bound: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Shared representative-level MinHash machinery for the r9
     twin-collapsed gates (``dedup_minhash_topk``,
     ``dedup_minhash_groups``): (gid, text) representatives → distinct
@@ -427,7 +454,12 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
     the md5-slice geometry (the ':perm' salt, the (i%4)·8+1 hex
     offsets, the band count) is a cross-engine protocol — a tuning
     change applied to one family member and missed in another would
-    silently desynchronize their candidate sets (r9 code review)."""
+    silently desynchronize their candidate sets (r9 code review).
+
+    r14 (opt): signature mins + shingle count ride ONE groupBy pass
+    behind a lazy lineage cut (the ``dedup_minhash_lsh`` receipt);
+    ``n_bound`` is any known upper bound on rep rows (documents footer
+    count at worst) for the post-cut broadcast gates."""
     # _spread (r11): the rep table reaches here AQE-coalesced to ~1
     # partition; without the repartition the shingle explode + 4-md5
     # signature hashing serializes in one task (_spread docstring).
@@ -439,28 +471,36 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("s"),
     )
-    mh = rsh.groupBy("gid").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
-                    ),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ]
+    mhz = truncate_lineage(
+        rsh.groupBy("gid").agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("s"), F.lit(f":{i // 4}")).cast(
+                                "binary"
+                            )
+                        ),
+                        (i % 4) * 8 + 1,
+                        8,
+                    )
+                ).alias(f"mh{i}")
+                for i in range(16)
+            ],
+            F.count("*").alias("n_sh"),
+        ),
+        eager=False,
     )
     stack_args = ", ".join(
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
         for b in range(_MINHASH_BANDS)
     )
-    bands = _spread(mh, "gid").selectExpr(
+    bands = _spread(mhz, "gid").selectExpr(
         "gid", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
-    bx, by = bands.alias("bx"), bands.alias("by")
+    bx = bands.alias("bx")
+    by_rows = None if n_bound is None else _MINHASH_BANDS * n_bound
+    by = size_gated_broadcast(bands, n_rows=by_rows).alias("by")
     gcand = (
         bx.join(
             by,
@@ -471,7 +511,7 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("bx.gid").alias("a_gid"), F.col("by.gid").alias("b_gid"))
         .distinct()
     )
-    sizes = rsh.groupBy("gid").agg(F.count("*").alias("n_sh"))
+    sizes = mhz.select("gid", "n_sh")
     sa, sb = rsh.alias("sa"), rsh.alias("sb")
     inter = (
         gcand.join(sa, F.col("sa.gid") == F.col("a_gid"))
@@ -482,7 +522,8 @@ def _minhash_rep_pairs(reps: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("a_gid", "b_gid")
         .agg(F.count("*").alias("n_common"))
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    gz = size_gated_broadcast(sizes, n_rows=n_bound)
+    za, zb = gz.alias("za"), gz.alias("zb")
     jac = F.col("n_common").cast("double") / (
         F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
     )
@@ -588,14 +629,23 @@ def dedup_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = Window.partitionBy("ch")
     wgo = Window.partitionBy("ch").orderBy("doc_id")
-    ranked = d.withColumn("gid", F.min("doc_id").over(wg)).withColumn(
-        "grn", F.row_number().over(wgo)
+    # r14 (opt): lazy cut — ranked feeds reps (the whole signature
+    # pipeline), m4, and docs; uncut, each consumer re-ran the scan +
+    # md5 + two windows (plans/r14/dedup_minhash_topk_before.txt: 11
+    # parquet scans in one plan)
+    ranked = truncate_lineage(
+        d.withColumn("gid", F.min("doc_id").over(wg)).withColumn(
+            "grn", F.row_number().over(wgo)
+        ),
+        eager=False,
     )
     reps = ranked.filter(F.col("grn") == 1).select("gid", "text")
     m4 = ranked.filter(F.col("grn") <= 4).select(
         "gid", F.col("doc_id").alias("member_id")
     )
-    pairs, sizes = _minhash_rep_pairs(reps)
+    pairs, sizes = _minhash_rep_pairs(
+        reps, n_bound=parquet_num_rows(sf_dir, "documents")
+    )
     gpairs = pairs.select(
         F.col("a_gid").alias("g"), F.col("b_gid").alias("h"), "jaccard"
     )
@@ -757,7 +807,10 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("text").alias("text"),
     )
-    pairs, sizes = _minhash_rep_pairs(g.select("gid", "text"))
+    pairs, sizes = _minhash_rep_pairs(
+        g.select("gid", "text"),
+        n_bound=parquet_num_rows(sf_dir, "documents"),
+    )
     ga = g.select(F.col("gid").alias("a_gid"), F.col("n").alias("n_a"))
     gb = g.select(F.col("gid").alias("b_gid"), F.col("n").alias("n_b"))
     crossp = (
@@ -1066,19 +1119,33 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed for the bounded candidate set, exactly the sampled-audit
     shape a real calibration run has."""
     sh = _shingles(spark, sf_dir, 3)
-    mh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("s"), F.lit(f":{i // 4}")).cast("binary")
-                    ),
-                    (i % 4) * 8 + 1,
-                    8,
-                )
-            ).alias(f"mh{i}")
-            for i in range(16)
-        ]
+    # r14 (opt): one combined signature+size aggregate behind a lazy
+    # cut (the dedup_minhash_lsh receipt); the candidate relation is
+    # ALSO cut — it feeds both the estimate join (ma/mb) and the exact
+    # verify (sa/sb), and uncut each consumer re-ran the band
+    # self-join (plans/r14/dedup_minhash_estimate_before.txt: 10
+    # parquet scans in one plan). All post-cut small-side joins route
+    # through the size gate at the documents footer bound.
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    mhz = truncate_lineage(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("s"), F.lit(f":{i // 4}")).cast(
+                                "binary"
+                            )
+                        ),
+                        (i % 4) * 8 + 1,
+                        8,
+                    )
+                ).alias(f"mh{i}")
+                for i in range(16)
+            ],
+            F.count("*").alias("n"),
+        ),
+        eager=False,
     )
     stack_args = ", ".join(
         f"{b}, md5(concat(mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}))"
@@ -1086,11 +1153,12 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _spread (r11): mh is a small aggregate AQE coalesces to ~1
     # partition; the band self-join would enumerate pairs on one task
-    bands = _spread(mh, "doc_id").selectExpr(
+    bands = _spread(mhz, "doc_id").selectExpr(
         "doc_id", f"stack({_MINHASH_BANDS}, {stack_args}) AS (band_idx, band_hash)"
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
+    x = bands.alias("x")
+    y = size_gated_broadcast(bands, n_rows=_MINHASH_BANDS * n_docs).alias("y")
+    cand = truncate_lineage(
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -1098,9 +1166,11 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
-    ma, mb = mh.alias("ma"), mh.alias("mb")
+    gm = size_gated_broadcast(mhz, n_rows=n_docs)
+    ma, mb = gm.alias("ma"), gm.alias("mb")
     n_agree = sum(
         F.when(F.col(f"ma.mh{i}") == F.col(f"mb.mh{i}"), 1).otherwise(0)
         for i in range(16)
@@ -1110,7 +1180,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mb, F.col("mb.doc_id") == F.col("b_id"))
         .select("a_id", "b_id", n_agree.alias("n_agree"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = mhz.select("doc_id", "n")
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
@@ -1121,7 +1191,8 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    gz = size_gated_broadcast(sizes, n_rows=n_docs)
+    za, zb = gz.alias("za"), gz.alias("zb")
     jac = F.col("n_common").cast("double") / (
         F.col("za.n") + F.col("zb.n") - F.col("n_common")
     )
@@ -1197,7 +1268,18 @@ def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int
     mean-centered integer signature (bit j = n·s_j > Σ_docs s_j,
     offsets broadcast from a 1-row aggregate). Returns (sig_df, w).
     ``n`` is the engine-side corpus COUNT the width derives from; the
-    oracle replays width and offsets via CTEs ``shp``/``goff``."""
+    oracle replays width and offsets via CTEs ``shp``/``goff``.
+
+    r14 (opt): the ``sums`` aggregate — n docs × (4w+1) longs, ~2 MB at
+    gate scale and always ≪ the token relation it summarizes — is
+    lineage-cut LAZILY (guide §3.3/§5): without the cut the whole
+    token→md5→bit-sum pipeline executes once per consumer — the sums
+    side, the 1-row centering aggregate, and BOTH sides of the band
+    self-join re-derive it, a measured 4× execution of the gate's
+    dominant phase (plans/r14/dedup_simhash_before.txt: 4 scan+explode+
+    aggregate chains; after: 1). Construction stays job-free
+    (eager=False), and the materialization is per-invocation — nothing
+    persists across bench runs."""
     w = _simhash_band_w(n)
     nbits = _SIMHASH_BANDS * w
     # _spread (r11): the doc/rep table arrives as one scan partition
@@ -1209,7 +1291,9 @@ def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int
         .groupBy("doc_id", F.expr(_SPARK_SIMHASH_HV).alias("hv"))
         .agg(F.count("*").alias("cnt"))
     )
-    sums = tok.groupBy("doc_id").agg(*_simhash_cols(nbits))
+    sums = truncate_lineage(
+        tok.groupBy("doc_id").agg(*_simhash_cols(nbits)), eager=False
+    )
     glob = sums.agg(*[F.sum(f"s{j}").alias(f"g{j}") for j in range(nbits)])
     sig = sums.crossJoin(F.broadcast(glob)).selectExpr(
         "doc_id", f"CAST({_sig_int_centered(n, nbits)} AS BIGINT) AS sig"
@@ -1217,16 +1301,27 @@ def _simhash_sig(d: DataFrame, tokens: F.Column, n: int) -> tuple[DataFrame, int
     return sig, w
 
 
-def _simhash_cand(sig: DataFrame, w: int) -> DataFrame:
+def _simhash_cand(sig: DataFrame, w: int, n_docs: int | None = None) -> DataFrame:
     """Banded candidate pairs (a_id, xsig, b_id, ysig) from a signature
     DataFrame: explode 4 w-bit bands, equi-join on (band_idx, band).
     The signature table is _spread first — it emerges from the
     mean-centering broadcast join AQE-coalesced to ~1 partition, which
-    would serialize the band self-join's pair enumeration (r11)."""
+    would serialize the band self-join's pair enumeration (r11).
+
+    r14 (opt): the signature now descends from a lineage cut
+    (``_simhash_sig``), whose LogicalRDD leaf reports the DEFAULT size
+    estimate — the static planner would drop the band join's broadcast
+    and plan a sort-merge join. ``n_docs`` (the corpus count callers
+    already hold, an upper bound on signatures) routes the build side
+    through ``size_gated_broadcast``: 4·n_docs band rows under the
+    label gate ⟹ broadcast exactly as before the cut; past it (100×
+    corpora) the hint drops to the usual co-partitioned shuffle join."""
     bands = _spread(sig, "doc_id").selectExpr(
         "doc_id", "sig", _simhash_band_stack(w)
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    x = bands.alias("x")
+    y_rows = None if n_docs is None else _SIMHASH_BANDS * n_docs
+    y = size_gated_broadcast(bands, n_rows=y_rows).alias("y")
     return (
         x.join(
             y,
@@ -1275,8 +1370,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected candidate volume stays ~N·pop; see dedup_simhash_topk for
     the bounded-OUTPUT variant."""
     d = t(spark, sf_dir, "documents")
-    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), d.count())
-    cand = _simhash_cand(sig, w)
+    # r14 (opt): exact jobless footer count (catalog.parquet_num_rows)
+    # replaces a construction-time count() job — same value by
+    # definition (unfiltered base table), one fewer Spark job per
+    # invocation, and the oracle's COUNT(*) replay is unchanged.
+    n = parquet_num_rows(sf_dir, "documents")
+    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), n)
+    cand = _simhash_cand(sig, w, n_docs=n)
     ham = F.expr("bit_count(xsig ^ ysig)")
     return cand.select(
         "a_id", "b_id", ham.cast("long").alias("hamming")
@@ -1344,7 +1444,9 @@ def _simhash_member_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = t(spark, sf_dir, "documents")
-    n = d.count()  # MEMBER count: width + centering derive from this
+    # MEMBER count: width + centering derive from this (r14: jobless
+    # exact footer count — same value as count() on the base table)
+    n = parquet_num_rows(sf_dir, "documents")
     w = _simhash_band_w(n)
     nbits = _SIMHASH_BANDS * w
     g = truncate_lineage(
@@ -1366,7 +1468,12 @@ def _simhash_member_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gid", "n_mem", F.expr(_SPARK_SIMHASH_HV).alias("hv"))
         .agg(F.count("*").alias("cnt"))
     )
-    sums = tok.groupBy("gid", "n_mem").agg(*_simhash_cols(nbits))
+    # r14 (opt): same lazy cut as _simhash_sig — sums feeds the
+    # member-weighted centering aggregate AND both band-join sides
+    sums = truncate_lineage(
+        tok.groupBy("gid", "n_mem").agg(*_simhash_cols(nbits)),
+        eager=False,
+    )
     glob = sums.agg(
         *[
             F.sum(F.col(f"s{j}") * F.col("n_mem")).alias(f"g{j}")
@@ -1377,7 +1484,7 @@ def _simhash_member_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid AS doc_id",
         f"CAST({_sig_int_centered(n, nbits)} AS BIGINT) AS sig",
     )
-    cand = _simhash_cand(sig, w)
+    cand = _simhash_cand(sig, w, n_docs=n)
     gedges = (
         cand.filter(F.expr("bit_count(xsig ^ ysig)") <= 3)
         .selectExpr("a_id AS s", "b_id AS d")
@@ -1479,8 +1586,9 @@ def dedup_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the symmetrized candidate set, tie-broken (hamming, nbr) on
     both engines."""
     d = t(spark, sf_dir, "documents")
-    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), d.count())
-    cand = _simhash_cand(sig, w)
+    n = parquet_num_rows(sf_dir, "documents")  # r14: jobless footer count
+    sig, w = _simhash_sig(d, F.explode(F.split("text", " ")), n)
+    cand = _simhash_cand(sig, w, n_docs=n)
     ham = F.expr("bit_count(xsig ^ ysig)").cast("long")
     # both orientations via ONE explode, not a self-union: a union of
     # two selects over cand re-executes the whole signature pipeline
@@ -1589,10 +1697,11 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     reps = g.select(F.col("gid").alias("doc_id"), "text")
+    n_reps = reps.count()  # distinct-content count: part of the contract
     sig, w = _simhash_sig(
-        reps, F.explode(F.split("text", " ")), reps.count()
+        reps, F.explode(F.split("text", " ")), n_reps
     )
-    cand = _simhash_cand(sig, w)
+    cand = _simhash_cand(sig, w, n_docs=n_reps)
     ga = g.select(F.col("gid").alias("a_id"), F.col("n").alias("n_a"))
     gb = g.select(F.col("gid").alias("b_id"), F.col("n").alias("n_b"))
     crossp = (
@@ -1661,7 +1770,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     table has no cos > 0.52 pair, so a high threshold would make the
     check vacuous)."""
     emb = t(spark, sf_dir, "embeddings")
-    bits = _sign_bits(emb.count())
+    bits = _sign_bits(parquet_num_rows(sf_dir, "embeddings"))  # r14: jobless
     # _spread (r11): the embeddings parquet arrives as one scan
     # partition; the bucket join and per-pair cosine folds downstream
     # would otherwise run in a single task
@@ -2754,7 +2863,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any N. (An IVF variant would swap the bucket fn for
     nearest-centroid; the join shape is identical.)"""
     emb = t(spark, sf_dir, "embeddings")
-    bits = _sign_bits(emb.count())
+    bits = _sign_bits(parquet_num_rows(sf_dir, "embeddings"))  # r14: jobless
     # _spread (r11): the embeddings parquet arrives as one scan
     # partition; the bucket join and per-pair cosine folds downstream
     # would otherwise run in a single task
@@ -2858,7 +2967,8 @@ def ann_topk_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 4); the union is a distinct on
     (query, candidate) pairs — never all-pairs."""
     emb = t(spark, sf_dir, "embeddings")
-    bits = _band_bits(emb.count())
+    # r14 (opt): jobless exact footer count (catalog.parquet_num_rows)
+    bits = _band_bits(parquet_num_rows(sf_dir, "embeddings"))
     # _spread (r11): one-partition scan would serialize the banded
     # candidate joins and cosine folds downstream
     e = _spread(emb, "vec_id").select(
@@ -2871,20 +2981,40 @@ def ann_topk_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nsq").alias("qnsq"),
     )
-    cand = None
-    for b in range(_LSH_BANDS):
-        band_q = F.expr(_sign_band(b, bits).format(v="qv"))
-        band_c = F.expr(_sign_band(b, bits).format(v="v"))
-        part = (
-            F.broadcast(q.select("query_id", "qv"))
-            .join(
-                e.select("vec_id", "v"),
-                (band_c == band_q) & (F.col("vec_id") != F.col("query_id")),
-            )
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    # r14 (opt, guide §2.4): ONE stacked equi-join replaces the
+    # per-band loop of _LSH_BANDS broadcast joins — each loop
+    # iteration re-projected the vector table and ran its own
+    # broadcast build + probe pass (plans/r14/..._before.txt: 10
+    # parquet scans, 4 separate join stages). Stacking every band's
+    # hash per row makes the union-of-matches a single (band_idx,
+    # band) join: identical candidate set (a pair matches band b iff
+    # its stacked rows collide on (b, hash) — the minhash banding
+    # shape), one pass over the vectors, one broadcast of 4·|Q| query
+    # band rows.
+    cstack = ", ".join(
+        f"{b}, {_sign_band(b, bits).format(v='v')}" for b in range(_LSH_BANDS)
+    )
+    qstack = ", ".join(
+        f"{b}, {_sign_band(b, bits).format(v='qv')}"
+        for b in range(_LSH_BANDS)
+    )
+    cbands = e.selectExpr(
+        "vec_id", f"stack({_LSH_BANDS}, {cstack}) AS (band_idx, band)"
+    ).alias("cb")
+    qbands = q.selectExpr(
+        "query_id", f"stack({_LSH_BANDS}, {qstack}) AS (band_idx, band)"
+    ).alias("qb")
+    cand = (
+        F.broadcast(qbands)
+        .join(
+            cbands,
+            (F.col("cb.band_idx") == F.col("qb.band_idx"))
+            & (F.col("cb.band") == F.col("qb.band"))
+            & (F.col("cb.vec_id") != F.col("qb.query_id")),
         )
-        cand = part if cand is None else cand.unionAll(part)
-    cand = cand.distinct()
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
     cos = (
         _dot("qv", "v") / (F.sqrt(F.col("qnsq")) * F.sqrt(F.col("nsq")))
     ).cast("decimal(16,8)")
@@ -3380,7 +3510,10 @@ def _minhash_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eager=False,
     )
-    pairs, sizes = _minhash_rep_pairs(g.select("gid", "text"))
+    pairs, sizes = _minhash_rep_pairs(
+        g.select("gid", "text"),
+        n_bound=parquet_num_rows(sf_dir, "documents"),
+    )
     gedges = (
         pairs.filter(F.col("jaccard") >= 0.8)
         .selectExpr("a_gid AS s", "b_gid AS d")
@@ -5630,7 +5763,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    bbits = _band_bits(emb.count())
+    bbits = _band_bits(parquet_num_rows(sf_dir, "embeddings"))  # r14: jobless
     bcand = None
     for b in range(_LSH_BANDS):
         band_q = F.expr(_sign_band(b, bbits).format(v="qv"))
@@ -6844,7 +6977,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_sign_bits``), so per-bucket population — and the squared-sum
     join cost per row — stays constant as N grows."""
     emb = t(spark, sf_dir, "embeddings")
-    bits = _sign_bits(emb.count())
+    bits = _sign_bits(parquet_num_rows(sf_dir, "embeddings"))  # r14: jobless
     # _spread (r11): the embeddings parquet arrives as one scan
     # partition; the bucket join and per-pair cosine folds downstream
     # would otherwise run in a single task
@@ -8118,8 +8251,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(text, i, 4))"
         )
     )
-    sig, w = _simhash_sig(d, grams, d.count())
-    cand = _simhash_cand(sig, w)
+    n = parquet_num_rows(sf_dir, "documents")  # r14: jobless footer count
+    sig, w = _simhash_sig(d, grams, n)
+    cand = _simhash_cand(sig, w, n_docs=n)
     ham = F.expr("bit_count(xsig ^ ysig)")
     return cand.select(
         "a_id", "b_id", ham.cast("long").alias("hamming")
@@ -9071,11 +9205,27 @@ def _fuzzy_blocked_groups(spark: SparkSession, sf_dir: str):
     # one plus one groupBy; on twin-heavy corpora the DP count is
     # invariant under replication and only row EMISSION scales with the
     # output.
-    g = d.groupBy("blk", "head").agg(
-        F.min("doc_id").alias("gid"), F.count("*").alias("n")
-    ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols())
+    # r14 (opt): lazy cut — g feeds the salt probe, BOTH salted join
+    # sides, and the membership join; uncut, each consumer re-ran the
+    # scan + groupBy collapse (guide §2.4/§3.3; the _simhash_sig
+    # receipt). Narrow relation (one row per distinct (blk, head)).
+    g = truncate_lineage(
+        d.groupBy("blk", "head").agg(
+            F.min("doc_id").alias("gid"), F.count("*").alias("n")
+        ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols()),
+        eager=False,
+    )
+    # the g side rides a size-gated broadcast (documents footer bound):
+    # post-cut, g's LogicalRDD leaf reports the default huge size and
+    # the static planner would shuffle the CORPUS side on (blk, head)
+    # — the exact lost-broadcast regression the plans/r14 lev diff
+    # caught (3 BHJ -> SMJ). Past the gate the hint drops as usual.
     members = d.join(
-        g.select("blk", "head", "gid"), ["blk", "head"]
+        size_gated_broadcast(
+            g.select("blk", "head", "gid"),
+            n_rows=parquet_num_rows(sf_dir, "documents"),
+        ),
+        ["blk", "head"],
     ).select("gid", F.col("doc_id").alias("member_id"))
     # spread blocks across tasks BEFORE the pair fan-out: the doc table
     # arrives as one file -> one partition, and without this every
@@ -9157,8 +9307,15 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower bound, Myers kernel) lives in ``_fuzzy_blocked_groups``;
     this gate is that plus the member-pair fan-out."""
     g, members, gpairs = _fuzzy_blocked_groups(spark, sf_dir)
-    ma = members.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
-    mb = members.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
+    # r14: members descends from the lineage-cut g, so the fan-out and
+    # twin joins lost their static size estimates — gate them at the
+    # exact documents footer bound (|members| == |documents|), which
+    # restores the pre-cut broadcasts below the label gate and keeps
+    # the co-partitioned shuffle degradation past it
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    gm = size_gated_broadcast(members, n_rows=n_docs)
+    ma = gm.select(F.col("gid").alias("ga"), F.col("member_id").alias("xa"))
+    mb = gm.select(F.col("gid").alias("gb"), F.col("member_id").alias("xb"))
     cross = (
         gpairs.join(ma, "ga")
         .join(mb, "gb")
@@ -9168,7 +9325,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
-    m1, m2 = members.alias("m1"), members.alias("m2")
+    m1, m2 = members.alias("m1"), gm.alias("m2")
     twins = m1.join(
         m2,
         (F.col("m1.gid") == F.col("m2.gid"))
@@ -9365,10 +9522,13 @@ def dedup_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wg = Window.partitionBy("blk", "head")
     wgo = Window.partitionBy("blk", "head").orderBy("doc_id")
-    ranked = (
+    # r14 (opt): lazy cut — ranked feeds reps (salt probe + both join
+    # sides) and m4; uncut, each consumer re-ran the scan + windows
+    ranked = truncate_lineage(
         d.withColumn("gid", F.min("doc_id").over(wg))
         .withColumn("grn", F.row_number().over(wgo))
-        .withColumn("gn", F.count("*").over(wg))
+        .withColumn("gn", F.count("*").over(wg)),
+        eager=False,
     )
     reps = ranked.filter(F.col("grn") == 1).select(
         "gid", "blk", "head", "gn"
@@ -9540,9 +9700,14 @@ def dedup_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").getItem(0).alias("blk"),
         F.substring("text", 1, 80).alias("head"),
     )
-    g = d.groupBy("blk", "head").agg(
-        F.min("doc_id").alias("gid"), F.count("*").alias("n")
-    ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols())
+    # r14 (opt): lazy cut — g feeds the salt probe, both join sides,
+    # and the self-row/count joins (the _fuzzy_blocked_groups receipt)
+    g = truncate_lineage(
+        d.groupBy("blk", "head").agg(
+            F.min("doc_id").alias("gid"), F.count("*").alias("n")
+        ).select("blk", "head", "gid", "n", *_fuzzy_probe_cols()),
+        eager=False,
+    )
     # r11: salt-split hot blocks across tasks (_salted_block_sides)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     salt, n_groups = _fuzzy_salt(g, "blk", "blkhead", sf_dir, n_part)
@@ -9687,9 +9852,15 @@ def dedup_fuzzy_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("text", " "), -1).alias("b2"),
         F.substring("text", 1, 80).alias("head"),
     )
-    g = d.groupBy("b1", "b2", "head").agg(
-        F.min("doc_id").alias("gid"), F.count("*").alias("n")
-    ).select("b1", "b2", "head", "gid", "n", *_fuzzy_probe_cols())
+    # r14 (opt): lazy cut — g feeds BOTH routes' a/b sides (4 join
+    # inputs) plus the two head re-attach joins; uncut, each consumer
+    # re-ran the scan + 3-key groupBy collapse
+    g = truncate_lineage(
+        d.groupBy("b1", "b2", "head").agg(
+            F.min("doc_id").alias("gid"), F.count("*").alias("n")
+        ).select("b1", "b2", "head", "gid", "n", *_fuzzy_probe_cols()),
+        eager=False,
+    )
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lb = _fuzzy_lb(
         "a.hlen", "b.hlen", "a.pcnt", "b.pcnt", "a.bcnt", "b.bcnt"

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Dump `explain("formatted")` for named gates to plans/r14/<gate>_<tag>.txt.
+
+Usage: python scripts/dump_plan_files.py <tag> gate1 gate2 ...
+(tag is 'before' or 'after'). Runs at sf0.1 (the bench SF) so derived
+widths/parameters match the bench plans.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    from olr_cdc_oracle_no_dbz_spark.session import get_spark
+    from olr_cdc_oracle_no_dbz_spark.workload import queries
+
+    spark = get_spark("dump_plan_files")
+    qs = queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

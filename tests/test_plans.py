@@ -503,3 +503,35 @@ def test_expr_memo_clears_on_new_application_id(spark):
     memo2 = X._expr_memo(spark)
     assert ("sentinel",) not in memo2
     assert X._EXPR_MEMO_APP == [spark.sparkContext.applicationId]
+
+
+def test_signature_pipelines_single_execution_shape(spark, q):
+    """r14 optimization round: the simhash/minhash signature aggregates
+    are lineage-cut, so the expensive token/shingle pipeline must
+    appear in the physical plan EXACTLY once (as the RDD behind a Scan
+    ExistingRDD leaf) instead of once per consumer — the 4x-execution
+    shape plans/r14/*_before.txt documents. The cut hides size stats
+    from the static planner, so the band self-joins carry size-gated
+    broadcast hints: the plan must still show BroadcastHashJoin (no
+    SortMergeJoin) at gate scale, and the parquet scan count must be
+    exactly the consumers that legitimately re-read the corpus (the
+    minhash exact-verify sides sa/sb; zero for the simhash family)."""
+    plan = _plan(q["dedup_simhash"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    plan = _plan(q["dedup_minhash_lsh"](spark, SF_DIR))
+    # only the exact-Jaccard verify (sa/sb) re-reads the corpus
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_member_joins_stay_broadcast_after_cut(spark, q):
+    """r14: the full-bench A/B caught dedup_fuzzy_levenshtein's member
+    fan-out joins flipping BroadcastHashJoin -> SortMergeJoin after the
+    group-table lineage cut removed their static size estimates (3.5x
+    wall). The fix routes them through size_gated_broadcast at the
+    documents footer bound; this pin keeps the flip from coming back."""
+    plan = _plan(q["dedup_fuzzy_levenshtein"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3
