@@ -312,6 +312,30 @@ def main() -> int:
     calib_before = _calibration_sec()
     calib_mt_before = _calibration_mt_sec()
 
+    def _tier_scale(
+        medians: dict[str, float],
+        canaries: tuple[str, ...],
+        ref: float,
+        calib_pair: tuple[float, float],
+    ) -> float:
+        """Provisional in-schedule ambient scale for ONE tier, computed
+        right after the tier finishes from the calib probes bracketing
+        it — the retry decision (VERDICT r14 item 1b) cannot wait for
+        the end-of-run calib the final canary block uses."""
+        scale = max(sum(calib_pair) / 2.0 / CALIB_IDLE_REF, 1e-9)
+        s = sum(medians.get(c, 0.0) for c in canaries) / scale
+        return round(s / ref, 4)
+
+    # bounded canary retry (VERDICT r14 item 1b): r13 AND r14 driver
+    # runs were both uncertifiable because a mid-schedule ambient
+    # episode pushed the canaries out of band — with zero retries the
+    # round-over-round per-query series dies with them. One re-run of
+    # the out-of-band tier gives two chances to land in-band; the
+    # first attempt's medians are KEPT in the artifact (canary_retry)
+    # so nothing is hidden. Methodology per timed sample is unchanged
+    # (same measure(), same roster, same median-of-3).
+    canary_retry: dict[str, dict] = {}
+
     # PAA warm/cold split (ADVICE r10): the three PAA gates share a
     # memoized events→daily→dense-vector upstream, so after sample 1
     # every timed sample is warm — which silently confounded the
@@ -329,6 +353,17 @@ def main() -> int:
         paa_cold = round(time.time() - t0, 3)
 
     head = measure(HEADLINE)
+    calib_h = _calibration_sec()
+    prov = _tier_scale(
+        head, CANARIES, CANARY_REF_NORM_SUM, (calib_before, calib_h)
+    )
+    if not (CANARY_BAND[0] <= prov <= CANARY_BAND[1]):
+        canary_retry["headline"] = {
+            "first_scale": prov,
+            "first_total": round(sum(head.values()), 3),
+            "first_queries": head,
+        }
+        head = measure(HEADLINE)
     total = round(sum(head.values()), 3)
     out = {
         "metric": "headline_total",
@@ -353,6 +388,20 @@ def main() -> int:
                     "overwrite"
                 ).save()
         ext = measure(EXTENDED)
+        calib_e = _calibration_sec()
+        prov_e = _tier_scale(
+            ext,
+            EXT_CANARIES,
+            EXT_CANARY_REF_NORM_SUM,
+            (calib_h, calib_e),
+        )
+        if not (CANARY_BAND[0] <= prov_e <= CANARY_BAND[1]):
+            canary_retry["extended"] = {
+                "first_scale": prov_e,
+                "first_total": round(sum(ext.values()), 3),
+                "first_queries": ext,
+            }
+            ext = measure(EXTENDED)
         out["extended"] = {
             "value": round(sum(ext.values()), 3),
             "queries": ext,
@@ -493,11 +542,34 @@ def main() -> int:
             and not mt_flagged
         ),
     }
+    if canary_retry:
+        out["canary_retry"] = canary_retry
     print(json.dumps(out))
-    # truncation-proof summary LAST (VERDICT r10 item 5): the driver's
-    # stdout-tail capture clipped BENCH_r10's headline value, forcing a
-    # reconstruct-by-sum audit. This compact line keeps the numbers
-    # that matter inside any tail window.
+    # truncation-proof tail lines (VERDICT r10 item 5 + r14 item 1a):
+    # the driver captures only the LAST 2000 chars of stdout, which in
+    # r13/r14 clipped every per-query map out of the BENCH artifact
+    # (PERF per_query came back empty). The full artifact line above
+    # stays unchanged; these compact trailer lines re-emit the raw
+    # per-query medians (3-decimal, compact separators) sized so the
+    # summary + headline map (~930 chars) ALWAYS survive intact and
+    # the extended map rides as two individually-parseable lines just
+    # ahead of them (the first may lose its head to the 2000-char
+    # window; the second and everything after are safe by arithmetic:
+    # ~645 + ~645 + ~930 ≈ 2200).
+    if extended:
+        ext_q = out["extended"]["queries"]
+        ext_names = list(ext_q)
+        half = (len(ext_names) + 1) // 2
+        for key, chunk in (
+            ("extq1", ext_names[:half]),
+            ("extq2", ext_names[half:]),
+        ):
+            print(
+                json.dumps(
+                    {key: {n: round(ext_q[n], 3) for n in chunk}},
+                    separators=(",", ":"),
+                )
+            )
     print(
         json.dumps(
             {
@@ -512,8 +584,11 @@ def main() -> int:
                 "canary_scale": out["canary"]["scale"],
                 "ext_canary_scale": out["canary"]["ext_scale"],
                 "comparable": out["canary"]["comparable"],
+                "canary_retried": sorted(canary_retry) or None,
                 "n_headline": len(head),
-            }
+                "queries": {n: round(v, 3) for n, v in head.items()},
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

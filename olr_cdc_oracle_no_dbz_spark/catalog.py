@@ -89,7 +89,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-_NUM_ROWS_CACHE: dict[str, int] = {}
+_NUM_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def _path_stat_key(path: str) -> tuple:
+    """Cache key that invalidates when the parquet bytes change
+    (ADVICE r14: a path-only key would silently serve a stale count if
+    an sf_dir were regenerated in-process at a different cardinality).
+    A few os.stat calls — still jobless and microsecond-scale."""
+    if os.path.isdir(path):
+        sts = [
+            os.stat(os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        return (path, len(sts), sum(s.st_size for s in sts),
+                max((s.st_mtime_ns for s in sts), default=0))
+    st = os.stat(path)
+    return (path, st.st_size, st.st_mtime_ns)
 
 
 def parquet_num_rows(sf_dir: str, name: str) -> int:
@@ -111,7 +128,8 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
             f"unknown table {name!r}; expected one of {TESTDATA_TABLES}"
         )
     path = os.path.join(sf_dir, f"{name}.parquet")
-    hit = _NUM_ROWS_CACHE.get(path)
+    key = _path_stat_key(path)
+    hit = _NUM_ROWS_CACHE.get(key)
     if hit is not None:
         return hit
     import pyarrow.parquet as pq
@@ -124,5 +142,5 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
         )
     else:
         n = pq.read_metadata(path).num_rows
-    _NUM_ROWS_CACHE[path] = n
+    _NUM_ROWS_CACHE[key] = n
     return n

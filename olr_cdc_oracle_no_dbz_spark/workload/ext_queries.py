@@ -5696,7 +5696,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = e.select("vec_id", "v", "nsq")
     cents = _kmeans_train(ev, memo=_emb_fingerprint(sf_dir))
-    assign = _nearest_cent(ev, cents)
+    # r15 (opt, guide §2.4): same cut as _ivfpq_compose — here the
+    # corpus-wide literal-tree assignment fed FOUR consumers (the three
+    # ivf arms' cell probes + the adc arm); it now evaluates once.
+    assign = truncate_lineage(_nearest_cent(ev, cents), eager=False)
     qbase = e.filter(F.col("vec_id") < 10)
     q = qbase.select(
         F.col("vec_id").alias("query_id"),
@@ -5718,12 +5721,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    bf = topk(
-        F.broadcast(q)
-        .join(ev, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim")
-        )
+    # r15 (opt, guide §2.4): the brute-force truth pass (broadcast q ×
+    # full corpus, exact cosine, top-10 window) fed BOTH the per-query
+    # truth counts and the hit join — two executions of the most
+    # expensive arm. Lazily cut: ≤ |Q|·10 = 100 rows by construction
+    # (vec_id < 10 queries, rk <= 10), a structural bound the post-cut
+    # hits join re-uses as its broadcast gate below.
+    bf = truncate_lineage(
+        topk(
+            F.broadcast(q)
+            .join(ev, F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+        ),
+        eager=False,
     )
     lsh = topk(
         F.broadcast(q)
@@ -5764,19 +5778,43 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     bbits = _band_bits(parquet_num_rows(sf_dir, "embeddings"))  # r14: jobless
-    bcand = None
-    for b in range(_LSH_BANDS):
-        band_q = F.expr(_sign_band(b, bbits).format(v="qv"))
-        band_c = F.expr(_sign_band(b, bbits).format(v="v"))
-        part = (
-            F.broadcast(q.select("query_id", "qv"))
-            .join(
-                ev.select("vec_id", "v"),
-                (band_c == band_q) & (F.col("vec_id") != F.col("query_id")),
-            )
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    # r15 (opt, guide §2.4 — VERDICT r14 item 3): the per-band Python
+    # loop planned _LSH_BANDS separate broadcast joins + a union, each
+    # re-projecting the full vector table (the exact shape
+    # ann_topk_lsh_bands retired in r14). Stack every band's hash per
+    # row once and the union-of-matches becomes a single (band_idx,
+    # band) equi-join: identical candidate set by construction (a pair
+    # matches band b iff its stacked rows collide on (b, hash)); the
+    # oracle's 4-way UNION replays unchanged.
+    _cstack = ", ".join(
+        f"{b}, {_sign_band(b, bbits).format(v='v')}"
+        for b in range(_LSH_BANDS)
+    )
+    _qstack = ", ".join(
+        f"{b}, {_sign_band(b, bbits).format(v='qv')}"
+        for b in range(_LSH_BANDS)
+    )
+    cbands = ev.selectExpr(
+        "vec_id", f"stack({_LSH_BANDS}, {_cstack}) AS (band_idx, band)"
+    ).alias("rcb")
+    qbands = (
+        q.select("query_id", "qv")
+        .selectExpr(
+            "query_id",
+            f"stack({_LSH_BANDS}, {_qstack}) AS (band_idx, band)",
         )
-        bcand = part if bcand is None else bcand.unionAll(part)
+        .alias("rqb")
+    )
+    bcand = (
+        F.broadcast(qbands)
+        .join(
+            cbands,
+            (F.col("rcb.band_idx") == F.col("rqb.band_idx"))
+            & (F.col("rcb.band") == F.col("rqb.band"))
+            & (F.col("rcb.vec_id") != F.col("rqb.query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
     lsh4 = topk(
         bcand.distinct()
         .join(F.broadcast(q.select("query_id", "qv", "qnsq")), "query_id")
@@ -5858,6 +5896,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_d"),
         )
     )
+    # r15 (opt, guide §2.4): the ADC score relation feeds both the
+    # ivfpq top-10 window and the ivfpq_rr shortlist window — the
+    # cell-join + code-join + LUT-join chain executed twice. Cut
+    # lazily (cell-members-of-|Q| rows, 3 narrow columns); the only
+    # consumers are windows, no join planning depends on its stats.
+    adc = truncate_lineage(adc, eager=False)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_d").desc(), "neighbor_id"
     )
@@ -5900,6 +5944,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in arms:
         part = df.withColumn("method", F.lit(name))
         m = part if m is None else m.unionAll(part)
+    # r15 (opt, guide §2.4): m feeds the per-arm retrieved counts AND
+    # the hit join — without a cut every arm's full index scan ran
+    # twice per invocation. ≤ 7 arms · |Q| · 10 = 700 rows by
+    # construction.
+    m = truncate_lineage(m, eager=False)
     truth = bf.groupBy("query_id").agg(F.count("*").alias("n_truth"))
     grid = None
     for name, _ in arms:
@@ -5907,7 +5956,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid = part if grid is None else grid.unionAll(part)
     ret = m.groupBy("method", "query_id").agg(F.count("*").alias("n_retrieved"))
     hits = (
-        m.join(bf, ["query_id", "neighbor_id"])
+        # size gate at the structural 100-row bound: the cut hides
+        # size stats from the static planner (r14 lesson — every join
+        # against a cut relation carries an explicit gated hint)
+        m.join(
+            size_gated_broadcast(bf, n_rows=100),
+            ["query_id", "neighbor_id"],
+        )
         .groupBy("method", "query_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -6113,7 +6168,16 @@ def _ivfpq_compose(
     )
     cnt = _memo_count(e, _emb_fingerprint(sf_dir))
     cents0 = _kmeans_train(e, memo=_emb_fingerprint(sf_dir))
-    assign = _nearest_cent(e, cents0)
+    # r15 (opt, guide §2.4/§3.3 — VERDICT r14 item 7): the coarse
+    # assignment is a ~K·dims-literal greatest() projection over the
+    # FULL corpus (K ≈ N/128 inlined centroids at gate scale) and it
+    # fed three consumers (the PQ-encode stack, the query-cell filter,
+    # the cell-membership probe) — three full evaluations of the
+    # literal tree per invocation. The lazy cut materializes it once;
+    # every post-cut join already broadcasts its OTHER side explicitly
+    # (qcells/lut), so no static join strategy depends on the cut
+    # relation's missing stats (the r14 lost-broadcast lesson).
+    assign = truncate_lineage(_nearest_cent(e, cents0), eager=False)
     stack_args = ", ".join(
         f"{s}, slice(v, {s * _PQ_SUB + 1}, {_PQ_SUB})" for s in range(_PQ_M)
     )
@@ -6435,7 +6499,17 @@ def dedup_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .withColumn("method", F.lit("simhash"))
     )
-    tagged = mh.unionAll(ng).unionAll(sh)
+    # r15 (opt, guide §2.4/§3.3 — VERDICT r14 item 6): the tagged
+    # pair union feeds the per-method counts AND both sides of the
+    # agreement self-join — without a cut the three underlying dedup
+    # pipelines (each a full candidates-then-verify pass over the
+    # corpus) execute 3x per invocation. The cut materializes the
+    # DETECTED pairs once (orders of magnitude smaller than the
+    # corpus); lazy, so construction stays job-free. The post-cut
+    # self-join carries no forced broadcast hint: pair counts have no
+    # structural bound (vocabulary-relation discipline), so AQE's
+    # runtime join-strategy selection decides from materialized bytes.
+    tagged = truncate_lineage(mh.unionAll(ng).unionAll(sh), eager=False)
     counts = tagged.groupBy("method").agg(F.count("*").alias("n"))
     x, y = tagged.alias("x"), tagged.alias("y")
     common = (

@@ -9,24 +9,37 @@ another Spark job (verify SKILL gotcha — shared-container timings
 distort).
 
 Usage: python scripts/ab_gate.py gate1 gate2 ... [--runs N]
+
+``AB_GATE_ROOT`` (env) points the import at another checkout (a base
+worktree arm) while running THIS file — so a pre-ab_gate base revision
+can still be timed with the identical harness (ADVICE r14).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.environ.get("AB_GATE_ROOT")
+    or os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--runs="):
-            runs = int(a.split("=", 1)[1])
+    # argparse (ADVICE r14): the old hand-parser only understood
+    # --runs=N (the docstring's "--runs N" form became an unknown gate
+    # and exited 2) and silently dropped any other --flag.
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("gates", nargs="+", help="registered query names")
+    p.add_argument("--runs", type=int, default=3)
+    ns = p.parse_args()
+    args = ns.gates
+    runs = ns.runs
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from olr_cdc_oracle_no_dbz_spark.session import get_spark
     from olr_cdc_oracle_no_dbz_spark.workload import queries

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Dump `explain("formatted")` for named gates to plans/r14/<gate>_<tag>.txt.
+"""Dump `explain("formatted")` for named gates to
+plans/$SPARK_GRAFT_PLANS_ROUND/<gate>_<tag>.txt (round dir defaults to
+r15).
 
 Usage: python scripts/dump_plan_files.py <tag> gate1 gate2 ...
 (tag is 'before' or 'after'). Runs at sf0.1 (the bench SF) so derived
@@ -21,7 +23,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     from olr_cdc_oracle_no_dbz_spark.session import get_spark

@@ -535,3 +535,109 @@ def test_fuzzy_member_joins_stay_broadcast_after_cut(spark, q):
     plan = _plan(q["dedup_fuzzy_levenshtein"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+#: queries where a SortMergeJoin against a lineage-cut relation is
+#: DELIBERATE: the cut relation has no structural row bound (pair sets,
+#: vocabulary-class relations), so the repo discipline (tfidf receipt,
+#: r14) defers the join strategy to AQE's runtime statistics instead of
+#: forcing a hint the static planner cannot verify. Every other SMJ
+#: whose subtree contains a cut leaf is the r14 lost-broadcast flip
+#: (dedup_fuzzy_levenshtein, 3.5x wall) waiting to happen.
+_SMJ_CUT_ALLOWED: dict[str, str] = {
+    # both self-join sides ARE the cut pair relation; pair sets have no
+    # structural row bound (unlike footer-bounded label/member lists),
+    # so per the tfidf-vocabulary discipline the strategy defers to
+    # AQE runtime statistics — at gate scale AQE converts to a
+    # broadcast join on materialized bytes (receipted in
+    # plans/r15/dedup_overlap_report_after.txt + OPTIMIZATION_r15.md).
+    "dedup_overlap_report": "unbounded pair self-join, AQE-deferred",
+}
+
+#: operators that only rename/reorder/partition rows between a join and
+#: its input: a ``Scan ExistingRDD`` reached through ONLY these is the
+#: join's direct input relation, i.e. the join was planned against a
+#: stats-less cut relation (the r14 dedup_fuzzy_levenshtein flip).
+_SMJ_PASS_THROUGH = {
+    "Sort",
+    "Exchange",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "Scan",
+}
+
+
+def _smj_vs_cut_sites(plan: str) -> int:
+    """Count SortMergeJoin nodes one of whose join SIDES is directly
+    (through pass-through operators only) a ``Scan ExistingRDD`` leaf —
+    a lineage-cut or driver-created relation the static planner had no
+    size estimate for. A cut deeper inside a side (below another join
+    or aggregate) is NOT a flip site: that join's strategy was chosen
+    from its own inputs' stats. Tree-string indentation: a node's
+    children render strictly deeper until the next line at or above
+    its own depth."""
+    import re as _re
+
+    def _indent(ln: str) -> int:
+        i = 0
+        while i < len(ln) and ln[i] in " :+-":
+            i += 1
+        return i
+
+    def _name(ln: str) -> str:
+        s = ln[_indent(ln) :]
+        s = _re.sub(r"^\*\(\d+\)\s*", "", s)
+        return s.split(" ")[0].split("[")[0]
+
+    lines = plan.splitlines()
+    ind = [_indent(ln) for ln in lines]
+    hits = 0
+    for idx, ln in enumerate(lines):
+        if "SortMergeJoin" not in ln:
+            continue
+        d = ind[idx]
+        j = idx + 1
+        flagged = False
+        while j < len(lines) and ind[j] > d:
+            if "Scan ExistingRDD" in lines[j]:
+                k, cur = j, ind[j]
+                ok = True
+                while True:
+                    a = k - 1
+                    while a > idx and ind[a] >= cur:
+                        a -= 1
+                    if a == idx:
+                        break
+                    if _name(lines[a]) not in _SMJ_PASS_THROUGH:
+                        ok = False
+                        break
+                    k, cur = a, ind[a]
+                if ok:
+                    flagged = True
+                    break
+            j += 1
+        if flagged:
+            hits += 1
+    return hits
+
+
+def test_registry_no_smj_against_cut_relation(spark, q):
+    """VERDICT r14 item 4: the fuzzy-family regression generalizes —
+    EVERY join against a lineage-cut relation loses its static size
+    estimate, so any consumer of a ``truncate_lineage`` site from any
+    round can silently flip BroadcastHashJoin -> SortMergeJoin. This
+    sweep constructs every registered query at gate scale and asserts
+    no SortMergeJoin sits on top of a cut leaf, except the explicit
+    allowlist of unbounded-relation joins that defer to AQE."""
+    violations = {}
+    for name, fn in q.items():
+        plan = _plan(fn(spark, SF_DIR))
+        n = _smj_vs_cut_sites(plan)
+        if n and name not in _SMJ_CUT_ALLOWED:
+            violations[name] = n
+    assert not violations, violations
